@@ -1,0 +1,127 @@
+"""Table catalog over the driver's parquet test tables.
+
+The reference's only "catalog" is hard-coded bucket-name conventions and
+filename grammars (/root/reference/embargo.go:61-63, embargo.go:227); here the
+equivalent is an explicit table registry with declared schemas.  Schemas are
+asserted, not inferred, so an upstream drift fails loudly instead of silently
+changing query semantics (SURVEY.md §1.3).
+
+At 100 TB the same loaders apply unchanged: ``spark.read.parquet`` on a
+partitioned layout gets distributed listing, partition pruning, predicate
+pushdown and column pruning from Catalyst with zero custom code — the
+reference's prefix-pruned listing scan (embargo.go:265-267) is exactly
+Spark partition pruning over a ``date=yyyy-mm-dd`` layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Column name -> simpleString type, per TESTDATA.md (driver-generated, seed=42).
+EXPECTED_SCHEMAS: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; assert its schema matches the declared catalog."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    expected = EXPECTED_SCHEMAS[name]
+    # Parquet timestamps without a UTC flag surface as timestamp_ntz on
+    # Spark 4; both flavors are acceptable (the values are naive UTC).
+    actual = {
+        f.name: f.dataType.simpleString().replace("timestamp_ntz", "timestamp")
+        for f in df.schema.fields
+    }
+    if actual != expected:
+        raise ValueError(
+            f"schema drift for table {name}: expected {expected}, got {actual}"
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every catalog table from ``sf_dir``."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

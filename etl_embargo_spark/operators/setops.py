@@ -1,0 +1,113 @@
+"""Set algebra over listings (SURVEY J3/J4/J5) — the reference's bucket
+toolkit re-expressed as joins.
+
+The reference implements each of these as an in-memory presence map built
+from one full listing and probed by another — bounded by one process's RAM.
+As joins, Spark distributes both sides; AQE picks broadcast vs shuffled hash
+by observed size, so the same code covers a 6-row test listing and a
+billion-object catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+
+
+def sync_missing(src: DataFrame, dst: DataFrame, key: str) -> DataFrame:
+    """J3 — ``SyncTwoBuckets``: source records whose key is absent from dest.
+
+    Reference: build dest-name set /root/reference/gcs_operations.go:207-228,
+    probe+skip 244-248, copy 249-257.  Anti-join: the copy set is exactly
+    ``src ▷ dst``.
+    """
+    return src.join(dst, on=key, how="left_anti")
+
+
+def compare_listings(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """J5 — ``CompareBuckets`` symmetric difference: keys present in exactly
+    one side, tagged with which side.
+
+    Reference: two-pass presence-map flip /root/reference/gcs_operations.go:269-337.
+    Full-outer join on the key with null checks; ``count()==0`` ⇔ the
+    reference's boolean "equal" result.
+    """
+    left = a.select(F.col(key).alias("a_key")).distinct()
+    right = b.select(F.col(key).alias("b_key")).distinct()
+    joined = left.join(right, left["a_key"] == right["b_key"], "full_outer")
+    return joined.filter(
+        F.col("a_key").isNull() | F.col("b_key").isNull()
+    ).select(
+        F.coalesce(F.col("a_key"), F.col("b_key")).alias(key),
+        F.when(F.col("b_key").isNull(), F.lit("only_left"))
+        .otherwise(F.lit("only_right"))
+        .alias("side"),
+    )
+
+
+def overwrite_merge(
+    base: DataFrame, updates: DataFrame, key: str, payload: list[str]
+) -> DataFrame:
+    """J4 — last-writer-wins upsert by key (the unembargo publish step).
+
+    Reference: delete dest duplicate then copy source
+    (/root/reference/unembargo.go:115-130) — per-key overwrite.  Expressed as
+    union + ``row_number`` over a per-key window ordered by source priority;
+    one shuffle on the key, no per-row delete round-trips, idempotent on
+    rerun (SURVEY ST3).
+    """
+    b = base.select(key, *payload).withColumn("src_priority", F.lit(1))
+    u = updates.select(key, *payload).withColumn("src_priority", F.lit(2))
+    w = Window.partitionBy(key).orderBy(F.col("src_priority").desc())
+    return (
+        b.unionByName(u)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "src_priority")
+    )
+
+
+# ---- driver-query bindings over the synthetic tables (FIXTURES.md §5) ----
+
+
+def q_sync_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders ("source listing") with no lineitem ("dest listing") rows."""
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dst = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    return sync_missing(src, dst, "o_orderkey")
+
+
+def q_compare_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference of BUILDING-segment customer keys vs keys of
+    customers with fulfilled ('F') orders — two listings that genuinely
+    differ, so the diff is non-degenerate at every SF."""
+    a = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("custkey"))
+    b = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_custkey").alias("custkey"))
+    return compare_listings(a, b, "custkey")
+
+
+def q_overwrite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins merge: open orders (priority 2) overwrite the base
+    order listing (priority 1) per order key."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    updates = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.lit("PUBLISHED").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    return overwrite_merge(base, updates, "o_orderkey", ["status", "totalprice"])

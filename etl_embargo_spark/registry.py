@@ -1,0 +1,347 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` callable plus, where SQL-expressible, the
+equivalent DuckDB oracle SQL.
+
+Contract (driver): column names must match between the Spark result and the
+oracle result — the driver sorts columns by name and value-hashes, so every
+computed column is explicitly aliased on BOTH sides.  Queries whose semantics
+are not ANSI-SQL-expressible (Pandas-UDF sources, LSH, streaming) register
+``None`` as the oracle and get the weaker rows-only check; each of those has
+a pytest oracle instead (tests/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_embargo_spark.operators import aggregates, embargo, listings, setops
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (query_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate query name {name}")
+    _REGISTRY[name] = (fn, oracle)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect) mirroring the Spark-side constants.
+# ---------------------------------------------------------------------------
+
+_WL = (
+    f"SELECT s_suppkey FROM supplier WHERE s_nationkey < "
+    f"{embargo.WHITELIST_NATION_CUTOFF}"
+)
+_DATE_INT = "(year({c})*10000 + month({c})*100 + day({c}))"
+
+# Archive-name construction shared by the listing queries (must mirror
+# listings._archive_names exactly).
+_ARCHIVE_NAMES = """
+SELECT o_orderkey,
+       'sidestream/' || substr(d8, 1, 4) || '/' || substr(d8, 5, 2) || '/'
+           || substr(d8, 7, 2) AS prefix,
+       d8 || 'T000000Z-mlab1-site' || CAST(o_custkey % 10 AS VARCHAR)
+          || '-sidestream-'
+          || lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')
+          || '.tgz' AS name
+FROM (SELECT *, strftime(o_orderdate, '%Y%m%d') AS d8 FROM orders)
+"""
+
+# ---------------------------------------------------------------------------
+# Flagship + embargo family
+# ---------------------------------------------------------------------------
+
+register(
+    "q_split_partition",
+    embargo.split_partition,
+    f"""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST({_DATE_INT.format(c='l_shipdate')} AS INT) AS date_int,
+           CASE WHEN {_DATE_INT.format(c='l_shipdate')} < {embargo.DEFAULT_CUTOFF_INT}
+                  OR l_returnflag <> '{embargo.EMBARGO_CATEGORY}'
+                  OR l_suppkey IN ({_WL})
+                THEN 'public' ELSE 'private' END AS visibility
+    FROM lineitem
+    """,
+)
+
+register(
+    "q_whitelist_semi",
+    embargo.whitelist_semi,
+    f"""
+    SELECT l_orderkey, l_linenumber, l_suppkey
+    FROM lineitem
+    WHERE l_suppkey IN ({_WL})
+    """,
+)
+
+register(
+    "q_embargo_anti",
+    embargo.embargo_anti,
+    f"""
+    SELECT l_orderkey, l_linenumber, l_suppkey
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM supplier s
+        WHERE s.s_nationkey < {embargo.WHITELIST_NATION_CUTOFF}
+          AND s.s_suppkey = l.l_suppkey
+    )
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Set algebra (J3/J4/J5)
+# ---------------------------------------------------------------------------
+
+register(
+    "q_sync_anti",
+    setops.q_sync_anti,
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+    )
+    """,
+)
+
+register(
+    "q_compare_full_outer",
+    setops.q_compare_full_outer,
+    """
+    WITH a AS (SELECT DISTINCT c_custkey AS custkey FROM customer
+               WHERE c_mktsegment = 'BUILDING'),
+         b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+               WHERE o_orderstatus = 'F')
+    SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+           CASE WHEN b.custkey IS NULL THEN 'only_left'
+                ELSE 'only_right' END AS side
+    FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+    WHERE a.custkey IS NULL OR b.custkey IS NULL
+    """,
+)
+
+register(
+    "q_overwrite_merge",
+    setops.q_overwrite_merge,
+    """
+    WITH unioned AS (
+        SELECT o_orderkey, o_orderstatus AS status,
+               o_totalprice AS totalprice, 1 AS src_priority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'PUBLISHED', o_totalprice, 2
+        FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderkey, status, totalprice FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY src_priority DESC
+        ) AS rn FROM unioned
+    ) WHERE rn = 1
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A3) + checks
+# ---------------------------------------------------------------------------
+
+register(
+    "q_distinct",
+    aggregates.q_distinct,
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+
+register(
+    "q_count",
+    aggregates.q_count,
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+)
+
+register(
+    "q_empty_check",
+    aggregates.q_empty_check,
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem WHERE l_quantity < 0",
+)
+
+register(
+    "q_metrics_rollup",
+    aggregates.q_metrics_rollup,
+    """
+    SELECT l_returnflag AS dataset, l_linestatus AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Listing scans / filters (S1/S2, P1/P3/P7)
+# ---------------------------------------------------------------------------
+
+register(
+    "q_prefix_scan",
+    listings.q_prefix_scan,
+    f"""
+    SELECT o_orderkey, prefix, name FROM ({_ARCHIVE_NAMES})
+    WHERE prefix LIKE 'sidestream/1995/03%'
+    """,
+)
+
+register(
+    "q_suffix_filter",
+    listings.q_suffix_filter,
+    f"""
+    SELECT o_orderkey, name FROM ({_ARCHIVE_NAMES})
+    WHERE name LIKE '%tgz%' AND name LIKE '%sidestream%'
+      AND name LIKE '%site7%'
+    """,
+)
+
+register(
+    "q_date_cutoff",
+    listings.q_date_cutoff,
+    f"""
+    SELECT o_orderkey,
+           CAST({_DATE_INT.format(c='o_orderdate')} AS INT) AS date_int
+    FROM orders
+    WHERE {_DATE_INT.format(c='o_orderdate')} < 19960101
+    """,
+)
+
+register(
+    "q_range_check",
+    listings.q_range_check,
+    f"""
+    SELECT o_orderkey,
+           CAST({_DATE_INT.format(c='o_orderdate')} AS INT) AS date_int
+    FROM orders
+    WHERE {_DATE_INT.format(c='o_orderdate')} > 19960000
+      AND {_DATE_INT.format(c='o_orderdate')} <= 19990000
+    """,
+)
+
+register(
+    "q_limit",
+    listings.q_limit,
+    "SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey LIMIT 100",
+)
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (F1-F9)
+# ---------------------------------------------------------------------------
+
+register(
+    "q_filename_parse",
+    listings.q_filename_parse,
+    """
+    WITH named AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_orderkey % 3 = 0
+                    THEN d8 || 'T00:00:00Z_ALL0.web100'
+                    ELSE d8 || 'T00:00:00Z_' || ip || '_'
+                         || CAST(l_linenumber AS VARCHAR) || '.web100'
+               END AS name
+        FROM (
+            SELECT *,
+                   strftime(l_shipdate, '%Y%m%d') AS d8,
+                   CAST(l_suppkey % 256 AS VARCHAR) || '.'
+                     || CAST(l_partkey % 256 AS VARCHAR) || '.'
+                     || CAST(l_orderkey % 256 AS VARCHAR) || '.'
+                     || CAST(l_linenumber % 256 AS VARCHAR) AS ip
+            FROM lineitem
+        )
+    )
+    SELECT l_orderkey, l_linenumber, name,
+           substr(name, 1, 8) AS date8,
+           regexp_extract(name, '^[^_]*_(.*)_[^_]*$', 1) AS local_ip
+    FROM named
+    """,
+)
+
+register(
+    "q_basename",
+    listings.q_basename,
+    f"""
+    SELECT o_orderkey,
+           prefix || '/' || name AS path,
+           regexp_extract(prefix || '/' || name, '([^/]+)$', 1) AS base
+    FROM ({_ARCHIVE_NAMES})
+    """,
+)
+
+register(
+    "q_date_as_int",
+    listings.q_date_as_int,
+    f"""
+    SELECT o_orderkey,
+           CAST({_DATE_INT.format(c='o_orderdate')} AS INT) AS date_int,
+           CAST(substr(strftime(o_orderdate, '%Y%m%d'), 1, 8) AS INT)
+               AS parsed_int
+    FROM orders
+    """,
+)
+
+register(
+    "q_rename_rewrite",
+    listings.q_rename_rewrite,
+    f"""
+    SELECT o_orderkey, name,
+           regexp_replace(name, '\\.tgz$', '-e.tgz') AS embargo_name
+    FROM ({_ARCHIVE_NAMES})
+    """,
+)
+
+register(
+    "q_date_add_year",
+    listings.q_date_add_year,
+    f"""
+    SELECT o_orderkey,
+           CAST({_DATE_INT.format(c='o_orderdate')} AS INT) AS order_int,
+           CAST({_DATE_INT.format(c='(o_orderdate - INTERVAL 1 YEAR)')} AS INT)
+               AS cutoff_int
+    FROM orders
+    """,
+)
+
+register(
+    "q_json_sites",
+    listings.q_json_sites,
+    """
+    WITH sites AS (
+        SELECT CASE WHEN s_suppkey % 3 = 0
+                    THEN 'mlab' || CAST(s_suppkey % 4 AS VARCHAR)
+                         || '.samknows.site' || CAST(s_nationkey AS VARCHAR)
+                         || '.example.org'
+                    ELSE 'mlab' || CAST(s_suppkey % 4 AS VARCHAR)
+                         || '.site' || CAST(s_nationkey AS VARCHAR)
+                         || '.example.org'
+               END AS hostname,
+               '10.' || CAST(s_suppkey % 256 AS VARCHAR) || '.'
+                   || CAST(s_nationkey % 256 AS VARCHAR) || '.1' AS ipv4,
+               CASE WHEN s_suppkey % 2 = 0 THEN ''
+                    ELSE '2001:db8::' || CAST(s_suppkey AS VARCHAR)
+               END AS ipv6
+        FROM supplier
+    )
+    SELECT DISTINCT ip FROM (
+        SELECT unnest([ipv4, ipv6]) AS ip
+        FROM sites WHERE hostname NOT LIKE '%samknows%'
+    ) WHERE ip <> ''
+    """,
+)

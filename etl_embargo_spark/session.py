@@ -1,0 +1,73 @@
+"""SparkSession construction tuned for both local testing and cluster scale.
+
+The reference runs single-threaded on a 2-vCPU AppEngine instance
+(/root/reference/deploy/app.yaml:1-9, sequential loop embargo.go:278-291);
+Spark replaces that with distributed scans, so the session config below is
+about making Catalyst/AQE do the right thing at 100 TB, not about porting
+anything:
+
+* AQE on — runtime coalescing of small shuffle partitions, dynamic
+  broadcast-join conversion, and skew-join splitting cover the data-dependent
+  decisions the reference hand-codes (build-side hash sets).
+* shuffle.partitions sized for the local harness via env; on a real cluster
+  AQE's coalescing makes the initial number mostly a ceiling.
+* Arrow on — every Pandas UDF / mapInPandas path (tar exploder, ipv6
+  normalizer, embedding kernels) moves batches, never rows.
+* maxPartitionBytes 128m — parquet scan splits sized so one task's input fits
+  comfortably in executor memory at any SF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _int_env(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, "") or default)
+    except ValueError:
+        return default
+
+
+def get_spark(app_name: str = "etl_embargo_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    cpus = _int_env("SPARK_GRAFT_CPUS", 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally provided session.
+
+    The driver harness passes its own SparkSession to ``entry``/``queries``;
+    only conf that is legal to set post-startup is touched here.
+    """
+    rt = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
+    for k, v in rt.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - immutable conf on some builds
+            pass
+    return spark

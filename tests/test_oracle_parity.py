@@ -1,0 +1,49 @@
+"""The repo's own correctness gate: every registered SQL-expressible query
+must match its DuckDB oracle at sf0.001 — the same compare the driver runs
+at sf0.01 (row count + column names + order-insensitive canonical values).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_embargo_spark import registry
+from etl_embargo_spark.parity import compare
+
+
+def _names() -> list[str]:
+    return sorted(registry.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    fn = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    oracle_pdf = duck.execute(sql).fetchdf()
+    report = compare(name, spark_pdf, oracle_pdf)
+    assert report.ok, (
+        f"{name}: rows spark={report.spark_rows} oracle={report.oracle_rows} "
+        f"schema_match={report.schema_match} values_match={report.values_match}\n"
+        + "\n".join(report.mismatches)
+    )
+
+
+def test_every_query_has_rows(spark, sf_dir):
+    """Each registered query should be non-degenerate at the smallest SF."""
+    for name, fn in registry.queries().items():
+        n = fn(spark, sf_dir).count()
+        assert n >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {
+        "l_orderkey",
+        "l_linenumber",
+        "date_int",
+        "visibility",
+    }
