@@ -62,9 +62,13 @@ def parse_date_int(date_str: Column | str) -> Column:
     non-numeric input (the reference's error path skips the file).
 
     Reference: /root/reference/embargo.go:272-276, embargo.go:307-311.
+
+    ``try_cast`` (not ``cast``): under Spark 4's ANSI mode a malformed
+    string must yield null — the reference's skip-on-error path — not abort
+    the job.
     """
     col = F.col(date_str) if isinstance(date_str, str) else date_str
-    return F.substring(col, 1, 8).cast("int")
+    return F.substring(col, 1, 8).try_cast("int")
 
 
 def embargo_rename(name: Column | str) -> Column:

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import ipaddress
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
@@ -44,11 +43,32 @@ def normalize_ipv6_py(value: str | None) -> str | None:
         return None
 
 
-@F.pandas_udf(StringType())
-def _normalize_ipv6_udf(s: pd.Series) -> pd.Series:
-    return s.map(normalize_ipv6_py)
+def _make_udf():
+    """Build the Pandas UDF with a self-contained kernel.
+
+    The kernel is nested (not a module-level reference) so cloudpickle
+    serializes it by value — executors never need this package importable
+    (same policy as sources/tar_source.py).
+    """
+
+    def _kernel(s):
+        import ipaddress as _ipaddress
+
+        def norm(value):
+            if value is None or value == "":
+                return None
+            if ":" not in value:
+                return value
+            try:
+                return str(_ipaddress.ip_address(value.replace(":::", "::")))
+            except ValueError:
+                return None
+
+        return s.map(norm)
+
+    return F.pandas_udf(_kernel, StringType())
 
 
 def normalize_ipv6(col: Column | str) -> Column:
     """Column form of F3: canonicalized IP, null when unparseable."""
-    return _normalize_ipv6_udf(F.col(col) if isinstance(col, str) else col)
+    return _make_udf()(F.col(col) if isinstance(col, str) else col)

@@ -1,0 +1,149 @@
+"""S3 — the archive record source: .tgz objects → one row per tar entry.
+
+Reference: /root/reference/embargo.go:125-173 — gzip reader → tar reader →
+keep regular files → project header fields + whole content.  The reference
+buffers the entire archive AND both output archives in RAM
+(embargo.go:135-141), bounding archive size by instance memory; here each
+executor task streams entries out of one archive's bytes and hands Spark
+Arrow batches, so memory is bounded per entry, spill is Tungsten's problem,
+and parallelism is per-archive (gzip is unsplittable, but archives are ~MB
+and there are many — the right parallel grain at 100 TB).
+
+``spark.read.format("binaryFile")`` provides distributed listing + the bytes;
+``mapInPandas`` does the explode.  No driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ENTRY_SCHEMA = (
+    "archive string, path string, basename string, size long, mode long, "
+    "mtime timestamp, is_regular boolean, content binary"
+)
+
+# NOTE on executor-side closures: every function shipped to executors in this
+# package is defined NESTED inside its builder so cloudpickle serializes it
+# by value.  A module-level function would pickle as a reference to
+# ``etl_embargo_spark...`` and fail with ModuleNotFoundError on any worker
+# that doesn't have this repo on PYTHONPATH (driver harness running from a
+# different cwd, or a cluster where the package isn't shipped).
+
+
+def _make_exploder():
+    """Build the mapInPandas generator (self-contained for pickling)."""
+
+    def _explode_archives(batches):
+        # One input row per archive (binaryFile schema) → N rows per tar
+        # entry; one output batch per archive keeps Arrow batch sizes
+        # bounded by one archive's decompressed size.
+        import gzip as _gzip
+        import io as _io
+        import tarfile as _tarfile
+
+        import pandas as _pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                archive_name = row["path"].rsplit("/", 1)[-1]
+                out = {
+                    "archive": [], "path": [], "basename": [], "size": [],
+                    "mode": [], "mtime": [], "is_regular": [], "content": [],
+                }
+                raw = _io.BytesIO(bytes(row["content"]))
+                # Stream: gzip member → tar entries, entry-at-a-time.
+                with _gzip.GzipFile(fileobj=raw) as gz:
+                    with _tarfile.open(fileobj=gz, mode="r|") as tar:
+                        for info in tar:
+                            is_reg = info.isreg()
+                            content = (
+                                tar.extractfile(info).read() if is_reg else None
+                            )
+                            out["archive"].append(archive_name)
+                            out["path"].append(info.name)
+                            out["basename"].append(info.name.rsplit("/", 1)[-1])
+                            out["size"].append(info.size)
+                            out["mode"].append(info.mode)
+                            out["mtime"].append(_pd.Timestamp(info.mtime, unit="s"))
+                            out["is_regular"].append(is_reg)
+                            out["content"].append(content)
+                if out["archive"]:
+                    yield _pd.DataFrame(out)
+
+    return _explode_archives
+
+
+def read_tar_entries(
+    spark: SparkSession, path_glob: str, regular_only: bool = True
+) -> DataFrame:
+    """Load every .tgz under ``path_glob`` as a DataFrame of tar entries
+    (SURVEY D3: the atomic record).
+
+    ``pathGlobFilter`` keeps the listing pruned at the source (the analog of
+    the reference's name filter embargo.go:279-281); the P2 regular-file
+    filter (embargo.go:158-159) is applied unless disabled.
+    """
+    archives = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tgz")
+        .load(path_glob)
+    )
+    entries = archives.mapInPandas(_make_exploder(), schema=ENTRY_SCHEMA)
+    if regular_only:
+        entries = entries.filter(F.col("is_regular"))
+    return entries
+
+
+def repack_archives(entries: DataFrame) -> DataFrame:
+    """K1 half — regroup classified entries into per-(archive, visibility)
+    .tgz blobs, mirroring the reference's two in-memory output archives
+    (embargo.go:126-127, tar writers 179-199).
+
+    Returns ``(archive, visibility, out_name, content)`` with the embargoed
+    side renamed ``-e.tgz`` (embargo.go:105) and the public side ``-p.tgz``
+    (the golden-file convention, embargo_test.go:77,87).  Deterministic
+    output: entries are sorted by path inside each repacked archive and
+    gzip mtime is zeroed, so reruns are byte-stable (SURVEY ST3).
+    """
+    def _repack(key, pdf):
+        import gzip as _gzip
+        import io as _io
+        import tarfile as _tarfile
+
+        import pandas as _pd
+
+        archive, visibility = key
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            with _tarfile.open(fileobj=gz, mode="w") as tar:
+                for _, r in pdf.sort_values("path").iterrows():
+                    info = _tarfile.TarInfo(name=r["path"])
+                    data = bytes(r["content"]) if r["content"] is not None else b""
+                    info.size = len(data)
+                    info.mode = int(r["mode"])
+                    info.mtime = int(_pd.Timestamp(r["mtime"]).timestamp())
+                    tar.addfile(info, _io.BytesIO(data))
+        suffix = "-e.tgz" if visibility == "private" else "-p.tgz"
+        out_name = (
+            archive[: -len(".tgz")] + suffix
+            if archive.endswith(".tgz")
+            else archive + suffix
+        )
+        return _pd.DataFrame(
+            {
+                "archive": [archive],
+                "visibility": [visibility],
+                "out_name": [out_name],
+                "content": [buf.getvalue()],
+            }
+        )
+
+    return entries.groupBy("archive", "visibility").applyInPandas(
+        _repack,
+        schema="archive string, visibility string, out_name string, content binary",
+    )

@@ -1,0 +1,127 @@
+"""Golden-split parity: the Spark embargo pipeline must reproduce the
+reference's crown-jewel test (/root/reference/embargo_test.go:54-90) —
+split the testdata archive with the full whitelist and moreThanOneYear=False,
+and match the checked-in golden outputs.
+
+Per SURVEY §5, equality is content-set equality (same inner paths + bytes
+per side), not byte-identical gzip — compression output is
+non-deterministic across implementations and not semantically meaningful.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import tarfile
+
+import pytest
+
+REF_TESTDATA = "/root/reference/testdata"
+INPUT_TGZ = os.path.join(
+    REF_TESTDATA, "20170315T000000Z-mlab3-sea03-sidestream-0000.tgz"
+)
+GOLDEN_PUBLIC = os.path.join(
+    REF_TESTDATA, "20170315T000000Z-mlab3-sea03-sidestream-0000-p.tgz"
+)
+GOLDEN_EMBARGO = os.path.join(
+    REF_TESTDATA, "20170315T000000Z-mlab3-sea03-sidestream-0000-e.tgz"
+)
+WHITELIST_FULL = os.path.join(REF_TESTDATA, "whitelist_full")
+
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(INPUT_TGZ), reason="reference testdata not available"
+)
+
+
+def _content_set(tgz_path: str) -> dict[str, bytes]:
+    out: dict[str, bytes] = {}
+    with gzip.open(tgz_path) as gz, tarfile.open(fileobj=gz, mode="r|") as tar:
+        for info in tar:
+            if info.isreg():
+                out[info.name] = tar.extractfile(info).read()
+    return out
+
+
+@needs_ref
+def test_tar_entry_source(spark):
+    from etl_embargo_spark.sources.tar_source import read_tar_entries
+
+    entries = read_tar_entries(spark, INPUT_TGZ).collect()
+    golden = _content_set(INPUT_TGZ)
+    assert len(entries) == len(golden)
+    by_path = {r["path"]: r for r in entries}
+    assert set(by_path) == set(golden)
+    for path, content in golden.items():
+        row = by_path[path]
+        assert bytes(row["content"]) == content
+        assert row["size"] == len(content)
+        assert row["basename"] == path.rsplit("/", 1)[-1]
+
+
+@needs_ref
+def test_golden_split(spark):
+    """The E1 classifier reproduces the reference's golden split exactly."""
+    from etl_embargo_spark.plans.embargo_pipeline import classify_entries
+    from etl_embargo_spark.sources.tar_source import read_tar_entries
+    from etl_embargo_spark.sources.text_source import read_whitelist
+
+    entries = read_tar_entries(spark, INPUT_TGZ)
+    wl = read_whitelist(spark, WHITELIST_FULL)
+    classified = classify_entries(entries, wl, more_than_one_year=False)
+    rows = classified.select("path", "content", "visibility").collect()
+
+    got_public = {r["path"]: bytes(r["content"]) for r in rows if r["visibility"] == "public"}
+    got_private = {r["path"]: bytes(r["content"]) for r in rows if r["visibility"] == "private"}
+
+    assert got_public == _content_set(GOLDEN_PUBLIC)
+    assert got_private == _content_set(GOLDEN_EMBARGO)
+
+
+@needs_ref
+def test_golden_split_more_than_one_year(spark):
+    """moreThanOneYear=True short-circuits everything to public
+    (/root/reference/embargo.go:174 first term)."""
+    from etl_embargo_spark.plans.embargo_pipeline import classify_entries
+    from etl_embargo_spark.sources.tar_source import read_tar_entries
+    from etl_embargo_spark.sources.text_source import read_whitelist
+
+    entries = read_tar_entries(spark, INPUT_TGZ)
+    wl = read_whitelist(spark, WHITELIST_FULL)
+    classified = classify_entries(entries, wl, more_than_one_year=True)
+    assert classified.filter("visibility = 'private'").count() == 0
+
+
+@needs_ref
+def test_repack_roundtrip(spark, tmp_path):
+    """Repacked .tgz blobs re-read to the same content sets (K1 parity)."""
+    from etl_embargo_spark.plans.embargo_pipeline import classify_entries
+    from etl_embargo_spark.sinks.routed_write import write_blobs
+    from etl_embargo_spark.sources.tar_source import read_tar_entries, repack_archives
+    from etl_embargo_spark.sources.text_source import read_whitelist
+
+    entries = read_tar_entries(spark, INPUT_TGZ)
+    wl = read_whitelist(spark, WHITELIST_FULL)
+    classified = classify_entries(entries, wl, more_than_one_year=False)
+    blobs = repack_archives(classified)
+    out_dir = str(tmp_path / "blobs")
+    write_blobs(blobs, out_dir)
+
+    names = sorted(os.listdir(out_dir))
+    assert names == [
+        "20170315T000000Z-mlab3-sea03-sidestream-0000-e.tgz",
+        "20170315T000000Z-mlab3-sea03-sidestream-0000-p.tgz",
+    ]
+    assert _content_set(os.path.join(out_dir, names[1])) == _content_set(GOLDEN_PUBLIC)
+    assert _content_set(os.path.join(out_dir, names[0])) == _content_set(GOLDEN_EMBARGO)
+
+
+@needs_ref
+def test_whitelist_loader(spark):
+    """S4 loader parity with /root/reference/embargo_check_test.go:9-21."""
+    from etl_embargo_spark.sources.text_source import read_whitelist
+
+    small = read_whitelist(spark, os.path.join(REF_TESTDATA, "whitelist"))
+    ips = {r["ip"] for r in small.collect()}
+    assert "213.244.128.170" in ips
+    assert len(ips) == 6
