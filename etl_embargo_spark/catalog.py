@@ -107,7 +107,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; assert its schema matches the declared catalog."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
+        # rejects by default ([PARQUET_TYPE_ILLEGAL]).  Read nanos as long
+        # and convert to a microsecond timestamp (naive UTC, like every
+        # other table).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            # integer division: float division would round the >2^53 nanos
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return _check_schema(name, df)
+    df = spark.read.parquet(path)
+    return _check_schema(name, df)
+
+
+def _check_schema(name: str, df: DataFrame) -> DataFrame:
     expected = EXPECTED_SCHEMAS[name]
     # Parquet timestamps without a UTC flag surface as timestamp_ntz on
     # Spark 4; both flavors are acceptable (the values are naive UTC).

@@ -1,0 +1,399 @@
+"""Deduplication suite for large-scale training-data pipelines (north-star
+extension, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — each designed so the heavy path is JVM-side and
+the only shuffles are the unavoidable group-bys on bucket keys.
+
+Scale design (100 TB):
+* Exact dedup shuffles one (hash, doc_id) pair per row — not the text.
+* MinHash signatures are computed scan-side with built-in ``hash``/
+  ``transform``/``array_min`` (whole-stage codegen, no Python); the LSH
+  band join shuffles only (band, key) pairs, and candidate verification
+  runs per-pair on the (small) candidate set.
+* SimHash reduces each doc to one int64 scan-side; near-dup banding joins
+  on 16-bit chunks.
+* Embedding near-dup uses random-hyperplane LSH to avoid the O(n²) cross
+  join; the exact-cosine check touches only same-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+
+# Deterministic MinHash parameters (fixed seeds → reproducible results).
+# 32 perms / 8 bands of 4: P(candidate | j) = 1-(1-j^4)^8, i.e. ~0.9998 at
+# j=0.9 and ~0.29 at j=0.5 — high recall where it matters, cheap below.
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8
+MINHASH_ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
+# Each "permutation" is xxhash64(shingle_hash, perm_index) — a reseeded
+# 64-bit hash family.  NOT an affine map (a*h+b mod M): with 32-bit inputs
+# the affine products never wrap the modulus, the map stays monotone, and
+# every permutation elects the same min shingle — signatures then agree
+# all-or-nothing and LSH recall collapses (found the hard way).
+
+SHINGLE_WIDTH = 3  # word shingles
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+def _shingle_hashes(col: str = "text", width: int = SHINGLE_WIDTH) -> F.Column:
+    """Array of 32-bit murmur hashes of word ``width``-shingles — all
+    built-ins: split → sequence/transform → hash.  Docs shorter than one
+    shingle hash the whole token array instead (never an empty set)."""
+    toks = "_toks"
+    return F.expr(
+        f"""
+        CASE WHEN size({toks}) >= {width}
+             THEN transform(
+                 sequence(0, size({toks}) - {width}),
+                 i -> hash(concat_ws(' ', slice({toks}, i + 1, {width}))))
+             ELSE array(hash(concat_ws(' ', {toks})))
+        END
+        """
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: one representative (min doc_id) per
+    distinct text + the duplicate count.  Shuffles (hash, doc_id) only."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MINHASH_PERMS-wide MinHash signature
+    per document, entirely in codegen'd built-ins."""
+    with_shingles = docs.withColumn("_toks", _tokens()).withColumn(
+        "shingles", _shingle_hashes()
+    )
+    # Reseeded-hash permutation family.  (Closure factory, not default
+    # args: a multi-parameter lambda makes F.transform bind the element
+    # index.)
+    def _perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("shingles"), _perm(i))).alias(f"mh{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    sigs = with_shingles.select("doc_id", *sig_cols)
+    return sigs.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
+    )
+
+
+def minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH banding: same (band, band-hash) bucket ⇒ candidate pair.
+
+    Emits distinct (doc_a < doc_b) pairs.  The self-join is on the band
+    key, so only same-bucket rows meet — the scalable alternative to a
+    cross join.
+    """
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        *[
+                            F.element_at("sig", b * MINHASH_ROWS_PER_BAND + r + 1)
+                            for r in range(MINHASH_ROWS_PER_BAND)
+                        ]
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only: shingle sets are
+    re-derived per side and intersected with built-ins."""
+    sh = docs.withColumn("_toks", _tokens()).select(
+        "doc_id", F.array_distinct(_shingle_hashes()).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard ≥ 0.5 (rows-only:
+    the murmur permutation family is Spark-specific; pytest holds the
+    recall oracle vs brute-force Jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = minhash_candidates(sigs)
+    return jaccard_verify(docs, cands, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup over blocked pairs.
+
+    SQL-expressible variant: pairs are blocked on (lang, source) — a
+    realistic blocking key — and Jaccard is computed on DISTINCT word
+    3-shingle STRINGS (not hashes) so DuckDB can mirror it exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", _tokens()
+    )
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(
+            F.expr(
+                f"""
+                CASE WHEN size(_toks) >= {SHINGLE_WIDTH}
+                     THEN transform(
+                         sequence(0, size(_toks) - {SHINGLE_WIDTH}),
+                         i -> concat_ws(' ', slice(_toks, i + 1, {SHINGLE_WIDTH})))
+                     ELSE array(concat_ws(' ', _toks))
+                END
+                """
+            )
+        ).alias("sh"),
+    )
+    a = sh.select(
+        F.col("lang"), F.col("source"),
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("lang").alias("lang_b"), F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+    )
+    joined = a.join(
+        b,
+        (a["lang"] == b["lang_b"])
+        & (a["source"] == b["source_b"])
+        & (a["doc_a"] < b["doc_b"]),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.2)
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash bigint) via an Arrow-batched kernel: token murmur
+    hashes are computed JVM-side; the per-bit majority vote runs in numpy.
+
+    The Python step is O(tokens × 64) bit-counting — vectorized, and the
+    only part Spark's expression language can't state without 64 separate
+    aggregates."""
+    hashed = docs.withColumn("_toks", _tokens()).select(
+        "doc_id",
+        F.transform(F.col("_toks"), lambda t: F.hash(t)).alias("tok_hashes"),
+    )
+
+    def _simhash(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for _, row in pdf.iterrows():
+                hs = _np.asarray(row["tok_hashes"], dtype=_np.int64)
+                if hs.size == 0:
+                    out_ids.append(row["doc_id"])
+                    out_sigs.append(0)
+                    continue
+                u = hs.view(_np.uint64) & _np.uint64(0xFFFFFFFF)
+                # widen 32-bit murmur to 64 deterministic bits
+                u = (u * _np.uint64(0x9E3779B97F4A7C15)) ^ (u << _np.uint64(17))
+                bitmat = (
+                    (u[:, None] >> _np.arange(64, dtype=_np.uint64)[None, :])
+                    & _np.uint64(1)
+                ).astype(_np.int64)
+                votes = (2 * bitmat - 1).sum(axis=0)
+                sig = _np.uint64(0)
+                for i in range(64):
+                    if votes[i] >= 0:
+                        sig |= _np.uint64(1) << _np.uint64(i)
+                out_ids.append(row["doc_id"])
+                out_sigs.append(_np.int64(sig.astype("int64")))
+            yield _pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+
+    return hashed.mapInPandas(_simhash, schema="doc_id long, simhash long")
+
+
+def simhash_near_dups(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ ``max_hamming``: band the 64-bit
+    signature into 4×16-bit chunks (any pair within distance 3 shares at
+    least one exact chunk; wider distances are still recalled when skew
+    concentrates differing bits), join per chunk, verify with bit_count."""
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"c{i}")
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; pytest oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(simhash_signatures(docs)).orderBy("doc_a", "doc_b")
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    planes_per_table: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup via multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent tables of ``planes_per_table`` sign bits each
+    (deterministic pseudo-random planes from a fixed seed, computed with
+    built-in ``aggregate`` over the array — no Python); a pair is a
+    candidate if it collides in ANY table; exact cosine verifies.  Recall
+    for angle θ: 1-(1-(1-θ/π)^k)^L — banding, exactly like MinHash; a
+    single wide bucket would have ~zero recall at moderate similarity.  At
+    100 TB the bucket join replaces the O(n²) cross join.
+    """
+
+    def _bit(p: int) -> F.Column:
+        # sign of dot(embedding, plane_p); plane weights = ±1 from murmur
+        return F.when(
+            F.aggregate(
+                F.expr(
+                    f"zip_with(embedding, sequence(0, size(embedding)-1), "
+                    f"(v, i) -> v * (CASE WHEN pmod(hash({p}, i), 2) = 0 "
+                    f"THEN 1.0 ELSE -1.0 END))"
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+
+    table_keys = []
+    for t in range(n_tables):
+        bits = [_bit(t * planes_per_table + j) for j in range(planes_per_table)]
+        key = sum(
+            (bit * F.lit(1 << j) for j, bit in enumerate(bits)),
+            start=F.lit(0),
+        )
+        table_keys.append(key)
+
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(F.array(*table_keys)).alias("table_id", "bucket"),
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.table_id") == F.col("r.table_id"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.vec_id") < F.col("r.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("l.embedding"), F.col("r.embedding"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.embedding"),
+                        lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm("l") * norm("r"))
+    # distinct AFTER scoring: a pair colliding in several tables yields
+    # identical (vec_a, vec_b, cosine) rows — dedup on the small projection,
+    # not on the embedding arrays
+    return (
+        cand.select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (rows-only; pytest oracle checks recall vs
+    the brute-force pairs).  Threshold 0.45: the synthetic embeddings top
+    out near cosine 0.51, so a 0.9 near-dup threshold would make this query
+    vacuously empty at every SF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.45).orderBy("vec_a", "vec_b")

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing (north-star extension).
+
+Image/audio/video payloads are opaque ``binary`` columns plus typed metadata
+(the same shape as the reference's tar-entry content, SURVEY D3).  The
+Spark-side machinery here — schemas, partitioning, mapInPandas batch shape,
+feature-array output — is real and tested; the actual codec step is STUBBED
+(this container has no image/audio libraries) behind
+``decoder_available()`` / a deterministic fake, clearly marked below.
+
+Pipeline shape at 100 TB: media rows are grouped into size-bounded batches
+(Arrow), decode/feature-extract runs vectorized per batch, output is a typed
+feature struct — the same mapInPandas pattern as the tar exploder, which is
+exactly how a real decode (PIL/ffmpeg/torchvision) plugs in: replace
+``_fake_decode`` and keep every schema and partition decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+
+MEDIA_SCHEMA = (
+    "media_id long, media_type string, content binary, "
+    "declared_w int, declared_h int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, "
+    "width int, height int, n_frames int, features array<float>"
+)
+
+
+def decoder_available() -> bool:
+    """True when a real image codec is importable.  STUB GATE: in this
+    container it is always False and the deterministic fake is used."""
+    try:  # pragma: no cover - environment-dependent
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a media table from ``documents``: the text bytes play the role
+    of an encoded payload; type/declared dims are deterministic per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mtype.alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        ((F.col("doc_id") % 8 + 1) * 64).cast("int").alias("declared_w"),
+        ((F.col("doc_id") % 4 + 1) * 64).cast("int").alias("declared_h"),
+    )
+
+
+def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """Decode + feature-extract via mapInPandas.
+
+    REAL: batch iteration, schema contract, Arrow transfer, output shape.
+    STUB: ``_fake_decode`` stands in for the codec — a deterministic
+    byte-statistics 'decoder' so tests are reproducible.  A real decoder
+    must keep the same (bytes → width, height, n_frames, features[])
+    contract.
+    """
+
+    def _extract(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def _fake_decode(content, media_type, declared_w, declared_h):
+            # STUB decoder: deterministic statistics of the payload bytes.
+            # Raise NotImplementedError here if a hard failure is preferred
+            # over fake features when no codec is installed.
+            arr = _np.frombuffer(bytes(content), dtype=_np.uint8)
+            if arr.size == 0:
+                arr = _np.zeros(1, dtype=_np.uint8)
+            n_frames = 1 if media_type == "image" else int(arr.size % 30 + 1)
+            feats = _np.array(
+                [
+                    arr.size,
+                    float(arr.mean()),
+                    float(arr.std()),
+                    float(arr.min()),
+                    float(arr.max()),
+                    float(_np.median(arr)),
+                    float((arr > 127).mean()),
+                    float(arr[:64].sum() % 997),
+                ],
+                dtype=_np.float32,
+            )
+            return int(declared_w), int(declared_h), n_frames, feats
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "media_type": [], "n_bytes": [],
+                "width": [], "height": [], "n_frames": [], "features": [],
+            }
+            for _, r in pdf.iterrows():
+                w, h, nf, feats = _fake_decode(
+                    r["content"], r["media_type"], r["declared_w"], r["declared_h"]
+                )
+                rows["media_id"].append(r["media_id"])
+                rows["media_type"].append(r["media_type"])
+                rows["n_bytes"].append(len(bytes(r["content"])))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(nf)
+                rows["features"].append(feats)
+            yield _pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(features: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame-sampling plumbing for video rows: emit one row per sampled
+    frame index — pure built-ins (sequence + explode), no Python."""
+    video = features.filter(F.col("media_type") == "video")
+    return video.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver query: synthetic media → feature extraction →
+    per-type rollup of byte/frame counts (the plumbing end-to-end)."""
+    media = synthetic_media(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_frames").alias("total_frames"),
+    )

@@ -1,0 +1,159 @@
+"""Text analysis operators for training-data pipelines (north-star
+extension): token counting, quality scoring, language ID, and document
+fingerprinting — the first three pure built-ins (codegen), the fingerprint an
+Arrow-batched kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est", "que"),
+}
+
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (count of
+    letter-runs/digit-runs/punct as separate units via regexp extraction)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    ws_tokens = F.size(_tokens())
+    # BPE-ish: every maximal letter-run, digit-run, or single non-space
+    # symbol counts as one unit.
+    units = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)")
+    )
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("n_tokens"),
+        units.alias("n_units"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: char length, token count, mean token length,
+    punctuation ratio, stopword ratio — the standard cheap filters a
+    pretraining pipeline applies before anything expensive."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = _tokens()
+    n_toks = F.size(toks)
+    chars = F.length("text")
+    punct = chars - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_PROFILES["en"]))
+    )
+    return docs.select(
+        "doc_id",
+        chars.alias("n_chars_m"),
+        n_toks.alias("n_tokens"),
+        F.round(chars / n_toks, 6).alias("mean_token_len"),
+        F.round(punct / chars, 6).alias("punct_ratio"),
+        F.round(stop / n_toks, 6).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: score = |tokens ∩ profile_lang|,
+    predicted language = argmax (ties broken by profile order), 'und'
+    (undetermined) when every score is 0."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = _tokens()
+    scored = docs.select("doc_id", toks.alias("_toks"))
+    langs = list(LANG_PROFILES)
+
+    def _counter(words: tuple[str, ...]):
+        # single-arg closure: a two-parameter lambda would make F.filter
+        # pass the element index as the second argument
+        return lambda t: t.isin(*words)
+
+    for lang in langs:
+        scored = scored.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(F.col("_toks"), _counter(LANG_PROFILES[lang]))),
+        )
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        *[F.col(f"score_{l}") for l in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (rows-only): Karp-Rabin rolling hash
+    over characters, window-minimum selection (Schleimer et al., SIGMOD'03
+    'Winnowing: Local Algorithms for Document Fingerprinting').  Arrow
+    batches; numpy does the rolling arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+
+    def _fingerprint(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        K = 8       # gram length
+        W = 16      # winnowing window
+        BASE = _np.uint64(257)
+        # 2^31-1: keeps every product (byte * power, hash * base) < 2^64 so
+        # the uint64 modular arithmetic is exact — a 2^61 modulus silently
+        # wraps and stops being Karp-Rabin
+        MOD = _np.uint64((1 << 31) - 1)
+
+        def fp(text):
+            data = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8).astype(_np.uint64)
+            n = data.size
+            if n < K:
+                return [int(data.sum() % MOD)] if n else [0]
+            # rolling K-gram hashes
+            powers = _np.empty(K, dtype=_np.uint64)
+            powers[0] = 1
+            for i in range(1, K):
+                powers[i] = (powers[i - 1] * BASE) % MOD
+            hs = _np.zeros(n - K + 1, dtype=_np.uint64)
+            h = _np.uint64(0)
+            for i in range(K):
+                h = (h * BASE + data[i]) % MOD
+            hs[0] = h
+            top = powers[K - 1]
+            for i in range(1, n - K + 1):
+                h = ((h + MOD - (data[i - 1] * top) % MOD) * BASE + data[i + K - 1]) % MOD
+                hs[i] = h
+            if hs.size <= W:
+                return [int(hs.min())]
+            # window minimum (rightmost min per window, dedup consecutive)
+            out = []
+            last = -1
+            for i in range(hs.size - W + 1):
+                w = hs[i : i + W]
+                j = i + int(w.size - 1 - _np.argmin(w[::-1]))
+                if j != last:
+                    out.append(int(hs[j]))
+                    last = j
+            return out
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fingerprint": [fp(t or "") for t in pdf["text"]],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _fingerprint, schema="doc_id long, fingerprint array<long>"
+    ).select("doc_id", F.size("fingerprint").alias("n_grams"), "fingerprint")

@@ -16,7 +16,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_embargo_spark.operators import aggregates, embargo, listings, setops
+from etl_embargo_spark.operators import (
+    aggregates,
+    archive_queries,
+    dedup,
+    embargo,
+    listings,
+    multimodal,
+    setops,
+    similarity,
+    text,
+)
+from etl_embargo_spark.streaming import daily
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -343,5 +354,297 @@ register(
         SELECT unnest([ipv4, ipv6]) AS ip
         FROM sites WHERE hostname NOT LIKE '%samknows%'
     ) WHERE ip <> ''
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Custom-operator smoke queries (rows-only: pytest holds the real oracles,
+# tests/test_tar_pipeline.py & tests/test_functions.py)
+# ---------------------------------------------------------------------------
+
+register("q_ipv6_normalize", archive_queries.q_ipv6_normalize, None)
+register("q_tar_roundtrip", archive_queries.q_tar_roundtrip, None)
+
+# ---------------------------------------------------------------------------
+# Generalized aggregation (beyond-reference, built-in Spark surface):
+# TPC-H Q1-style pricing summary — the headline shuffle/agg benchmark query.
+# ---------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_embargo_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(
+    "q_pricing_summary",
+    _q_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Dedup suite (north-star extension)
+# ---------------------------------------------------------------------------
+
+register(
+    "q_dedup_exact",
+    dedup.q_dedup_exact,
+    """
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+
+register("q_dedup_minhash", dedup.q_dedup_minhash, None)
+register("q_dedup_simhash", dedup.q_dedup_simhash, None)
+register("q_dedup_embedding", dedup.q_dedup_embedding, None)
+
+register(
+    "q_dedup_ngram_jaccard",
+    dedup.q_dedup_ngram_jaccard,
+    """
+    WITH sh AS (
+        SELECT doc_id, lang, source,
+               list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(
+                            range(0, len(toks) - 2),
+                            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                        ELSE [list_aggregate(toks, 'string_agg', ' ')]
+                   END
+               ) AS sh
+        FROM (
+            SELECT doc_id, lang, source,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        )
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               6
+           ) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Similarity search (north-star extension)
+# ---------------------------------------------------------------------------
+
+register(
+    "q_topk_similarity",
+    similarity.q_topk_similarity,
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    flat AS (
+        SELECT e.vec_id,
+               unnest(e.embedding)::DOUBLE AS a,
+               unnest(q.qe)::DOUBLE AS b
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id,
+           round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 6)
+               AS cosine
+    FROM flat
+    GROUP BY vec_id
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+
+register("q_ann_ivf", similarity.q_ann_ivf, None)
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star extension)
+# ---------------------------------------------------------------------------
+
+register(
+    "q_text_tokens",
+    text.q_text_tokens,
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS n_units
+    FROM documents WHERE n_chars > 0
+    """,
+)
+
+register(
+    "q_text_quality",
+    text.q_text_quality,
+    r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(toks) AS n_tokens,
+           round(length(text)::DOUBLE / len(toks), 6) AS mean_token_len,
+           round((length(text) - length(
+               regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')
+           ))::DOUBLE / length(text), 6) AS punct_ratio,
+           round(len(list_filter(toks, x -> list_contains(
+               ['the','and','of','to','a','in','is','that'], x
+           )))::DOUBLE / len(toks), 6) AS stopword_ratio
+    FROM t
+    """,
+)
+
+register(
+    "q_lang_id",
+    text.q_lang_id,
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents WHERE n_chars > 0
+    ),
+    s AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> list_contains(
+                   ['the','and','of','to','a','in','is','that'], x))) AS score_en,
+               len(list_filter(toks, x -> list_contains(
+                   ['der','die','und','das','ist','ein','nicht','mit'], x))) AS score_de,
+               len(list_filter(toks, x -> list_contains(
+                   ['el','la','de','que','y','en','un','es'], x))) AS score_es,
+               len(list_filter(toks, x -> list_contains(
+                   ['le','la','et','les','des','un','est','que'], x))) AS score_fr
+        FROM t
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0
+                THEN 'und'
+                WHEN score_en = greatest(score_en, score_de, score_es, score_fr)
+                THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_es, score_fr)
+                THEN 'de'
+                WHEN score_es = greatest(score_en, score_de, score_es, score_fr)
+                THEN 'es'
+                ELSE 'fr'
+           END AS pred_lang
+    FROM s
+    """,
+)
+
+register("q_doc_fingerprint", text.q_doc_fingerprint, None)
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only; stubbed decoder)
+# ---------------------------------------------------------------------------
+
+register("q_media_features", multimodal.q_media_features, None)
+
+# ---------------------------------------------------------------------------
+# Event-time windowing (streaming surface, batch-checkable)
+# ---------------------------------------------------------------------------
+
+
+def _q_events_window(spark, sf_dir):
+    from etl_embargo_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return daily.windowed_event_counts(events, window="1 hour")
+
+
+register(
+    "q_events_window",
+    _q_events_window,
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _q_sessionize(spark, sf_dir):
+    from etl_embargo_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return daily.sessionize(events, gap="30 minutes")
+
+
+register(
+    "q_sessionize",
+    _q_sessionize,
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sess_id
+        FROM o
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s
+    GROUP BY user_id, sess_id
     """,
 )

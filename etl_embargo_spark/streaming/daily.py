@@ -1,0 +1,127 @@
+"""ST1-ST3 — the cron-driven pipeline as Structured Streaming, plus
+event-time windowing over the ``events`` stream table.
+
+The reference is daily micro-batch (deploy/cron.yaml:2-5;
+deploy/deploy.go:89-112): a date partition of new files per run, whitelist
+re-read per run, rerun-idempotent.  Spark mapping (SURVEY §2.7):
+
+* file-source ``readStream`` + ``trigger(availableNow=True)`` = "process
+  everything new, then stop" — the exact cron contract with exactly-once
+  file-sink semantics via checkpoint + commit protocol (ST3).
+* the whitelist is re-read inside ``foreachBatch`` so every batch joins
+  against fresh dim state (ST2) — deliberately NOT the reference's
+  stale-singleton (embargo.go:55-57).
+* watermark + tumbling windows cover the late-data surface the reference
+  never had (extension, not parity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window aggregation (works on batch AND streaming
+    DataFrames — same expression, which is how batch parity is tested)."""
+    # watermarks require TIMESTAMP (tz-aware); NTZ inputs are interpreted as
+    # session-UTC instants
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", window).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_events_from_parquet(
+    spark: SparkSession, events_dir: str, schema: str
+) -> DataFrame:
+    """File-source stream over a parquet directory (the 'new files arrive
+    daily' surface, maxFilesPerTrigger bounds a micro-batch)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> StreamingQuery:
+    """ST1 — drain everything currently available, then stop (the cron-run
+    analog).  Parquet sink + checkpoint = exactly-once across reruns."""
+    return (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+) -> StreamingQuery:
+    """ST2 — per-batch custom sink with fresh dim state each batch (the
+    whitelist-refresh pattern: re-read + re-broadcast inside ``batch_fn``)."""
+    return (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(batch_fn)
+        .start()
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user (gap-based), batch or streaming — the
+    stateful-operator surface beyond the reference (extension)."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.session_window("ts", gap).alias("sess"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
