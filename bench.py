@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is forced end-to-end with a noop-format write (full execution,
+no driver-side collect skew), which is how a real cluster job would be
+costed.  The headline set covers every engine axis: scan+filter+scalar
+(q_filename_parse, q_split_partition), broadcast join (q_whitelist_semi),
+shuffle agg (q_pricing_summary, q_metrics_rollup), window (q_overwrite_merge,
+q_sessionize), event-time (q_events_window), dedup (exact + MinHash LSH),
+similarity (cosine top-k), and text analysis (q_text_quality).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from etl_embargo_spark import registry  # noqa: E402
+from etl_embargo_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_split_partition",
+    "q_whitelist_semi",
+    "q_pricing_summary",
+    "q_metrics_rollup",
+    "q_overwrite_merge",
+    "q_compare_full_outer",
+    "q_filename_parse",
+    "q_events_window",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_topk_similarity",
+    "q_text_quality",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("etl_embargo_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = registry.queries()
+
+    # Warm the JVM + parquet footers so q1 doesn't pay session startup.
+    qmap["q_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -98,12 +98,49 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_pairs(
+    bucketed: DataFrame,
+    key_cols: list[str],
+    item: F.Column,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """All intra-bucket (i < j) candidate pairs via
+    ``groupBy(bucket) → collect_set → pair expansion``.
+
+    This is the scale-correct alternative to a bucket self-join: a
+    self-join executes the (often expensive) bucketed lineage TWICE and
+    shuffles both sides, while this shape computes it once and shuffles
+    only ``(key, item)``.  ``array_sort`` on the collected structs makes
+    pair order deterministic (first struct field ascending), so every
+    pair comes out exactly once with a < b.
+
+    Buckets larger than ``max_bucket`` are dropped — a bucket that hot is
+    either a degenerate key (empty doc) or an exact-dup cluster already
+    caught by exact dedup, and expanding it is O(k²); the cap bounds
+    worst-case skew at 100 TB.
+    """
+    buckets = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set(item)).alias("items"))
+        .filter(F.size("items").between(2, max_bucket))
+    )
+    return buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (a, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "b -> struct(a, b))))"
+            )
+        ).alias("pair")
+    ).select("pair.a", "pair.b")
+
+
 def minhash_candidates(sigs: DataFrame) -> DataFrame:
     """LSH banding: same (band, band-hash) bucket ⇒ candidate pair.
 
-    Emits distinct (doc_a < doc_b) pairs.  The self-join is on the band
-    key, so only same-bucket rows meet — the scalable alternative to a
-    cross join.
+    Emits distinct (doc_a < doc_b) pairs.  Pair generation is the
+    bucket-groupBy shape (see ``_bucket_pairs``), so the signature
+    computation runs once, not twice as a self-join would.
     """
     bands = sigs.select(
         "doc_id",
@@ -121,21 +158,12 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band", "band_key"),
     )
-    left = bands.alias("l")
-    right = bands.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
+    pairs = _bucket_pairs(
+        bands, ["band", "band_key"], F.struct(F.col("doc_id"))
     )
-    return pairs
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    ).distinct()
 
 
 def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
@@ -279,22 +307,19 @@ def simhash_near_dups(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     )
-    l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.simhash").alias("sig_a"),
-            F.col("r.simhash").alias("sig_b"),
-        )
-        .distinct()
-    )
+    # Carry the 8-byte signature through the bucket shuffle so the Python
+    # signature kernel runs exactly once (joining sigs back per side would
+    # re-execute mapInPandas twice).
+    cand = _bucket_pairs(
+        chunks,
+        ["chunk_idx", "chunk"],
+        F.struct(F.col("doc_id"), F.col("simhash")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sig_a"),
+        F.col("b.simhash").alias("sig_b"),
+    ).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
@@ -351,43 +376,40 @@ def embedding_near_dups(
 
     bucketed = emb.select(
         "vec_id",
-        "embedding",
         F.posexplode(F.array(*table_keys)).alias("table_id", "bucket"),
     )
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.table_id") == F.col("r.table_id"))
-        & (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col("l.vec_id") < F.col("r.vec_id")),
+    # Bucket-groupBy pair generation (see _bucket_pairs): the 32 hyperplane
+    # dot products per row run once; only (bucket, vec_id) shuffles.  The
+    # distinct BEFORE scoring means exact cosine is paid per unique pair,
+    # not per (pair × colliding-table).
+    pairs = (
+        _bucket_pairs(bucketed, ["table_id", "bucket"], F.struct(F.col("vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    scored = pairs.join(ea, "vec_a").join(eb, "vec_b")
     dot = F.aggregate(
-        F.zip_with(F.col("l.embedding"), F.col("r.embedding"),
+        F.zip_with(F.col("emb_a"), F.col("emb_b"),
                    lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
     norm = lambda side: F.sqrt(  # noqa: E731
         F.aggregate(
-            F.transform(F.col(f"{side}.embedding"),
+            F.transform(F.col(f"emb_{side}"),
                         lambda v: v.cast("double") * v.cast("double")),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
         )
     )
-    cos = dot / (norm("l") * norm("r"))
-    # distinct AFTER scoring: a pair colliding in several tables yields
-    # identical (vec_a, vec_b, cosine) rows — dedup on the small projection,
-    # not on the embedding arrays
-    return (
-        cand.select(
-            F.col("l.vec_id").alias("vec_a"),
-            F.col("r.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .distinct()
-    )
+    cos = dot / (norm("a") * norm("b"))
+    return scored.select(
+        "vec_a",
+        "vec_b",
+        F.round(cos, 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
