@@ -1,0 +1,120 @@
+"""Analytic surface beyond the reference (SURVEY §2.9 gap list): window
+ranking, grouping-set rollups, and approximate sketches.
+
+The reference has no ORDER BY / top-k / rank anywhere (SURVEY §2.5) and no
+aggregates beyond count (§2.4); Spark provides all of it built-in.  These
+operators exist to demonstrate the full surface at scale:
+
+* top-k per group compiles to WindowGroupLimit — Spark pushes the rank
+  limit below the shuffle, so each map task emits at most k rows per group
+  (verified via .explain; critical when groups are millions of rows).
+* rollup is one pass: partial aggregation handles all grouping sets
+  map-side before the single shuffle.
+* sketches (HLL distinct, approx quantiles) are mergeable partial
+  aggregates — constant memory per partition at any data size, the only
+  sane shapes for 100 TB cardinality/quantile questions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+
+TOPK = 3
+
+
+def topk_per_group(orders: DataFrame, k: int = TOPK) -> DataFrame:
+    """Top-k orders per customer by price (deterministic tie-break on key).
+
+    row_number + rank-filter is the scalable form: Spark rewrites it to
+    WindowGroupLimit, truncating each group to k rows before AND after the
+    shuffle, so the exchange carries O(groups × k), not O(rows).
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_per_group(load_table(spark, sf_dir, "orders"))
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup over (returnflag, linestatus): subtotals + grand total in one
+    shuffle.  NULL group cells are labeled via grouping() so the output is
+    unambiguous (a NULL data value and a rollup total would otherwise
+    collide)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+            "g_flag",
+            "g_status",
+        )
+    )
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-to-order gap: lag/lead analytic frame surface.
+    One shuffle on the partition key; the frame scan is streaming within
+    each sorted partition (no buffering beyond the frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d8 = F.date_format("o_orderdate", "yyyyMMdd").cast("int")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        d8.alias("order_int"),
+        F.lag(d8).over(w).alias("prev_order_int"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+    )
+
+
+def approx_distinct_sketch(li: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """HLL++ distinct suppliers per returnflag.  The sketch is a mergeable
+    partial aggregate: each partition keeps a fixed-size register array and
+    the shuffle moves sketches, not values — the 100 TB cardinality shape
+    (exact distinct would shuffle every distinct value)."""
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd).alias("approx_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: HLL estimates are engine-specific; pytest asserts the
+    relative error against the exact count (tests/test_analytics.py)."""
+    return approx_distinct_sketch(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: Greenwald-Khanna quantile sketch per group — mergeable,
+    bounded-memory (vs exact percentile = full sort).  pytest bounds the
+    rank error vs exact quantiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95, 0.99], 10000
+        ).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

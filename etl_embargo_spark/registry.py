@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_embargo_spark.operators import (
     aggregates,
+    analytics,
     archive_queries,
     dedup,
     embargo,
@@ -421,6 +422,61 @@ register(
     GROUP BY l_returnflag, l_linestatus
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Analytic surface (window ranking, rollup, sketches — §2.9 gap coverage)
+# ---------------------------------------------------------------------------
+
+register(
+    "q_topk_per_group",
+    analytics.q_topk_per_group,
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rank
+        FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+
+register(
+    "q_rollup",
+    analytics.q_rollup,
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+register(
+    "q_lag_lead",
+    analytics.q_lag_lead,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_int,
+           lag(CAST(strftime(o_orderdate, '%Y%m%d') AS INT)) OVER w
+               AS prev_order_int,
+           CAST(date_diff('day',
+               lag(o_orderdate) OVER w, o_orderdate) AS INT)
+               AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+
+# Sketch estimates are engine-specific — rows-only; pytest bounds the error
+# (tests/test_analytics.py).
+register("q_approx_distinct", analytics.q_approx_distinct, None)
+register("q_approx_quantiles", analytics.q_approx_quantiles, None)
 
 # ---------------------------------------------------------------------------
 # Dedup suite (north-star extension)

@@ -1,0 +1,125 @@
+"""Oracles for the analytic extension surface: sketch accuracy bounds and
+the stateful-streaming operator's final state vs its batch equivalent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+from etl_embargo_spark.operators import analytics
+
+
+class TestSketches:
+    def test_approx_distinct_error_bound(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        approx = {
+            r["l_returnflag"]: r["approx_suppliers"]
+            for r in analytics.approx_distinct_sketch(li, rsd=0.01).collect()
+        }
+        exact = {
+            r["l_returnflag"]: r["n"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_suppkey").alias("n"))
+            .collect()
+        }
+        assert approx.keys() == exact.keys()
+        for flag, n in exact.items():
+            # rsd=1% HLL++; allow 5x headroom on the bound at tiny SF
+            assert abs(approx[flag] - n) <= max(2, 0.05 * n), flag
+
+    def test_approx_quantiles_rank_error(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        got = {
+            r["l_returnflag"]: r["price_quantiles"]
+            for r in analytics.q_approx_quantiles(spark, sf_dir).collect()
+        }
+        for flag, qs in got.items():
+            vals = sorted(
+                r["l_extendedprice"]
+                for r in li.filter(F.col("l_returnflag") == flag)
+                .select("l_extendedprice")
+                .collect()
+            )
+            n = len(vals)
+            for q, v in zip([0.5, 0.95, 0.99], qs):
+                # rank of the returned value must be within 1% of target
+                import bisect
+
+                lo = bisect.bisect_left(vals, v)
+                hi = bisect.bisect_right(vals, v)
+                target = q * (n - 1)
+                assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, (
+                    flag,
+                    q,
+                    v,
+                )
+
+
+class TestTopK:
+    def test_topk_matches_bruteforce(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        got = analytics.topk_per_group(orders, k=3).collect()
+        by_cust: dict[int, list] = {}
+        for r in orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        ).collect():
+            by_cust.setdefault(r["o_custkey"], []).append(r)
+        want = set()
+        for ck, rows in by_cust.items():
+            rows.sort(key=lambda r: (-r["o_totalprice"], r["o_orderkey"]))
+            for rank, r in enumerate(rows[:3], start=1):
+                want.add((ck, r["o_orderkey"], rank))
+        assert {(r["o_custkey"], r["o_orderkey"], r["rank"]) for r in got} == want
+
+    def test_topk_plan_uses_window_group_limit(self, spark, sf_dir):
+        """The rank filter must push below the shuffle (WindowGroupLimit) —
+        this is the property that makes top-k viable on 100 TB groups."""
+        orders = load_table(spark, sf_dir, "orders")
+        topk = analytics.topk_per_group(orders, k=3)
+        plan = topk._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+class TestStatefulStreaming:
+    def test_running_totals_final_state_matches_batch(
+        self, spark, sf_dir, tmp_path
+    ):
+        """applyInPandasWithState accumulates across micro-batches: after
+        draining a multi-batch stream, the LAST update per user equals the
+        batch groupBy aggregate."""
+        from etl_embargo_spark.streaming.daily import stream_events_from_parquet
+        from etl_embargo_spark.streaming.stateful import (
+            batch_user_totals,
+            running_user_totals,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        src_dir = str(tmp_path / "events_src")
+        # several files => several micro-batches (maxFilesPerTrigger=4)
+        events.repartition(8).write.parquet(src_dir)
+
+        stream = stream_events_from_parquet(spark, src_dir, events.schema)
+        q = (
+            running_user_totals(stream)
+            .writeStream.trigger(availableNow=True)
+            .outputMode("update")
+            .format("memory")
+            .queryName("running_totals")
+            .start()
+        )
+        q.awaitTermination(180)
+
+        # memory sink in update mode appends every emission; the final
+        # cumulative row per user is the one with the max n_events
+        from pyspark.sql import Window
+
+        emitted = spark.sql("SELECT * FROM running_totals")
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            emitted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        got = sorted(map(tuple, final.collect()))
+        want = sorted(map(tuple, batch_user_totals(events).collect()))
+        assert got == want
