@@ -33,7 +33,9 @@ HEADLINE = [
     "q_split_partition",
     "q_whitelist_semi",
     "q_pricing_summary",
+    "q_join_revenue",
     "q_metrics_rollup",
+    "q_topk_per_group",
     "q_overwrite_merge",
     "q_compare_full_outer",
     "q_filename_parse",

@@ -90,6 +90,53 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped multi-join: filtered dim (customer segment) broadcast
+    into the orders⋈lineitem shuffle join, aggregated to top-10 revenue.
+
+    Scale shape: customer-after-filter is small → explicit broadcast (no
+    shuffle of the fact side for that join); orders⋈lineitem co-partitions
+    on orderkey in ONE exchange each; the top-10 is TakeOrderedAndProject
+    (per-partition heap, no global sort).  The reference has no inner joins
+    at all (SURVEY §2.3 'Absent') — this demonstrates the built-in surface.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1995-03-15")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyyMMdd")
+            .cast("int")
+            .alias("orderdate_int"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
 def approx_distinct_sketch(li: DataFrame, rsd: float = 0.01) -> DataFrame:
     """HLL++ distinct suppliers per returnflag.  The sketch is a mergeable
     partial aggregate: each partition keeps a fixed-size register array and

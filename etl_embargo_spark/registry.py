@@ -478,6 +478,26 @@ register(
 register("q_approx_distinct", analytics.q_approx_distinct, None)
 register("q_approx_quantiles", analytics.q_approx_quantiles, None)
 
+register(
+    "q_join_revenue",
+    analytics.q_join_revenue,
+    """
+    SELECT l_orderkey,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS orderdate_int,
+           o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Dedup suite (north-star extension)
 # ---------------------------------------------------------------------------
