@@ -1,0 +1,159 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+range(interval) join — implemented as compositions of existing DataFrame
+ops (the preferred strategy for custom operators), never nested-loop joins.
+
+The reference has no joins over value columns at all (SURVEY §2.3 'Absent');
+these are north-star extensions for time-series / event-data pipelines.
+
+Scale design:
+* As-of join is the union+window shape: ONE shuffle on the join key, then a
+  per-key sorted scan carrying the most recent right-side row forward.  The
+  naive alternative — inequality join + groupBy max + rejoin — shuffles
+  three times and explodes on skewed keys.
+* Range join is the time-binning shape: intervals explode to the bins they
+  cover, points carry their single bin, and the join is a plain equi-join
+  on (key, bin) with an exact residual filter.  Catalyst turns a raw
+  `l.ts BETWEEN r.lo AND r.hi` with no equi-key into BroadcastNestedLoop —
+  O(n·m) at scale; binning keeps it hash-partitioned.  Bin width should be
+  chosen near the median interval length (amortizes the explode factor
+  against residual selectivity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` on the same key (inclusive, DuckDB ASOF
+    semantics).  Right must be unique per (key, ts).
+
+    Returns the left columns plus every non-key right column prefixed
+    ``asof_`` (null when no right row precedes).
+    """
+    rcols = [c for c in right.columns if c not in (key, right_ts)]
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(right_ts).alias("asof_ts"),
+            *[F.col(c).alias(f"asof_{c}") for c in rcols],
+        ).alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != key],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None)
+        .cast(r.schema["_payload"].dataType)
+        .alias("_payload"),
+        *[F.col(c) for c in left.columns if c != key],
+    )
+    # Right rows sort before left rows at equal ts (_side 0 < 1), so an
+    # exactly-coincident right row is visible to the left row — inclusive
+    # as-of.  last(ignorenulls) carries the newest right payload forward.
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l).withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out_left = [F.col(key)] + [
+        F.col(c) for c in left.columns if c != key
+    ]
+    return merged.filter(F.col("_side") == 1).select(
+        *out_left,
+        F.col("_match.asof_ts").alias("asof_ts"),
+        *[F.col(f"_match.asof_{c}").alias(f"asof_{c}") for c in rcols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    lo: str,
+    hi: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Equi+range join: pair every point with every interval of the same
+    key where ``lo <= ts <= hi``, via time-bin bucketing (see module doc).
+
+    Each point owns exactly one bin and each interval is exploded to its
+    covered bins, so every qualifying (point, interval) pair meets exactly
+    once — no distinct needed.
+    """
+    p = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts).cast("timestamp")) / bin_seconds)
+    )
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo).cast("timestamp")) / bin_seconds),
+                F.floor(F.unix_timestamp(F.col(hi).cast("timestamp")) / bin_seconds),
+            )
+        ),
+    )
+    joined = p.join(i, [key, "_bin"]).filter(
+        (F.col(ts) >= F.col(lo)) & (F.col(ts) <= F.col(hi))
+    )
+    return joined.drop("_bin")
+
+
+# ---------------------------------------------------------------------------
+# Driver queries over the events table
+# ---------------------------------------------------------------------------
+
+
+def _purchases(events: DataFrame) -> DataFrame:
+    """Deterministic right side: one row per (user_id, ts) purchase."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("purchase_value"))
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event tagged with the user's most recent purchase at or before
+    it (DuckDB ASOF JOIN is the oracle)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    return as_of_join(
+        events, _purchases(load_table(spark, sf_dir, "events")), key="user_id"
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_purchase_value")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events falling inside the 1-hour window after any purchase by the
+    same user — the interval-containment join (plain inequality join in
+    DuckDB is the oracle)."""
+    events = load_table(spark, sf_dir, "events")
+    windows = _purchases(events).select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    pts = events.select("event_id", "user_id", "ts")
+    out = range_join(
+        pts, windows, key="user_id", ts="ts", lo="win_start", hi="win_end"
+    )
+    return out.select("event_id", "user_id", "ts", "win_start", "win_end")

@@ -26,6 +26,7 @@ from etl_embargo_spark.operators import (
     multimodal,
     setops,
     similarity,
+    temporal,
     text,
 )
 from etl_embargo_spark.streaming import daily
@@ -495,6 +496,44 @@ register(
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of, range — custom compositions, DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+_PURCHASES = """
+    SELECT user_id, ts, round(max(value), 2) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+"""
+
+register(
+    "q_asof_join",
+    temporal.q_asof_join,
+    f"""
+    WITH purchases AS ({_PURCHASES})
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS asof_ts, p.purchase_value AS asof_purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events) e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+
+register(
+    "q_range_join",
+    temporal.q_range_join,
+    f"""
+    WITH purchases AS ({_PURCHASES}),
+    w AS (
+        SELECT user_id, ts AS win_start, ts + INTERVAL 1 HOUR AS win_end
+        FROM purchases
+    )
+    SELECT e.event_id, e.user_id, e.ts, w.win_start, w.win_end
+    FROM events e JOIN w ON e.user_id = w.user_id
+     AND e.ts >= w.win_start AND e.ts <= w.win_end
     """,
 )
 

@@ -1,0 +1,78 @@
+"""Plan-shape and uniqueness guarantees for the temporal joins (value
+correctness is covered by the DuckDB oracle parity suite)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.operators import temporal
+
+
+class TestRangeJoin:
+    def test_no_nested_loop_join(self, spark, sf_dir):
+        """The binning rewrite must keep the join hash-partitioned; a raw
+        inequality join would compile to BroadcastNestedLoop (O(n*m))."""
+        df = temporal.q_range_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pairs_unique(self, spark, sf_dir):
+        """Every qualifying (point, interval) pair appears exactly once —
+        the explode/bin construction must not duplicate matches."""
+        df = temporal.q_range_join(spark, sf_dir)
+        total = df.count()
+        distinct = df.select("event_id", "user_id", "win_start").distinct().count()
+        assert total == distinct
+
+    def test_bin_width_invariance(self, spark, sf_dir):
+        """Result set is independent of the bin width (pure performance
+        knob)."""
+        from etl_embargo_spark.catalog import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        windows = temporal._purchases(events).select(
+            "user_id",
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        )
+        pts = events.select("event_id", "user_id", "ts")
+        a = temporal.range_join(
+            pts, windows, key="user_id", ts="ts", lo="win_start",
+            hi="win_end", bin_seconds=3600,
+        )
+        b = temporal.range_join(
+            pts, windows, key="user_id", ts="ts", lo="win_start",
+            hi="win_end", bin_seconds=137,
+        )
+        key_cols = ["event_id", "user_id", "win_start"]
+        assert sorted(map(tuple, a.select(*key_cols).collect())) == sorted(
+            map(tuple, b.select(*key_cols).collect())
+        )
+
+
+class TestAsOfJoin:
+    def test_single_shuffle(self, spark, sf_dir):
+        """The union+window shape shuffles once on the key — no join node
+        at all in the plan."""
+        df = temporal.q_asof_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # pure union + window
+        assert plan.count("Exchange") <= 3  # purchase agg + window partition
+
+    def test_inclusive_at_equal_ts(self, spark, sf_dir):
+        """A purchase event must as-of-match itself (ts equality is
+        inclusive, DuckDB ASOF semantics)."""
+        from etl_embargo_spark.catalog import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        out = temporal.q_asof_join(spark, sf_dir)
+        purchases = {
+            (r["user_id"], r["ts"])
+            for r in events.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts")
+            .collect()
+        }
+        matched_self = out.filter(F.col("ts") == F.col("asof_ts"))
+        for r in matched_self.limit(50).collect():
+            assert (r["user_id"], r["ts"]) in purchases
