@@ -1,0 +1,46 @@
+"""Skew mitigation for joins on hot keys — the manual fallback when AQE's
+skew-join split (enabled in session.py) can't help: e.g. a shuffled join
+where one key holds a double-digit percent of the fact table and the dim
+side is too large to broadcast.
+
+The salted join rewrites ``fact ⋈ dim ON key`` as
+``fact ⋈ dim' ON (key, salt)`` where every fact row picks one deterministic
+salt and the dim side is replicated across all salts: the hot key's rows
+spread over ``n_salts`` reducers instead of one straggler task.  Cost is an
+``n_salts×`` replication of the dim relation — choose n_salts ≈ the skew
+factor, not more.
+
+Aggregations need no salting in Spark: HashAggregate is already
+partial+final (map-side combine), so a hot group collapses to one partial
+row per map task before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 8
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join; result is identical to
+    ``fact.join(dim, key, how)`` for inner/left joins.
+
+    The fact-side salt is ``hash(entire row) mod n_salts`` — deterministic
+    (rerun-stable, required for ST3 idempotency) yet spread across salts
+    even when all hot-key rows share the same join key.
+    """
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    )
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")

@@ -1,0 +1,69 @@
+"""Scale-property tests: partition pruning on the routed write, dynamic
+overwrite idempotency, and salted-join equivalence — the behaviors that
+make the engine viable at 100 TB, checked at toy SF."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+from etl_embargo_spark.operators.skew import salted_join
+from etl_embargo_spark.sinks.routed_write import write_routed
+
+
+class TestRoutedWrite:
+    def test_partition_pruned_read(self, spark, sf_dir, tmp_path):
+        """Reading one visibility side of the routed write must prune at
+        the partition level (the reference's prefix-pruned listing,
+        embargo.go:265-267, as Spark partition pruning)."""
+        from etl_embargo_spark.operators.embargo import split_partition
+
+        out = str(tmp_path / "routed")
+        classified = split_partition(spark, sf_dir)
+        write_routed(classified, out)
+
+        pub = spark.read.parquet(out).filter(F.col("visibility") == "public")
+        plan = pub._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(visibility" in plan
+        # pruning is semantic too: counts match the pre-write classification
+        want = classified.filter(F.col("visibility") == "public").count()
+        assert pub.count() == want
+
+    def test_dynamic_overwrite_rerun_converges(self, spark, sf_dir, tmp_path):
+        """ST3: rerunning the same day's write replaces its partitions
+        in-place — same rows after 1 write and after 2."""
+        from etl_embargo_spark.operators.embargo import split_partition
+
+        out = str(tmp_path / "routed")
+        classified = split_partition(spark, sf_dir)
+        write_routed(classified, out)
+        first = spark.read.parquet(out).count()
+        write_routed(classified, out)  # rerun
+        assert spark.read.parquet(out).count() == first
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_suppkey"
+        )
+        sup = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+        )
+        got = salted_join(li, sup, key="l_suppkey", n_salts=8)
+        want = li.join(sup, "l_suppkey")
+        key = ["l_orderkey", "l_linenumber", "l_suppkey", "s_nationkey"]
+        assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+            map(tuple, want.select(*key).collect())
+        )
+
+    def test_salt_is_deterministic(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_suppkey"
+        )
+        sup = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+        )
+        a = salted_join(li, sup, key="l_suppkey").count()
+        b = salted_join(li, sup, key="l_suppkey").count()
+        assert a == b
