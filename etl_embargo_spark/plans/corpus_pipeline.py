@@ -1,0 +1,70 @@
+"""End-to-end training-corpus preparation plan: the composition showcase
+for the north-star extensions — quality gating, language filtering, and
+exact dedup chained as one declarative DataFrame program.
+
+Pipeline (all single-pass until the dedup shuffle):
+  documents
+    → token/quality features (scan-side, codegen built-ins)
+    → quality gate (min tokens, max punct ratio)
+    → language gate (keep docs whose n-gram heuristic says English)
+    → exact dedup (md5 groupBy, min doc_id wins — one shuffle)
+
+At 100 TB the only exchange is the dedup groupBy on the 16-byte md5; every
+filter runs at the scan.  The MinHash near-dup stage (dedup.py) would chain
+after this with its own bucket shuffle — kept out of this query so the
+whole plan stays SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+
+MIN_TOKENS = 10
+MAX_PUNCT_RATIO = 0.10
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that"]
+MIN_STOPWORD_HITS = 2
+
+
+def prepare_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, n_tokens) of the deduplicated, quality- and
+    language-gated corpus; one row per distinct surviving text."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    punct_stripped = F.regexp_replace(
+        F.col("text"), r"[.,!?;:'\"()\[\]{}-]", ""
+    )
+    featured = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (
+            (F.length("text") - F.length(punct_stripped))
+            / F.length("text")
+        ).alias("punct_ratio"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS))
+        ).alias("stopword_hits"),
+    )
+    gated = featured.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
+        & (F.col("stopword_hits") >= MIN_STOPWORD_HITS)
+    )
+    return (
+        gated.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
+        .drop("text_hash")
+    )
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prepare_corpus(load_table(spark, sf_dir, "documents"))

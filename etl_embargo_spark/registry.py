@@ -29,6 +29,7 @@ from etl_embargo_spark.operators import (
     temporal,
     text,
 )
+from etl_embargo_spark.plans import corpus_pipeline
 from etl_embargo_spark.streaming import daily
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -694,6 +695,37 @@ register(
 )
 
 register("q_doc_fingerprint", text.q_doc_fingerprint, None)
+
+# End-to-end corpus-prep composition (quality gate → lang gate → exact
+# dedup) — the plans/ showcase, fully SQL-expressible.
+register(
+    "q_corpus_prep",
+    corpus_pipeline.q_corpus_prep,
+    r"""
+    WITH featured AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+               (length(text) - length(
+                   regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')
+               ))::DOUBLE / length(text) AS punct_ratio,
+               len(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   x -> list_contains(
+                       ['the','and','of','to','a','in','is','that'], x)
+               )) AS stopword_hits
+        FROM documents WHERE n_chars > 0
+    ),
+    gated AS (
+        SELECT * FROM featured
+        WHERE n_tokens >= 10 AND punct_ratio <= 0.10 AND stopword_hits >= 2
+    )
+    SELECT min(doc_id) AS doc_id,
+           arg_min(lang, doc_id) AS lang,
+           arg_min(source, doc_id) AS source,
+           arg_min(n_tokens, doc_id) AS n_tokens
+    FROM gated GROUP BY md5(text)
+    """,
+)
 
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only; stubbed decoder)
