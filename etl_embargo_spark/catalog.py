@@ -128,6 +128,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _check_schema(name, df)
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view so the engine's full
+    surface is reachable from ``spark.sql`` — the SQL front-end twin of the
+    DataFrame API (same Catalyst plans either way)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def _check_schema(name: str, df: DataFrame) -> DataFrame:
     expected = EXPECTED_SCHEMAS[name]
     # Parquet timestamps without a UTC flag surface as timestamp_ntz on

@@ -120,6 +120,46 @@ register(
     """,
 )
 
+# SQL front-end twin of the flagship: the same classifier expressed through
+# spark.sql over registered views — proves the full surface is reachable
+# from SQL (identical Catalyst plan either way).
+_SPARK_SQL_SPLIT = f"""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(year(l_shipdate)*10000 + month(l_shipdate)*100
+                + day(l_shipdate) AS INT) AS date_int,
+           CASE WHEN year(l_shipdate)*10000 + month(l_shipdate)*100
+                     + day(l_shipdate) < {embargo.DEFAULT_CUTOFF_INT}
+                  OR l_returnflag <> '{embargo.EMBARGO_CATEGORY}'
+                  OR l_suppkey IN (SELECT s_suppkey FROM supplier
+                                   WHERE s_nationkey < {embargo.WHITELIST_NATION_CUTOFF})
+                THEN 'public' ELSE 'private' END AS visibility
+    FROM lineitem
+"""
+
+
+def _q_sql_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_embargo_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SPARK_SQL_SPLIT)
+
+
+register(
+    "q_sql_split",
+    _q_sql_split,
+    f"""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST({_DATE_INT.format(c='l_shipdate')} AS INT) AS date_int,
+           CASE WHEN {_DATE_INT.format(c='l_shipdate')} < {embargo.DEFAULT_CUTOFF_INT}
+                  OR l_returnflag <> '{embargo.EMBARGO_CATEGORY}'
+                  OR l_suppkey IN ({_WL})
+                THEN 'public' ELSE 'private' END AS visibility
+    FROM lineitem
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Set algebra (J3/J4/J5)
 # ---------------------------------------------------------------------------
