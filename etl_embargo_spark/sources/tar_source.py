@@ -99,6 +99,49 @@ def read_tar_entries(
     return entries
 
 
+def register_tar_udtf(spark: SparkSession, name: str = "explode_tar"):
+    """Register the tar exploder as a SQL-callable Python UDTF so the
+    custom source is reachable from the SQL front-end too:
+
+        SELECT t.* FROM archives,
+               LATERAL explode_tar(archives.path, archives.content) t
+
+    Same semantics as ``read_tar_entries`` (one row per tar entry); the
+    mapInPandas path remains the bulk-ingest shape (Arrow-batched), the
+    UDTF the ad-hoc SQL shape.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=ENTRY_SCHEMA)
+    class ExplodeTar:
+        def eval(self, path: str, content: bytes):  # noqa: D102
+            import datetime as _dt
+            import gzip as _gzip
+            import io as _io
+            import tarfile as _tarfile
+
+            archive_name = path.rsplit("/", 1)[-1]
+            raw = _io.BytesIO(bytes(content))
+            with _gzip.GzipFile(fileobj=raw) as gz:
+                with _tarfile.open(fileobj=gz, mode="r|") as tar:
+                    for info in tar:
+                        is_reg = info.isreg()
+                        data = tar.extractfile(info).read() if is_reg else None
+                        yield (
+                            archive_name,
+                            info.name,
+                            info.name.rsplit("/", 1)[-1],
+                            info.size,
+                            info.mode,
+                            _dt.datetime.utcfromtimestamp(info.mtime),
+                            is_reg,
+                            data,
+                        )
+
+    spark.udtf.register(name, ExplodeTar)
+    return ExplodeTar
+
+
 def repack_archives(entries: DataFrame) -> DataFrame:
     """K1 half — regroup classified entries into per-(archive, visibility)
     .tgz blobs, mirroring the reference's two in-memory output archives

@@ -60,6 +60,28 @@ def test_tar_entry_source(spark):
 
 
 @needs_ref
+def test_tar_udtf_matches_mapinpandas(spark):
+    """The SQL-callable UDTF and the mapInPandas source must agree
+    entry-for-entry."""
+    from etl_embargo_spark.sources.tar_source import (
+        read_tar_entries,
+        register_tar_udtf,
+    )
+
+    register_tar_udtf(spark)
+    spark.read.format("binaryFile").load(INPUT_TGZ).createOrReplaceTempView(
+        "archives"
+    )
+    via_sql = spark.sql(
+        "SELECT t.path, t.size FROM archives, "
+        "LATERAL explode_tar(archives.path, archives.content) t "
+        "WHERE t.is_regular"
+    ).collect()
+    via_df = read_tar_entries(spark, INPUT_TGZ).select("path", "size").collect()
+    assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_df))
+
+
+@needs_ref
 def test_golden_split(spark):
     """The E1 classifier reproduces the reference's golden split exactly."""
     from etl_embargo_spark.plans.embargo_pipeline import classify_entries
