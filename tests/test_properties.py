@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the scalar filename/date layer:
+Spark expressions vs pure-Python models of the reference's Go semantics
+(/root/reference/filename_parser.go, embargo_check.go, embargo.go:105).
+
+All properties are evaluated in ONE Spark job per hypothesis example
+(single select over a batch of generated names) so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.functions import filenames as fn
+
+# Printable ASCII without newline (regexp '.' does not cross lines; the
+# reference never sees newlines in object names).
+NAME_ALPHABET = st.characters(min_codepoint=0x20, max_codepoint=0x7E)
+names_lists = st.lists(
+    st.text(alphabet=NAME_ALPHABET, min_size=0, max_size=40),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_local_ip(name: str) -> str:
+    """Go GetLocalIP (filename_parser.go:17-29): substring strictly between
+    the FIRST and LAST underscore; '' when start >= end."""
+    start = name.find("_") + 1
+    end = name.rfind("_")
+    if start >= end or end == -1:
+        return ""
+    return name[start:end]
+
+
+def _py_rename(name: str) -> str:
+    return name[: -len(".tgz")] + "-e.tgz" if name.endswith(".tgz") else name
+
+
+def _py_date_path(d: str) -> str:
+    # Go: "sidestream/" + d[0:4] + "/" + d[4:6] + "/" + d[6:8] — plain
+    # concatenation (empty slices stay empty; separators always present)
+    return "/".join(["sidestream", d[:4], d[4:6], d[6:8]])
+
+
+class TestFilenameGrammarProperties:
+    @settings(max_examples=15, deadline=None)
+    @given(names_lists)
+    def test_scalar_layer_matches_reference_model(self, spark, names):
+        df = spark.createDataFrame([(n,) for n in names], "name string")
+        rows = df.select(
+            "name",
+            fn.filename_local_ip("name").alias("ip"),
+            fn.filename_date("name").alias("d8"),
+            fn.basename("name").alias("base"),
+            fn.embargo_rename("name").alias("renamed"),
+            fn.date_path("name").alias("dpath"),
+        ).collect()
+        assert len(rows) == len(names)
+        for r in rows:
+            n = r["name"]
+            assert r["ip"] == _py_local_ip(n), f"local_ip({n!r})"
+            assert r["d8"] == n[:8], f"date8({n!r})"
+            assert r["base"] == n.rsplit("/", 1)[-1], f"basename({n!r})"
+            assert r["renamed"] == _py_rename(n), f"rename({n!r})"
+            assert r["dpath"] == _py_date_path(n), f"date_path({n!r})"
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="0123456789", min_size=1, max_size=12),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_parse_date_int_on_digits(self, spark, digit_strings):
+        df = spark.createDataFrame([(s,) for s in digit_strings], "d string")
+        rows = df.select("d", fn.parse_date_int("d").alias("v")).collect()
+        for r in rows:
+            assert r["v"] == int(r["d"][:8])
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet=NAME_ALPHABET, min_size=1, max_size=10).filter(
+                lambda s: not s[:1].isdigit()
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_parse_date_int_malformed_is_null(self, spark, bad_strings):
+        """Non-numeric prefixes must yield null (the reference's
+        skip-on-error path, embargo.go:272-276), never abort the job."""
+        df = spark.createDataFrame([(s,) for s in bad_strings], "d string")
+        rows = df.select("d", fn.parse_date_int("d").alias("v")).collect()
+        for r in rows:
+            s8 = r["d"][:8].strip()
+            # model: Atoi-like — sign + digits only
+            is_numeric = s8.lstrip("+-").isdigit() and s8.lstrip("+-") != ""
+            if not is_numeric:
+                assert r["v"] is None, f"parse({r['d']!r}) -> {r['v']}"
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+                min_size=0,
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_url_decode_roundtrip(self, spark, payloads):
+        """F11: URL-safe base64 of any ASCII payload decodes back exactly."""
+        enc = [
+            (base64.urlsafe_b64encode(p.encode("ascii")).decode("ascii"), p)
+            for p in payloads
+        ]
+        df = spark.createDataFrame(enc, "b64 string, want string")
+        rows = df.select(
+            fn.url_filename_decode("b64").alias("got"), "want"
+        ).collect()
+        for r in rows:
+            assert r["got"] == r["want"]
