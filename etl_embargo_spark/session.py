@@ -52,6 +52,48 @@ def get_spark(app_name: str = "etl_embargo_spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+# Sizing targets for recommended_conf (bytes).
+_TARGET_SHUFFLE_PARTITION_BYTES = 128 * 1024 * 1024  # post-shuffle task input
+_MAX_PARTITION_BYTES = 128 * 1024 * 1024  # scan split size
+_MIN_PARTITIONS = 32
+
+
+def recommended_conf(
+    input_bytes: int,
+    executors: int = 1,
+    cores_per_executor: int = 32,
+    shuffle_fraction: float = 0.5,
+) -> dict[str, str]:
+    """Derive the scale-dependent Spark conf for a job over ``input_bytes``.
+
+    The reasoning (applies unchanged from local[32]/60 MB to a
+    1000-executor/100 TB cluster):
+
+    * ``shuffle.partitions`` — size each reduce task's input near 128 MB of
+      *shuffled* data (``shuffle_fraction`` of the scan after projection/
+      filtering; 0.5 is conservative for these workloads where dims are
+      broadcast and facts shuffle at most once).  Floor at total cores so
+      every slot works; AQE coalescing trims the excess at runtime, so
+      erring high is cheap but erring low serializes the job.
+    * ``files.maxPartitionBytes`` stays at 128 MB — scan splits that fit
+      whole-stage codegen buffers and executor memory at any SF.
+    * At 100 TB / 1000 executors × 8 cores: ~50 TB shuffled / 128 MB ≈ 400k
+      partitions — above the 2^31 shuffle-block ceiling per map, which is
+      why facts here shuffle at most once and aggregates pre-combine
+      map-side (see operators/*).
+    """
+    total_cores = max(1, executors * cores_per_executor)
+    by_bytes = int(input_bytes * shuffle_fraction // _TARGET_SHUFFLE_PARTITION_BYTES)
+    partitions = max(_MIN_PARTITIONS, total_cores, by_bytes)
+    return {
+        "spark.sql.shuffle.partitions": str(partitions),
+        "spark.sql.files.maxPartitionBytes": str(_MAX_PARTITION_BYTES),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+
+
 def tune_for_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally provided session.
 

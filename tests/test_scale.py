@@ -67,3 +67,23 @@ class TestSaltedJoin:
         a = salted_join(li, sup, key="l_suppkey").count()
         b = salted_join(li, sup, key="l_suppkey").count()
         assert a == b
+
+
+class TestRecommendedConf:
+    def test_local_floor(self):
+        from etl_embargo_spark.session import recommended_conf
+
+        conf = recommended_conf(60 * 1024 * 1024, executors=1,
+                                cores_per_executor=32)
+        assert conf["spark.sql.shuffle.partitions"] == "32"
+
+    def test_scales_with_input(self):
+        from etl_embargo_spark.session import recommended_conf
+
+        tb = 1024**4
+        conf = recommended_conf(100 * tb, executors=1000,
+                                cores_per_executor=8)
+        parts = int(conf["spark.sql.shuffle.partitions"])
+        # 50 TB shuffled / 128 MB ≈ 409600 reduce tasks
+        assert 300_000 <= parts <= 500_000
+        assert parts >= 8000  # never below total cores
