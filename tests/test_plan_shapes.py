@@ -1,0 +1,78 @@
+"""Plan-shape regression guards: the properties that make the headline
+queries viable at 100 TB, asserted against the optimized physical plan so a
+refactor can't silently trade them away.
+
+(The numbers in bench.py say how fast it is on this box; these tests pin
+WHY it stays fast at 1000x the data.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_embargo_spark import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestFlagshipPlan:
+    def test_whitelist_join_is_broadcast(self, spark, sf_dir):
+        """The classifier must broadcast the whitelist dim — a sort-merge
+        join here would shuffle the entire fact table."""
+        plan = _plan(spark, sf_dir, "q_split_partition")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_no_exchange_on_fact_side(self, spark, sf_dir):
+        """The fact scan feeds the broadcast join directly: the only
+        Exchanges allowed are on the (tiny) dim side."""
+        plan = _plan(spark, sf_dir, "q_split_partition")
+        # dim side: distinct agg exchange + broadcast exchange — nothing else
+        assert plan.count("Exchange") <= 2
+
+    def test_semi_join_variants(self, spark, sf_dir):
+        for name in ("q_whitelist_semi", "q_embargo_anti"):
+            plan = _plan(spark, sf_dir, name)
+            assert "Broadcast" in plan, name
+
+
+class TestScanPruning:
+    @pytest.mark.parametrize(
+        ("name", "must_push"),
+        [
+            ("q_date_cutoff", "PushedFilters: [IsNotNull(o_orderdate)"),
+            ("q_suffix_filter", "PushedFilters"),
+        ],
+    )
+    def test_filters_reach_scan(self, spark, sf_dir, name, must_push):
+        plan = _plan(spark, sf_dir, name)
+        assert must_push in plan, name
+
+    def test_column_pruning(self, spark, sf_dir):
+        """q_dedup_exact reads exactly (doc_id, text) — reading the full
+        documents schema would double the scan bytes."""
+        plan = _plan(spark, sf_dir, "q_dedup_exact")
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+class TestAggAndTopK:
+    def test_pricing_summary_partial_agg(self, spark, sf_dir):
+        """HashAggregate must appear twice (partial map-side + final) around
+        one Exchange — the map-side combine that keeps the shuffle at
+        O(groups), not O(rows)."""
+        plan = _plan(spark, sf_dir, "q_pricing_summary")
+        assert plan.count("HashAggregate") >= 2
+        assert plan.count("Exchange") == 1
+
+    def test_topk_group_limit_pushdown(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q_topk_per_group")
+        assert "WindowGroupLimit" in plan
+
+    def test_global_topk_never_sorts_globally(self, spark, sf_dir):
+        """q_join_revenue's LIMIT 10 must be TakeOrderedAndProject
+        (per-partition heaps), not a global Sort."""
+        plan = _plan(spark, sf_dir, "q_join_revenue")
+        assert "TakeOrderedAndProject" in plan
