@@ -118,6 +118,40 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """Resize plumbing: recompute dimension metadata and hand each payload
+    to the (stubbed) resampling kernel via mapInPandas.
+
+    REAL: schema/batch contract, aspect-ratio arithmetic (fit-within,
+    never upscale), Arrow transfer.  STUB: the pixel resample itself —
+    payload bytes pass through unchanged; a real implementation swaps the
+    kernel body for PIL/ffmpeg and keeps the contract.
+    """
+
+    def _resize(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            scale_w = pdf["declared_w"].clip(upper=target_w) / pdf["declared_w"]
+            scale_h = pdf["declared_h"].clip(upper=target_h) / pdf["declared_h"]
+            scale = scale_w.combine(scale_h, min)
+            out = _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    # STUB: real kernel resamples; plumbing passes through
+                    "content": pdf["content"],
+                    "declared_w": (pdf["declared_w"] * scale).astype("int32"),
+                    "declared_h": (pdf["declared_h"] * scale).astype("int32"),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(features: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame-sampling plumbing for video rows: emit one row per sampled
     frame index — pure built-ins (sequence + explode), no Python."""

@@ -115,6 +115,52 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def knn_join(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Batch k-nearest-neighbors self-join: every vector's approximate
+    top-k neighbors by cosine.
+
+    The all-pairs problem at 100 TB cannot be a cross join; candidates come
+    from the multi-table hyperplane LSH (dedup.embedding_near_dups with the
+    threshold disabled), are scored exactly, then cut to k per vector with
+    a rank window.  Candidate pairs are undirected — both directions are
+    materialized before ranking so every vector gets its own neighbor list.
+    Recall is the LSH table recall (tested against brute force); raise
+    n_tables for more.
+    """
+    from pyspark.sql import Window
+
+    from etl_embargo_spark.operators.dedup import embedding_near_dups
+
+    pairs = embedding_near_dups(emb, threshold=-1.0)
+    directed = pairs.unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.col("cosine").desc(), F.col("vec_b")
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: approximate per-vector top-5 neighbors (pytest checks
+    recall vs the brute-force neighbor lists)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb, k=5)
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     row = (
         load_table(spark, sf_dir, "embeddings")

@@ -658,6 +658,7 @@ register(
 )
 
 register("q_ann_ivf", similarity.q_ann_ivf, None)
+register("q_knn_join", similarity.q_knn_join, None)
 
 # ---------------------------------------------------------------------------
 # Text analysis (north-star extension)

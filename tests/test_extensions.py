@@ -287,3 +287,91 @@ class TestStreaming:
         )
         assert got.issubset(want)
         assert len(got) > 0
+
+
+class TestKnnJoin:
+    def test_recall_vs_brute_force(self, spark, sf_dir):
+        """Average recall@5 of the LSH kNN join vs exact neighbor lists."""
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.similarity import knn_join
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        np.fill_diagonal(sims, -2.0)
+        k = 5
+        exact = {
+            int(ids[i]): set(ids[np.argsort(-sims[i])[:k]].tolist())
+            for i in range(len(ids))
+        }
+        got: dict[int, set] = {}
+        for r in knn_join(emb, k=k).collect():
+            got.setdefault(int(r["vec_id"]), set()).add(int(r["neighbor_id"]))
+        recalls = [
+            len(got.get(v, set()) & exact[v]) / k for v in exact
+        ]
+        assert sum(recalls) / len(recalls) >= 0.35, sum(recalls) / len(recalls)
+
+    def test_k_bound_and_rank_order(self, spark, sf_dir):
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.similarity import knn_join
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = knn_join(emb, k=3)
+        import pyspark.sql.functions as F
+
+        per_vec = out.groupBy("vec_id").count()
+        assert per_vec.filter(F.col("count") > 3).count() == 0
+
+
+class TestMultimodalResize:
+    def test_fit_within_never_upscales(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.operators.multimodal import (
+            resize_media,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, sf_dir)
+        out = resize_media(media, target_w=128, target_h=128)
+        rows = out.collect()
+        orig = {r["media_id"]: r for r in media.collect()}
+        for r in rows:
+            o = orig[r["media_id"]]
+            assert r["declared_w"] <= 128 and r["declared_h"] <= 128
+            assert r["declared_w"] <= o["declared_w"]  # never upscale
+            assert r["declared_h"] <= o["declared_h"]
+            # aspect ratio preserved within integer rounding
+            if o["declared_w"] >= o["declared_h"]:
+                assert r["declared_w"] >= r["declared_h"] - 1
+        # payload passes through the stub untouched
+        assert all(
+            bytes(r["content"]) == bytes(orig[r["media_id"]]["content"])
+            for r in rows
+        )
+
+
+class TestObservedMetrics:
+    def test_counters_attach_to_the_job(self, spark, sf_dir):
+        """A3 live form: df.observe must yield the same counters as the
+        batch rollup, with no second scan."""
+        from etl_embargo_spark.operators.aggregates import observed_metrics
+        from etl_embargo_spark.operators.embargo import split_partition
+
+        classified = split_partition(spark, sf_dir)
+        observed = observed_metrics(classified, name="m1")
+        collected = observed.collect()
+        # Spark exposes observed metrics on the last query execution
+        metrics = observed._jdf.queryExecution().observedMetrics()
+        row = metrics.get("m1").get()
+        total, n_public, n_private = row.getLong(0), row.getLong(1), row.getLong(2)
+        assert total == len(collected)
+        assert n_public + n_private == total
+        want_public = sum(1 for r in collected if r["visibility"] == "public")
+        assert n_public == want_public
