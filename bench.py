@@ -45,6 +45,9 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_topk_similarity",
     "q_text_quality",
+    "q_asof_join",
+    "q_range_join",
+    "q_corpus_prep",
 ]
 
 

@@ -71,6 +71,29 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over (returnflag, linestatus): all 4 grouping sets in one
+    shuffle (partial aggregation expands the sets map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+            "g_flag",
+            "g_status",
+        )
+    )
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-to-order gap: lag/lead analytic frame surface.
     One shuffle on the partition key; the frame scan is streaming within

@@ -111,3 +111,32 @@ def q_overwrite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("totalprice"),
     )
     return overwrite_merge(base, updates, "o_orderkey", ["status", "totalprice"])
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) as a query: keys seen in either derived listing —
+    completes the §2.9 set-op surface (J3/J5 cover anti/outer).  One hash
+    shuffle on the key; partial distinct runs map-side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT as a query: keys present in both listings (Spark plans a
+    left-semi hash join over the distinct sets)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)

@@ -540,6 +540,41 @@ register(
     """,
 )
 
+register(
+    "q_cube",
+    analytics.q_cube,
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+register(
+    "q_union_distinct",
+    setops.q_union_distinct,
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
+register(
+    "q_intersect",
+    setops.q_intersect,
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Temporal joins (as-of, range — custom compositions, DuckDB oracles)
 # ---------------------------------------------------------------------------
