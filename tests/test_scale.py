@@ -87,3 +87,48 @@ class TestRecommendedConf:
         # 50 TB shuffled / 128 MB ≈ 409600 reduce tasks
         assert 300_000 <= parts <= 500_000
         assert parts >= 8000  # never below total cores
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark, sf_dir, tmp_path):
+        """Pre-bucketing both sides on the join key removes the shuffle
+        entirely — the co-located join pattern for repeated fact-fact joins
+        at 100 TB (bucket count pinned; Exchange-free plan asserted)."""
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        (
+            li.write.mode("overwrite")
+            .option("path", str(tmp_path / "li_b"))
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("li_b")
+        )
+        (
+            orders.withColumnRenamed("o_orderkey", "l_orderkey")
+            .write.mode("overwrite")
+            .option("path", str(tmp_path / "orders_b"))
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("orders_b")
+        )
+        a = spark.table("li_b")
+        b = spark.table("orders_b")
+        # disable broadcast so the only shuffle-avoidance is the bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "l_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            ).count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+            spark.sql("DROP TABLE IF EXISTS li_b")
+            spark.sql("DROP TABLE IF EXISTS orders_b")
