@@ -132,3 +132,22 @@ class TestBucketedJoin:
             )
             spark.sql("DROP TABLE IF EXISTS li_b")
             spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+class TestErrorPaths:
+    def test_bad_sf_dir_fails_cleanly(self, spark):
+        import pytest
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        from etl_embargo_spark.catalog import load_table
+
+        with pytest.raises(AnalysisException):
+            load_table(spark, "/root/testdata/sf-nonexistent", "lineitem").collect()
+
+    def test_unknown_table_is_keyerror(self, spark, sf_dir):
+        import pytest
+
+        from etl_embargo_spark.catalog import load_table
+
+        with pytest.raises(KeyError):
+            load_table(spark, sf_dir, "nope")
