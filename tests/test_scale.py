@@ -151,3 +151,23 @@ class TestErrorPaths:
 
         with pytest.raises(KeyError):
             load_table(spark, sf_dir, "nope")
+
+
+class TestDatePartitionPruning:
+    def test_day_partitioned_layout_prunes_by_date(self, spark, sf_dir, tmp_path):
+        """The reference's per-day prefix scan (embargo.go:265-267) as a
+        date-partitioned layout: a one-day filter must prune to that
+        partition's files only."""
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        out = str(tmp_path / "by_day")
+        events.write.partitionBy("event_date").parquet(out)
+
+        all_days = spark.read.parquet(out)
+        one_day = all_days.filter(F.col("event_date") == "2024-01-02")
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(event_date" in plan
+        # semantic: matches the unpartitioned filter
+        want = events.filter(F.col("event_date") == "2024-01-02").count()
+        assert one_day.count() == want

@@ -147,3 +147,31 @@ def test_whitelist_loader(spark):
     ips = {r["ip"] for r in small.collect()}
     assert "213.244.128.170" in ips
     assert len(ips) == 6
+
+
+@needs_ref
+def test_embargo_day_end_to_end(spark, tmp_path):
+    """E1 composition: archives → explode → classify → routed partitioned
+    write, reading back by visibility partition."""
+    from pyspark.sql import functions as F
+
+    from etl_embargo_spark.plans.embargo_pipeline import embargo_day
+    from etl_embargo_spark.sources.text_source import read_whitelist
+
+    wl = read_whitelist(spark, WHITELIST_FULL)
+    out = str(tmp_path / "routed")
+    classified = embargo_day(
+        spark,
+        INPUT_TGZ,
+        wl,
+        out,
+        cutoff_int=20170101,  # archive is 20170315 => not aged out
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == classified.count()
+    # the golden split: both sides non-empty for this archive + whitelist
+    sides = {r["visibility"] for r in got.select("visibility").distinct().collect()}
+    assert sides == {"public", "private"}
+    # per-partition read prunes
+    pub = spark.read.parquet(out).filter(F.col("visibility") == "public")
+    assert "PartitionFilters" in pub._jdf.queryExecution().executedPlan().toString()
