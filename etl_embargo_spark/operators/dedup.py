@@ -75,12 +75,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — MINHASH_PERMS-wide MinHash signature
-    per document, entirely in codegen'd built-ins."""
-    with_shingles = docs.withColumn("_toks", _tokens()).withColumn(
-        "shingles", _shingle_hashes()
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<int>) — DISTINCT shingle hashes per document.
+
+    This is the shared upstream stage for signatures AND exact-Jaccard
+    verification: MinHash's ``array_min`` is identical over the distinct
+    set and the multiset, so one derivation serves both."""
+    return docs.withColumn("_toks", _tokens()).select(
+        "doc_id", F.array_distinct(_shingle_hashes()).alias("sh")
     )
+
+
+def signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>) from a ``shingle_sets`` relation,
+    entirely in codegen'd built-ins."""
     # Reseeded-hash permutation family.  (Closure factory, not default
     # args: a multi-parameter lambda makes F.transform bind the element
     # index.)
@@ -88,14 +96,20 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         return lambda h: F.xxhash64(h, F.lit(i))
 
     sig_cols = [
-        F.array_min(F.transform(F.col("shingles"), _perm(i))).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("sh"), _perm(i))).alias(f"mh{i}")
         for i in range(MINHASH_PERMS)
     ]
-    sigs = with_shingles.select("doc_id", *sig_cols)
+    sigs = sh.select("doc_id", *sig_cols)
     return sigs.select(
         "doc_id",
         F.array(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
     )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MINHASH_PERMS-wide MinHash signature
+    per document."""
+    return signatures_from_shingles(shingle_sets(docs))
 
 
 def _bucket_pairs(
@@ -166,12 +180,11 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only: shingle sets are
-    re-derived per side and intersected with built-ins."""
-    sh = docs.withColumn("_toks", _tokens()).select(
-        "doc_id", F.array_distinct(_shingle_hashes()).alias("sh")
-    )
+def jaccard_verify_on_shingles(
+    sh: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs, joining a prepared
+    ``shingle_sets`` relation for each side."""
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -187,14 +200,33 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataF
     )
 
 
+def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only: shingle sets derived
+    from the documents and intersected with built-ins."""
+    return jaccard_verify_on_shingles(shingle_sets(docs), pairs, threshold)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ 0.5 (rows-only:
     the murmur permutation family is Spark-specific; pytest holds the
-    recall oracle vs brute-force Jaccard)."""
+    recall oracle vs brute-force Jaccard).
+
+    The shingle stage is computed ONCE and persisted (MEMORY_AND_DISK):
+    it feeds the signature pipeline and both verify sides, which would
+    otherwise each re-execute the tokenize+hash scan — the in-session
+    analog of materializing the signature stage to a table, which is what
+    this pipeline does at 100 TB.  The persisted relation is (doc_id,
+    distinct shingle hashes): small, and LRU-evicted when unused.
+    """
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    sh = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = signatures_from_shingles(sh)
     cands = minhash_candidates(sigs)
-    return jaccard_verify(docs, cands, threshold=0.5).orderBy("doc_a", "doc_b")
+    return jaccard_verify_on_shingles(sh, cands, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
