@@ -112,16 +112,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
         # rejects by default ([PARQUET_TYPE_ILLEGAL]).  Read nanos as long
         # and convert to a microsecond timestamp (naive UTC, like every
-        # other table).
+        # other table).  The legacy conf is restored after the read so the
+        # engine never leaks a global behavior change into the caller's
+        # session.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        try:
+            df = spark.read.parquet(path)
+            # force plan resolution while the conf is active
+            needs_convert = dict(df.dtypes).get("ts") == "bigint"
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+        if needs_convert:
             from pyspark.sql import functions as F
 
-            # integer division: float division would round the >2^53 nanos
+            # integer division: float division would round the >2^53 nanos.
+            # Pure NTZ arithmetic from the epoch — session-timezone
+            # INVARIANT.  timestamp_micros().cast('timestamp_ntz') renders
+            # the instant in spark.sql.session.timeZone and silently shifts
+            # every value on a non-UTC session (verified: 11:30 UTC reads
+            # as 06:30 under America/New_York).
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
         return _check_schema(name, df)
     df = spark.read.parquet(path)

@@ -321,23 +321,26 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def simhash_near_dups(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ ``max_hamming``: band the 64-bit
-    signature into 4×16-bit chunks (any pair within distance 3 shares at
-    least one exact chunk; wider distances are still recalled when skew
-    concentrates differing bits), join per chunk, verify with bit_count."""
+    """ALL pairs within Hamming distance ≤ ``max_hamming``: band the 64-bit
+    signature into ``max_hamming + 1`` chunks — a pair differing in ≤
+    max_hamming bits touches at most max_hamming chunks, so by pigeonhole
+    at least one chunk matches exactly (full recall, the Hamming analog of
+    MinHash banding).  Join per chunk, verify with bit_count.  Cost grows
+    with chunk count (shorter chunks ⇒ more bucket collisions), so keep
+    max_hamming modest."""
+    n_chunks = max_hamming + 1
+    # exact partition of the 64 bits into n_chunks contiguous ranges
+    bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("simhash"), bounds[i])
+        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+        .alias(f"c{i}")
+        for i in range(n_chunks)
+    ]
     chunks = sigs.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias(f"c{i}")
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk"),
     )
     # Carry the 8-byte signature through the bucket shuffle so the Python
     # signature kernel runs exactly once (joining sigs back per side would
@@ -422,21 +425,13 @@ def embedding_near_dups(
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     scored = pairs.join(ea, "vec_a").join(eb, "vec_b")
-    dot = F.aggregate(
-        F.zip_with(F.col("emb_a"), F.col("emb_b"),
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
+    # shared vector-math expressions (single source of truth with the
+    # similarity operators)
+    from etl_embargo_spark.operators.similarity import _dot, _norm
+
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(f"emb_{side}"),
-                        lambda v: v.cast("double") * v.cast("double")),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        )
-    )
-    cos = dot / (norm("a") * norm("b"))
     return scored.select(
         "vec_a",
         "vec_b",

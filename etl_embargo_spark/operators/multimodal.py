@@ -60,7 +60,9 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, n_features: int = 8, use_real_codec: bool | None = None
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas.
 
     REAL: batch iteration, schema contract, Arrow transfer, output shape.
@@ -68,7 +70,18 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
     byte-statistics 'decoder' so tests are reproducible.  A real decoder
     must keep the same (bytes → width, height, n_frames, features[])
     contract.
+
+    ``use_real_codec`` defaults to ``decoder_available()``; the real path
+    is NOT implemented in this container and raises loudly rather than
+    silently emitting fake features where real ones were expected.
     """
+    if use_real_codec is None:
+        use_real_codec = decoder_available()
+    if use_real_codec:
+        raise NotImplementedError(
+            "real codec path not implemented here: swap _fake_decode for a "
+            "PIL/ffmpeg kernel keeping the same contract"
+        )
 
     def _extract(batches):
         import numpy as _np

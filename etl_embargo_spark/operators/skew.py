@@ -36,7 +36,17 @@ def salted_join(
     The fact-side salt is ``hash(entire row) mod n_salts`` — deterministic
     (rerun-stable, required for ST3 idempotency) yet spread across salts
     even when all hot-key rows share the same join key.
+
+    Only inner/left/left_semi are supported: under right/full-outer joins
+    the replicated dim copies that match no fact salt would surface as
+    spurious unmatched rows, so those modes are rejected loudly.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi joins, got {how!r}: "
+            "dim-side replication breaks right/full-outer semantics"
+        )
     fact_s = fact.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     )

@@ -41,6 +41,13 @@ def as_of_join(
     Returns the left columns plus every non-key right column prefixed
     ``asof_`` (null when no right row precedes).
     """
+    reserved = {"_ts", "_side", "_payload", "_match"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"as_of_join reserves column names {sorted(reserved)}; "
+            f"rename conflicting input columns: {sorted(clash)}"
+        )
     rcols = [c for c in right.columns if c not in (key, right_ts)]
     r = right.select(
         F.col(key),

@@ -21,20 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_embargo_spark.catalog import load_table
+from etl_embargo_spark.operators.text import LANG_PROFILES, PUNCT_CLASS, _tokens
 
 MIN_TOKENS = 10
 MAX_PUNCT_RATIO = 0.10
-STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "that"]
+# single source of truth with the text-analysis gates (operators/text.py)
+STOPWORDS = list(LANG_PROFILES["en"])
 MIN_STOPWORD_HITS = 2
 
 
 def prepare_corpus(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, source, n_tokens) of the deduplicated, quality- and
     language-gated corpus; one row per distinct surviving text."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    punct_stripped = F.regexp_replace(
-        F.col("text"), r"[.,!?;:'\"()\[\]{}-]", ""
-    )
+    toks = _tokens()
+    punct_stripped = F.regexp_replace(F.col("text"), PUNCT_CLASS, "")
     featured = docs.filter(F.col("n_chars") > 0).select(
         "doc_id",
         "lang",

@@ -139,9 +139,12 @@ _SPARK_SQL_SPLIT = f"""
 
 
 def _q_sql_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_embargo_spark.catalog import register_views
+    # register only the views the statement reads (register_views would
+    # load and schema-check all ten tables per call)
+    from etl_embargo_spark.catalog import load_table
 
-    register_views(spark, sf_dir)
+    for t in ("lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SPARK_SQL_SPLIT)
 
 

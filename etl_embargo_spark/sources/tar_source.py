@@ -35,45 +35,57 @@ ENTRY_SCHEMA = (
 # different cwd, or a cluster where the package isn't shipped).
 
 
+def _make_walker():
+    """Build the archive walker shared by the mapInPandas exploder and the
+    SQL UDTF (nested for by-value pickling): yields one ENTRY_SCHEMA-ordered
+    tuple per tar entry, mtime as a naive-UTC datetime."""
+
+    def _walk(path: str, content: bytes):
+        import datetime as _dt
+        import gzip as _gzip
+        import io as _io
+        import tarfile as _tarfile
+
+        archive_name = path.rsplit("/", 1)[-1]
+        raw = _io.BytesIO(bytes(content))
+        # Stream: gzip member → tar entries, entry-at-a-time.
+        with _gzip.GzipFile(fileobj=raw) as gz:
+            with _tarfile.open(fileobj=gz, mode="r|") as tar:
+                for info in tar:
+                    is_reg = info.isreg()
+                    data = tar.extractfile(info).read() if is_reg else None
+                    yield (
+                        archive_name,
+                        info.name,
+                        info.name.rsplit("/", 1)[-1],
+                        info.size,
+                        info.mode,
+                        _dt.datetime.fromtimestamp(
+                            info.mtime, _dt.timezone.utc
+                        ).replace(tzinfo=None),
+                        is_reg,
+                        data,
+                    )
+
+    return _walk
+
+
 def _make_exploder():
     """Build the mapInPandas generator (self-contained for pickling)."""
+    walk = _make_walker()
+    cols = [f.strip().split(" ")[0] for f in ENTRY_SCHEMA.split(",")]
 
     def _explode_archives(batches):
         # One input row per archive (binaryFile schema) → N rows per tar
         # entry; one output batch per archive keeps Arrow batch sizes
         # bounded by one archive's decompressed size.
-        import gzip as _gzip
-        import io as _io
-        import tarfile as _tarfile
-
         import pandas as _pd
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                archive_name = row["path"].rsplit("/", 1)[-1]
-                out = {
-                    "archive": [], "path": [], "basename": [], "size": [],
-                    "mode": [], "mtime": [], "is_regular": [], "content": [],
-                }
-                raw = _io.BytesIO(bytes(row["content"]))
-                # Stream: gzip member → tar entries, entry-at-a-time.
-                with _gzip.GzipFile(fileobj=raw) as gz:
-                    with _tarfile.open(fileobj=gz, mode="r|") as tar:
-                        for info in tar:
-                            is_reg = info.isreg()
-                            content = (
-                                tar.extractfile(info).read() if is_reg else None
-                            )
-                            out["archive"].append(archive_name)
-                            out["path"].append(info.name)
-                            out["basename"].append(info.name.rsplit("/", 1)[-1])
-                            out["size"].append(info.size)
-                            out["mode"].append(info.mode)
-                            out["mtime"].append(_pd.Timestamp(info.mtime, unit="s"))
-                            out["is_regular"].append(is_reg)
-                            out["content"].append(content)
-                if out["archive"]:
-                    yield _pd.DataFrame(out)
+                rows = list(walk(row["path"], row["content"]))
+                if rows:
+                    yield _pd.DataFrame(rows, columns=cols)
 
     return _explode_archives
 
@@ -112,31 +124,12 @@ def register_tar_udtf(spark: SparkSession, name: str = "explode_tar"):
     """
     from pyspark.sql.functions import udtf
 
+    walk = _make_walker()
+
     @udtf(returnType=ENTRY_SCHEMA)
     class ExplodeTar:
         def eval(self, path: str, content: bytes):  # noqa: D102
-            import datetime as _dt
-            import gzip as _gzip
-            import io as _io
-            import tarfile as _tarfile
-
-            archive_name = path.rsplit("/", 1)[-1]
-            raw = _io.BytesIO(bytes(content))
-            with _gzip.GzipFile(fileobj=raw) as gz:
-                with _tarfile.open(fileobj=gz, mode="r|") as tar:
-                    for info in tar:
-                        is_reg = info.isreg()
-                        data = tar.extractfile(info).read() if is_reg else None
-                        yield (
-                            archive_name,
-                            info.name,
-                            info.name.rsplit("/", 1)[-1],
-                            info.size,
-                            info.mode,
-                            _dt.datetime.utcfromtimestamp(info.mtime),
-                            is_reg,
-                            data,
-                        )
+            yield from walk(path, content)
 
     spark.udtf.register(name, ExplodeTar)
     return ExplodeTar

@@ -171,3 +171,74 @@ class TestDatePartitionPruning:
         # semantic: matches the unpartitioned filter
         want = events.filter(F.col("event_date") == "2024-01-02").count()
         assert one_day.count() == want
+
+
+class TestReviewRegressions:
+    def test_events_load_is_session_timezone_invariant(self, spark, sf_dir):
+        """The nanos→ntz conversion must not shift with
+        spark.sql.session.timeZone (it did before the timestampadd fix)."""
+        utc_rows = None
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            utc_rows = sorted(
+                r["ts"] for r in load_table(spark, sf_dir, "events")
+                .select("ts").limit(50).collect()
+            )
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            ny_rows = sorted(
+                r["ts"] for r in load_table(spark, sf_dir, "events")
+                .select("ts").limit(50).collect()
+            )
+            assert utc_rows == ny_rows
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def test_events_load_restores_nanos_conf(self, spark, sf_dir):
+        """The legacy nanosAsLong conf must not leak out of load_table
+        (default is false, so post-load it must read false again)."""
+        load_table(spark, sf_dir, "events").count()
+        assert (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+            == "false"
+        )
+
+    def test_salted_join_rejects_outer(self, spark, sf_dir):
+        import pytest
+
+        li = load_table(spark, sf_dir, "lineitem")
+        sup = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+            "s_suppkey", "l_suppkey"
+        )
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(li, sup, key="l_suppkey", how="full")
+
+    def test_asof_join_rejects_reserved_columns(self, spark, sf_dir):
+        import pytest
+
+        from etl_embargo_spark.operators.temporal import as_of_join
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts"
+        )
+        bad = events.withColumn("_ts", F.lit(1))
+        with pytest.raises(ValueError, match="reserves column names"):
+            as_of_join(bad, events, key="user_id")
+
+    def test_simhash_banding_guarantees_max_hamming(self, spark):
+        """Pigeonhole recall: a pair with one differing bit per chunk (the
+        old 4x16 banding's blind spot) must now be found."""
+        from etl_embargo_spark.operators.dedup import simhash_near_dups
+
+        a = 0
+        # 8 bits spread one per 8-bit chunk => hamming 8, no 16-bit-chunk
+        # equality under the old scheme, but <= max_hamming=8
+        b = 0
+        for i in range(8):
+            b |= 1 << (i * 8)
+        sigs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, simhash long"
+        )
+        got = simhash_near_dups(sigs, max_hamming=8).collect()
+        assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [
+            (1, 2, 8)
+        ]
