@@ -43,6 +43,7 @@ def topk_per_group(orders: DataFrame, k: int = TOPK) -> DataFrame:
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (WindowGroupLimit pushdown)."""
     return topk_per_group(load_table(spark, sf_dir, "orders"))
 
 

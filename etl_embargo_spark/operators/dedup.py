@@ -72,6 +72,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 content hash: representative + duplicate count."""
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 

@@ -67,4 +67,5 @@ def prepare_corpus(docs: DataFrame) -> DataFrame:
 
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep: quality gate + language gate + exact dedup."""
     return prepare_corpus(load_table(spark, sf_dir, "documents"))

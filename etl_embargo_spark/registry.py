@@ -139,6 +139,7 @@ _SPARK_SQL_SPLIT = f"""
 
 
 def _q_sql_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship embargo classifier expressed through spark.sql views."""
     # register only the views the statement reads (register_views would
     # load and schema-check all ten tables per call)
     from etl_embargo_spark.catalog import load_table
@@ -418,6 +419,7 @@ register("q_tar_roundtrip", archive_queries.q_tar_roundtrip, None)
 
 
 def _q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: the headline shuffle-agg benchmark."""
     from pyspark.sql import functions as F
 
     from etl_embargo_spark.catalog import load_table
@@ -818,6 +820,7 @@ register("q_media_features", multimodal.q_media_features, None)
 
 
 def _q_events_window(spark, sf_dir):
+    """Tumbling 1-hour event-time window counts over the events table."""
     from etl_embargo_spark.catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
@@ -839,6 +842,7 @@ register(
 
 
 def _q_sessionize(spark, sf_dir):
+    """Gap-based (30 min) session windows per user over the events table."""
     from etl_embargo_spark.catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
