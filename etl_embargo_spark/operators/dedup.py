@@ -9,8 +9,9 @@ Scale design (100 TB):
   ``transform``/``array_min`` (whole-stage codegen, no Python); the LSH
   band join shuffles only (band, key) pairs, and candidate verification
   runs per-pair on the (small) candidate set.
-* SimHash reduces each doc to one int64 scan-side; near-dup banding joins
-  on 16-bit chunks.
+* SimHash reduces each doc to one int64 scan-side; near-dup banding
+  partitions the 64 bits into max_hamming+1 chunks (pigeonhole ⇒ full
+  recall within the distance bound).
 * Embedding near-dup uses random-hyperplane LSH to avoid the O(n²) cross
   join; the exact-cosine check touches only same-bucket pairs.
 """

@@ -128,3 +128,50 @@ class TestFilenameGrammarProperties:
         ).collect()
         for r in rows:
             assert r["got"] == r["want"]
+
+
+class TestBucketPairsProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # bucket key
+                st.integers(min_value=0, max_value=40),  # item id
+            ),
+            min_size=0,
+            max_size=60,
+        )
+    )
+    def test_pairs_match_bruteforce(self, spark, rows):
+        """_bucket_pairs emits exactly the distinct i<j co-bucket pairs
+        (as a set across buckets, since the helper drops the key)."""
+        from collections import Counter
+        from itertools import combinations
+
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.operators.dedup import _bucket_pairs
+
+        df = spark.createDataFrame(
+            [(b, i) for b, i in rows] or [(0, 0)], "bucket int, doc_id int"
+        )
+        if not rows:
+            df = df.limit(0)
+        emitted = [
+            (r["a"]["doc_id"], r["b"]["doc_id"])
+            for r in _bucket_pairs(
+                df, ["bucket"], F.struct(F.col("doc_id"))
+            ).collect()
+        ]
+        by_bucket: dict[int, set] = {}
+        for b, i in rows:
+            by_bucket.setdefault(b, set()).add(i)
+        want = Counter(
+            (x, y)
+            for ids in by_bucket.values()
+            for x, y in combinations(sorted(ids), 2)
+        )
+        # exact multiset equality: one emission per co-bucket occurrence,
+        # every pair ordered a < b
+        assert Counter(emitted) == want
+        assert all(a < b for a, b in emitted)
