@@ -189,3 +189,150 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_quantiles"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks per customer: ntile(4) quartile, percent_rank,
+    cume_dist — one shuffle on the partition key, streaming frame scan.
+    The tie-break on o_orderkey makes every rank deterministic (required
+    for the cross-engine hash compare)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing 3-order moving average (ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW) — the bounded-frame time-series shape: one
+    shuffle, O(frame) memory per row regardless of partition size."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        # round at 4 decimals, not 2: a cent-valued sum over a 1-3 row frame
+        # divided by the frame size never terminates with a 5 in the 5th
+        # decimal, so 4-decimal rounding is tie-free across engines (2-decimal
+        # rounding hits exact x.xx5 ties whenever sum/3 lands on one)
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg3"),
+    )
+
+
+PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted by status: ``groupBy().pivot(values).count()``.
+    Pinning the pivot values avoids the extra distinct-values job Spark
+    otherwise runs, and compiles to one pass of conditional aggregation
+    (exactly what the SQL oracle spells out) — no second shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"n_{s.lower()}")
+            for s in PIVOT_STATUSES
+        ],
+    )
+
+
+HIST_LO = 0.0
+HIST_WIDTH = 5000.0
+HIST_BINS = 24
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice: explicit bucket arithmetic
+    (floor((x-lo)/w), clamped to the last bin) so both engines compute the
+    identical IEEE double division.  One shuffle over ≤ HIST_BINS groups;
+    partial aggregation collapses each scan partition to ≤ HIST_BINS rows
+    map-side — the canonical distributed-histogram shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - HIST_LO) / HIST_WIDTH),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return (
+        li.select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("bucket_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (vs the q_approx_quantiles sketch):
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    p*(n-1) linear-interpolation definition, so the values hash-match.
+    Exact percentile sorts each group's values — fine per moderate group,
+    the sketch is the 100 TB default (see q_approx_quantiles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95)]
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(a)
+            for a, p in pct
+        ],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ZSCORE_CUT = 3.0
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly scan: events whose value is ≥ 3 sample-stddevs from their
+    event_type mean.  Two-pass shape — tiny grouped stats, broadcast back
+    onto the stream — so the fact table is scanned twice but never
+    shuffled; at 100 TB that beats a window over event_type (one giant
+    shuffle + sort) by the width of the fact table."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"),
+        F.stddev_samp("value").alias("_sigma"),
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sigma")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value_r"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= ZSCORE_CUT)
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the events JSON
+    ``props`` column and filter on it.  ``get_json_object`` runs JVM-side
+    in codegen; at scale, repeated extraction from the same column should
+    graduate to ``from_json`` with an explicit schema (one parse, many
+    fields) — this query is the single-field probe shape."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.select(
+        "event_id",
+        "event_type",
+        k.alias("k"),
+    ).filter(F.col("k") > 50)

@@ -279,6 +279,49 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.2)
 
 
+LEV_MAX = 32  # absolute edit-distance threshold
+LEV_BAND = 64  # length-band width for blocking
+
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup over blocked pairs: documents in the same
+    (lang, source, length-band) block whose Levenshtein distance is ≤ 32.
+
+    Blocking on floor(n_chars / 64) exploits the metric itself — distance
+    ≥ |len(a) − len(b)|, so pairs straddling far-apart bands cannot be
+    near-dups (adjacent-band pairs within 64 chars of each other are the
+    accepted recall loss of this blocking, as in any blocked dedup).
+    Spark evaluates the banded O(n·k) form ``levenshtein(a, b, threshold)``
+    which returns −1 as soon as the distance provably exceeds k — at 100 TB
+    that caps per-pair cost at rows×threshold instead of rows².  The DuckDB
+    oracle computes the full distance and filters to the same ≤ 32 set.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_band", F.floor(F.col("n_chars") / LEV_BAND)
+    )
+    a = docs.select(
+        "lang", "source", "_band",
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+    )
+    b = docs.select(
+        F.col("lang").alias("lang_b"), F.col("source").alias("source_b"),
+        F.col("_band").alias("band_b"),
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+    )
+    joined = a.join(
+        b,
+        (a["lang"] == b["lang_b"])
+        & (a["source"] == b["source_b"])
+        & (a["_band"] == b["band_b"])
+        & (a["doc_a"] < b["doc_b"]),
+    )
+    lev = F.levenshtein("text_a", "text_b", LEV_MAX)
+    return (
+        joined.select("doc_a", "doc_b", lev.alias("lev"))
+        .filter(F.col("lev") >= 0)
+    )
+
+
 def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, simhash bigint) via an Arrow-batched kernel: token murmur
     hashes are computed JVM-side; the per-bit majority vote runs in numpy.

@@ -1,0 +1,113 @@
+"""Deterministic sampling operators for training-data pipelines (north-star
+extension): content-hash bucket sampling, train/val/test splitting, and
+per-stratum sampling.
+
+Scale design (100 TB):
+* Hash-bucket sampling is a pure narrow filter — no shuffle, no state, no
+  seed coordination across executors.  The bucket of a row depends only on
+  its key bytes, so the SAME rows are selected on every run, on any cluster
+  layout, and (critically for training pipelines) the selection is stable
+  under repartitioning, retries, and incremental reruns.  This is the
+  standard way to carve reproducible eval/holdout sets out of a corpus.
+* ``sampleBy`` (stratified) keeps per-stratum fractions without a shuffle
+  either — each task Bernoulli-samples with a per-stratum rate; the seed
+  makes it reproducible within Spark, but not across engines, hence the
+  pytest (not DuckDB) oracle.
+
+The reference has no sampling at all (SURVEY §2.9 gap list); these exist for
+the corpus-prep story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+
+N_BUCKETS = 100
+SAMPLE_BUCKETS = 5  # q_hash_sample keeps buckets [0, 5) -> 5% sample
+# train/val/test cut points over the 100 hash buckets
+TRAIN_UPTO = 80
+VAL_UPTO = 90
+
+
+def hash_bucket(key: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the md5 of the key.
+
+    Uses the first 8 hex chars of md5 (32 bits) so the value is exactly
+    representable on both sides of the oracle compare: Spark computes
+    ``conv(substring(md5(k), 1, 8), 16, 10)`` and DuckDB computes
+    ``('0x' || substr(md5(k), 1, 8))::UBIGINT`` — identical integers,
+    identical buckets.  md5 (not Spark's murmur ``hash``) precisely because
+    it is engine-independent and stable forever — a training-data split must
+    not change when the engine version does.
+    """
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def _lineitem_key() -> Column:
+    # primary key of lineitem, as stable bytes
+    return F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample of lineitem by content-hash bucket: rows whose
+    md5-bucket of the primary key falls in [0, 5).  Same rows selected by
+    any engine, any run, any partitioning — the reproducible-holdout shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = hash_bucket(_lineitem_key())
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        bucket.cast("int").alias("sample_bucket"),
+    ).filter(F.col("sample_bucket") < SAMPLE_BUCKETS)
+
+
+def train_test_split(df: DataFrame, key: Column) -> DataFrame:
+    """Tag each row train/val/test by hash bucket (80/10/10).  A pure
+    projection: no shuffle, no seed, stable under reruns and engine moves —
+    the split a 100 TB corpus actually wants (a seeded ``randomSplit`` would
+    reshuffle rows between splits whenever partitioning changes)."""
+    bucket = hash_bucket(key)
+    return df.withColumn(
+        "split",
+        F.when(bucket < TRAIN_UPTO, "train")
+        .when(bucket < VAL_UPTO, "val")
+        .otherwise("test"),
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 hash-split of lineitem, reported as per-split row counts
+    (the split assignment itself is deterministic; the counts prove the
+    proportions land where the buckets say)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = train_test_split(li, _lineitem_key())
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, fractions: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sample over the ``lang`` column (``sampleBy``).
+    Reproducible within Spark via the seed; engine-specific RNG, so the
+    oracle is the pytest tolerance check (tests/test_extensions.py), not
+    DuckDB."""
+    return docs.sampleBy("lang", fractions, seed=seed)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: seeded per-language sample of documents (50% en, 25%
+    others); pytest bounds the realized per-stratum fractions."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: (0.5 if lang == "en" else 0.25) for lang in langs}
+    return stratified_sample(docs, fractions).select("doc_id", "lang")

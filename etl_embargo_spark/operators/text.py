@@ -95,6 +95,74 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP = 100
+TFIDF_TOP = 3
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: collection term frequency + document frequency
+    per token, top-100 by df.  The df side is a true distinct aggregate
+    (count(DISTINCT doc_id)) — Spark plans it as a two-stage expand+agg
+    with map-side partials, so the shuffle carries (token, doc_id) pairs
+    once each, not every occurrence.  The top-100 is TakeOrderedAndProject
+    (per-partition heaps), no global sort."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = docs.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), "token")
+        .limit(VOCAB_TOP)
+    )
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf per (doc, token), df per token,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), ranked by a
+    per-doc window.
+
+    Scale shape: the (doc, token) aggregation and the token-df aggregation
+    reuse one exploded scan; N arrives via a broadcast one-row cross join
+    (no driver-side collect, the whole plan stays lazy); the final top-3 is
+    WindowGroupLimit-pruned, so the rank shuffle carries at most 3 rows per
+    doc out of each map task."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("_n") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprint (rows-only): Karp-Rabin rolling hash
     over characters, window-minimum selection (Schleimer et al., SIGMOD'03

@@ -24,6 +24,7 @@ from etl_embargo_spark.operators import (
     embargo,
     listings,
     multimodal,
+    sampling,
     setops,
     similarity,
     temporal,
@@ -805,6 +806,203 @@ register(
            arg_min(source, doc_id) AS source,
            arg_min(n_tokens, doc_id) AS n_tokens
     FROM gated GROUP BY md5(text)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Analytic surface, continued: distribution ranks, frames, pivot, histogram,
+# exact percentiles, anomaly scan, JSON extraction
+# ---------------------------------------------------------------------------
+
+register(
+    "q_ntile",
+    analytics.q_ntile,
+    """
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+
+register(
+    "q_moving_avg",
+    analytics.q_moving_avg,
+    """
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS moving_avg3
+    FROM orders
+    """,
+)
+
+register(
+    "q_pivot",
+    analytics.q_pivot,
+    """
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
+register(
+    "q_histogram",
+    analytics.q_histogram,
+    f"""
+    SELECT CAST(least(floor((l_extendedprice - {analytics.HIST_LO})
+                            / {analytics.HIST_WIDTH}),
+                      {analytics.HIST_BINS - 1}) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(l_extendedprice), 2) AS bucket_min,
+           round(max(l_extendedprice), 2) AS bucket_max
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+register(
+    "q_percentiles",
+    analytics.q_percentiles,
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+register(
+    "q_zscore_outliers",
+    analytics.q_zscore_outliers,
+    f"""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY 1
+    )
+    SELECT event_id, e.event_type,
+           round(value, 2) AS value_r,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs(round((value - mu) / sigma, 4)) >= {analytics.ZSCORE_CUT}
+    """,
+)
+
+register(
+    "q_json_extract",
+    analytics.q_json_extract,
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting (north-star extension)
+# ---------------------------------------------------------------------------
+
+_HASH_BUCKET = """CAST(('0x' || substr(md5(
+    CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+), 1, 8))::UBIGINT % 100 AS INT)"""
+
+register(
+    "q_hash_sample",
+    sampling.q_hash_sample,
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {_HASH_BUCKET} AS sample_bucket
+    FROM lineitem
+    WHERE {_HASH_BUCKET} < {sampling.SAMPLE_BUCKETS}
+    """,
+)
+
+register(
+    "q_train_test_split",
+    sampling.q_train_test_split,
+    f"""
+    WITH b AS (SELECT {_HASH_BUCKET} AS bucket FROM lineitem)
+    SELECT CASE WHEN bucket < {sampling.TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {sampling.VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM b GROUP BY 1
+    """,
+)
+
+register("q_stratified_sample", sampling.q_stratified_sample, None)
+
+# ---------------------------------------------------------------------------
+# Text analysis, continued: vocabulary + TF-IDF
+# ---------------------------------------------------------------------------
+
+register(
+    "q_vocab",
+    text.q_vocab,
+    r"""
+    SELECT token, CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          FROM documents WHERE n_chars > 0)
+    GROUP BY token
+    ORDER BY df DESC, tf DESC, token
+    LIMIT 100
+    """,
+)
+
+register(
+    "q_tfidf",
+    text.q_tfidf,
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE n_chars > 0
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents WHERE n_chars > 0),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+               round(tf.tf * (ln((n.n + 1)::DOUBLE / (dfreq.df + 1)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token
+        ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Dedup, continued: edit-distance near-dup (blocked)
+# ---------------------------------------------------------------------------
+
+register(
+    "q_dedup_levenshtein",
+    dedup.q_dedup_levenshtein,
+    f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS lev
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source
+     AND (a.n_chars // {dedup.LEV_BAND}) = (b.n_chars // {dedup.LEV_BAND})
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= {dedup.LEV_MAX}
     """,
 )
 

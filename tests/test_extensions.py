@@ -375,3 +375,70 @@ class TestObservedMetrics:
         assert n_public + n_private == total
         want_public = sum(1 for r in collected if r["visibility"] == "public")
         assert n_public == want_public
+
+
+class TestSampling:
+    def test_stratified_fractions(self, spark, sf_dir):
+        """sampleBy must land within a loose Bernoulli tolerance of the
+        requested per-stratum fraction, and be reproducible for the seed."""
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.sampling import q_stratified_sample
+
+        docs = load_table(spark, sf_dir, "documents")
+        totals = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        got = {
+            r["lang"]: r["n"]
+            for r in q_stratified_sample(spark, sf_dir)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for lang, total in totals.items():
+            frac = 0.5 if lang == "en" else 0.25
+            # 4-sigma Bernoulli tolerance (small strata at sf0.001)
+            tol = 4 * (frac * (1 - frac) / total) ** 0.5
+            assert abs(got.get(lang, 0) / total - frac) <= tol, (lang, got)
+        again = sorted(
+            r["doc_id"] for r in q_stratified_sample(spark, sf_dir).collect()
+        )
+        first = sorted(
+            r["doc_id"] for r in q_stratified_sample(spark, sf_dir).collect()
+        )
+        assert again == first
+
+    def test_hash_split_is_stable_under_repartition(self, spark, sf_dir):
+        """The md5-bucket split must assign the same rows to the same split
+        regardless of physical layout — the property seeded randomSplit
+        lacks and the whole reason to hash-split a training corpus."""
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.sampling import (
+            _lineitem_key,
+            train_test_split,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem")
+        base = {
+            (r["l_orderkey"], r["l_linenumber"]): r["split"]
+            for r in train_test_split(li, _lineitem_key())
+            .select("l_orderkey", "l_linenumber", "split")
+            .collect()
+        }
+        shuffled = {
+            (r["l_orderkey"], r["l_linenumber"]): r["split"]
+            for r in train_test_split(li.repartition(13), _lineitem_key())
+            .select("l_orderkey", "l_linenumber", "split")
+            .collect()
+        }
+        assert base == shuffled
+        # splits are exhaustive and non-overlapping by construction; check
+        # proportions are in the right neighborhood (hash uniformity)
+        n = len(base)
+        from collections import Counter
+
+        c = Counter(base.values())
+        assert abs(c["train"] / n - 0.80) < 0.05
+        assert abs(c["val"] / n - 0.10) < 0.04
+        assert abs(c["test"] / n - 0.10) < 0.04

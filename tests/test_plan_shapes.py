@@ -76,3 +76,36 @@ class TestAggAndTopK:
         (per-partition heaps), not a global Sort."""
         plan = _plan(spark, sf_dir, "q_join_revenue")
         assert "TakeOrderedAndProject" in plan
+
+
+class TestExtensionPlans:
+    def test_hash_sample_is_narrow(self, spark, sf_dir):
+        """Deterministic hash sampling must stay a pure filter — zero
+        Exchanges.  A sample that shuffles defeats its own purpose."""
+        plan = _plan(spark, sf_dir, "q_hash_sample")
+        assert plan.count("Exchange") == 0
+
+    def test_zscore_broadcasts_stats(self, spark, sf_dir):
+        """The grouped stats must broadcast back onto the event stream; a
+        sort-merge join would shuffle the full fact table twice."""
+        plan = _plan(spark, sf_dir, "q_zscore_outliers")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_tfidf_rank_is_group_limited(self, spark, sf_dir):
+        """The per-doc top-3 must be WindowGroupLimit-pruned and the df/N
+        joins broadcast — tfidf is the composition showcase."""
+        plan = _plan(spark, sf_dir, "q_tfidf")
+        assert "WindowGroupLimit" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_vocab_topk_is_heap_based(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q_vocab")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_histogram_partial_agg(self, spark, sf_dir):
+        """Map-side combine collapses each scan partition to <= n_bins rows
+        before the single exchange."""
+        plan = _plan(spark, sf_dir, "q_histogram")
+        assert plan.count("HashAggregate") >= 2
+        assert plan.count("Exchange") == 1
