@@ -173,3 +173,23 @@ def _check_schema(name: str, df: DataFrame) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every catalog table from ``sf_dir``."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Widen a narrow input before a CPU-bound per-row kernel (shingle
+    hashing, simhash, fingerprinting, edit distance).
+
+    Spark sizes scan partitions by BYTES (``files.maxPartitionBytes``), so a
+    small-but-expensive input — one 2 MB parquet of documents — arrives as a
+    single partition and the kernel runs on one core of the whole cluster.
+    Repartitioning to the session's default parallelism costs a shuffle of
+    exactly that small input, then every core works.
+
+    Guarded: inputs already at/above the target partition count pass through
+    untouched, so at 100 TB (where scans are thousands of partitions) this
+    is a no-op and no corpus-wide shuffle can sneak in.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

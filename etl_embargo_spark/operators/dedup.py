@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_embargo_spark.catalog import load_table
+from etl_embargo_spark.catalog import load_table, spread_for_cpu
 
 # Deterministic MinHash parameters (fixed seeds → reproducible results).
 # 32 perms / 8 bands of 4: P(candidate | j) = 1-(1-j^4)^8, i.e. ~0.9998 at
@@ -222,7 +222,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
     sh = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = signatures_from_shingles(sh)
     cands = minhash_candidates(sigs)
@@ -238,9 +238,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     realistic blocking key — and Jaccard is computed on DISTINCT word
     3-shingle STRINGS (not hashes) so DuckDB can mirror it exactly.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "_toks", _tokens()
-    )
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents"), spark
+    ).withColumn("_toks", _tokens())
     sh = docs.select(
         "doc_id",
         "lang",
@@ -296,9 +296,9 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     that caps per-pair cost at rows×threshold instead of rows².  The DuckDB
     oracle computes the full distance and filters to the same ≤ 32 set.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "_band", F.floor(F.col("n_chars") / LEV_BAND)
-    )
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents"), spark
+    ).withColumn("_band", F.floor(F.col("n_chars") / LEV_BAND))
     a = docs.select(
         "lang", "source", "_band",
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
@@ -408,7 +408,7 @@ def simhash_near_dups(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only; pytest oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
     return simhash_near_dups(simhash_signatures(docs)).orderBy("doc_a", "doc_b")
 
 
@@ -489,5 +489,5 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force pairs).  Threshold 0.45: the synthetic embeddings top
     out near cosine 0.51, so a 0.9 near-dup threshold would make this query
     vacuously empty at every SF."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_for_cpu(load_table(spark, sf_dir, "embeddings"), spark)
     return embedding_near_dups(emb, threshold=0.45).orderBy("vec_a", "vec_b")

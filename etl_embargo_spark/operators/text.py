@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_embargo_spark.catalog import load_table
+from etl_embargo_spark.catalog import load_table, spread_for_cpu
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -168,7 +168,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     over characters, window-minimum selection (Schleimer et al., SIGMOD'03
     'Winnowing: Local Algorithms for Document Fingerprinting').  Arrow
     batches; numpy does the rolling arithmetic."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents"), spark
+    ).filter(F.col("n_chars") > 0)
 
     def _fingerprint(batches):
         import numpy as _np
