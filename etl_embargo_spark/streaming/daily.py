@@ -98,6 +98,26 @@ def run_foreach_batch(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once-by-key ingestion: drop re-deliveries of the same
+    event_id arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming face of exact dedup: the state store keeps one
+    entry per key only until the watermark passes it, so state size is
+    bounded by the horizon's key arrival rate — not by the stream's
+    lifetime (a plain streaming ``dropDuplicates`` grows state forever).
+    On the batch path the same call degenerates to ``dropDuplicates``."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if src.isStreaming:
+        return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return src.dropDuplicates(["event_id"])
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

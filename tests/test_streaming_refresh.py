@@ -8,6 +8,8 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 from etl_embargo_spark.catalog import load_table
 from etl_embargo_spark.streaming.daily import (
     run_foreach_batch,
@@ -102,3 +104,123 @@ class TestStreamingEmbargo:
         q2 = run_streaming_embargo(spark, str(src), wl, out, ckpt)
         q2.awaitTermination(180)
         assert spark.read.parquet(out).count() == n_first
+
+
+def _write_events(spark, path: str, rows: list[tuple]) -> None:
+    """One parquet file of events rows (event_id, ts_str, user, type, value)."""
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for (i, ts, u, t, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream(spark, src_dir: str):
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+class TestWatermarkLateData:
+    def test_late_rows_below_watermark_are_dropped(self, spark, tmp_path):
+        """Append-mode windowed agg with a 2h watermark across two
+        availableNow runs (checkpoint carries the watermark): a row older
+        than the persisted watermark must not re-open its already-final
+        window, and windows are emitted exactly once when the watermark
+        passes them."""
+        from etl_embargo_spark.streaming.daily import windowed_event_counts
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        # run 1: two files -> two micro-batches; max ts 13:00 => watermark
+        # ends at 11:00, finalizing the 10:00 window
+        _write_events(spark, src, [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "click", 1.0),
+        ])
+        _write_events(spark, src, [
+            (3, "2024-01-01 12:00:00", 1, "click", 1.0),
+            (4, "2024-01-01 13:00:00", 1, "click", 1.0),
+        ])
+        for _ in range(2):  # second run: late row + fresh row
+            agg = windowed_event_counts(_stream(spark, src), window="1 hour")
+            q = (
+                agg.writeStream.trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .start()
+            )
+            q.awaitTermination(180)
+            _write_events(spark, src, [
+                # 10:15 is below the persisted watermark (11:00): dropped
+                (5, "2024-01-01 10:15:00", 1, "click", 1.0),
+                # 17:00 advances the watermark to 15:00, finalizing 12 & 13
+                (6, "2024-01-01 17:00:00", 1, "click", 1.0),
+            ])
+
+        got = {
+            (str(r["window_start"]), r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        }
+        # the 10:00 window held its phase-1 count of 2 — the late row
+        # neither re-opened it nor produced a duplicate window row
+        assert got == {
+            ("2024-01-01 10:00:00", 2),
+            ("2024-01-01 12:00:00", 1),
+            ("2024-01-01 13:00:00", 1),
+        }
+
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        """Cross-batch key dedup with bounded state: a re-delivered
+        event_id within the watermark horizon is dropped; new keys pass."""
+        from etl_embargo_spark.streaming.daily import dedup_events_stream
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        _write_events(spark, src, [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "click", 1.0),
+        ])
+        for _ in range(2):
+            deduped = dedup_events_stream(_stream(spark, src)).select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            q = (
+                deduped.writeStream.trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .start()
+            )
+            q.awaitTermination(180)
+            _write_events(spark, src, [
+                (1, "2024-01-01 10:40:00", 1, "click", 1.0),  # re-delivery
+                (3, "2024-01-01 11:00:00", 1, "click", 1.0),  # new key
+            ])
+
+        ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+        assert ids == [1, 2, 3]
+
+    def test_batch_path_degenerates_to_drop_duplicates(self, spark, sf_dir):
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.streaming.daily import dedup_events_stream
+
+        events = load_table(spark, sf_dir, "events")
+        n = dedup_events_stream(events).count()
+        assert n == events.select("event_id").distinct().count()
