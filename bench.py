@@ -9,8 +9,10 @@ no driver-side collect skew), which is how a real cluster job would be
 costed.  The headline set covers every engine axis: scan+filter+scalar
 (q_filename_parse, q_split_partition), broadcast join (q_whitelist_semi),
 shuffle agg (q_pricing_summary, q_metrics_rollup), window (q_overwrite_merge,
-q_sessionize), event-time (q_events_window), dedup (exact + MinHash LSH),
-similarity (cosine top-k), and text analysis (q_text_quality).
+q_sessionize), event-time (q_events_window), dedup (exact + MinHash LSH +
+blocked edit-distance), similarity (cosine top-k), text analysis
+(q_text_quality, q_tfidf), deterministic sampling (q_hash_sample), and the
+funnel range-join composition (q_funnel).
 """
 
 from __future__ import annotations
@@ -48,6 +50,10 @@ HEADLINE = [
     "q_asof_join",
     "q_range_join",
     "q_corpus_prep",
+    "q_tfidf",
+    "q_dedup_levenshtein",
+    "q_hash_sample",
+    "q_funnel",
 ]
 
 

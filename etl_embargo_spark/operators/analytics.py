@@ -95,6 +95,35 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form under cube/rollup: exactly
+    the three sets (flag), (status), (flag, status), skipping the grand
+    total a cube would add.  Still one shuffle: partial aggregation expands
+    the sets map-side, identical to rollup's plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+            "g_flag",
+            "g_status",
+        )
+    )
+
+
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-to-order gap: lag/lead analytic frame surface.
     One shuffle on the partition key; the frame scan is streaming within

@@ -149,6 +149,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "asof_ts", "asof_purchase_value")
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, how many purchases landed within one
+    hour after a view (view → purchase within 1h), plus the earliest
+    converting purchase.
+
+    Composes the time-binned ``range_join`` (one equi-join on (user, bin),
+    no inequality cross product) and aggregates to user grain — the classic
+    product-analytics funnel expressed in the same scale shape as
+    q_range_join."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("view_end"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts")
+    )
+    pairs = range_join(
+        purchases, views, key="user_id", ts="ts", lo="view_ts", hi="view_end"
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.min("ts").alias("first_conversion_ts"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events falling inside the 1-hour window after any purchase by the
     same user — the interval-containment join (plain inequality join in

@@ -99,6 +99,30 @@ VOCAB_TOP = 100
 TFIDF_TOP = 3
 
 
+def normalize_text(col: Column) -> Column:
+    """Canonical text-normalization chain for dedup keys: lowercase, strip
+    punctuation, collapse whitespace runs, trim.  Pure codegen built-ins —
+    this is the cheap pass every corpus pipeline runs before hashing."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, PUNCT_CLASS, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized text + the md5 over it — normalization-aware exact dedup
+    keys (catches duplicates that differ only in case/punct/whitespace,
+    which byte-level md5 misses)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: collection term frequency + document frequency
     per token, top-100 by df.  The df side is a true distinct aggregate

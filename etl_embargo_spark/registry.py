@@ -908,6 +908,61 @@ register(
     """,
 )
 
+register(
+    "q_grouping_sets",
+    analytics.q_grouping_sets,
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+)
+
+register(
+    "q_funnel",
+    temporal.q_funnel,
+    """
+    WITH views AS (
+        SELECT user_id, ts AS view_ts, ts + INTERVAL 1 HOUR AS view_end
+        FROM events WHERE event_type = 'view'
+    ),
+    purchases AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           min(p.ts) AS first_conversion_ts
+    FROM purchases p JOIN views v
+      ON p.user_id = v.user_id
+     AND p.ts >= v.view_ts AND p.ts <= v.view_end
+    GROUP BY p.user_id
+    """,
+)
+
+register(
+    "q_text_normalize",
+    text.q_text_normalize,
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[.,!?;:''"()\[\]{}-]', '', 'g'),
+               '\s+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(
+               regexp_replace(lower(text), '[.,!?;:''"()\[\]{}-]', '', 'g'),
+               '\s+', ' ', 'g'))) AS n_chars_norm,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[.,!?;:''"()\[\]{}-]', '', 'g'),
+               '\s+', ' ', 'g'))) AS norm_hash
+    FROM documents WHERE n_chars > 0
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splitting (north-star extension)
 # ---------------------------------------------------------------------------

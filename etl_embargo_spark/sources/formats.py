@@ -1,0 +1,68 @@
+"""Interchange-format sources: schema-explicit CSV and JSON-lines readers
+(and the matching writers, for pipeline hand-offs).
+
+The reference's only interchange surfaces are newline-delimited text
+(/root/reference/embargo_check.go:84-99) and a JSON array
+(/root/reference/embargo_check.go:39-45); this module generalizes that to
+the two formats a data-exchange boundary actually uses, with the engine's
+standing rule: schemas are DECLARED, never inferred (SURVEY §1.3 —
+``inferSchema`` costs an extra full pass and silently changes types when
+the data drifts; a declared schema fails loudly instead).
+
+Scale notes: CSV/JSONL are row-major, uncompressed-by-default, and
+unsplittable when gzipped — fine as ingestion boundaries, wrong as
+pipeline-internal storage.  Ingest → parquet immediately (columnar,
+splittable, statistics for pushdown); these readers exist for the boundary
+only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Canonical DDL for the events interchange schema (matches the catalog).
+EVENTS_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+# timestamp_ntz, not timestamp: the catalog serves naive-UTC instants
+# (parquet without the UTC flag surfaces as NTZ on Spark 4), and an LTZ
+# column here would shift values on any non-UTC session.
+
+# NTZ timestamps need an explicit format pin on BOTH sides (and it is the
+# timestampNTZFormat option, not timestampFormat, that NTZ columns honor):
+# the default read pattern silently truncates microseconds to millis.
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV source with declared schema + strict mode (malformed rows fail
+    the job rather than becoming silent nulls)."""
+    return (
+        spark.read.schema(EVENTS_DDL)
+        .option("header", "true")
+        .option("timestampNTZFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def write_events_csv(df: DataFrame, path: str) -> None:
+    df.write.option("header", "true").option(
+        "timestampNTZFormat", _TS_FMT
+    ).mode("overwrite").csv(path)
+
+
+def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines source with declared schema (one object per line — the
+    splittable JSON layout; multiLine arrays are single-task territory)."""
+    return (
+        spark.read.schema(EVENTS_DDL)
+        .option("timestampNTZFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+
+
+def write_events_jsonl(df: DataFrame, path: str) -> None:
+    df.write.option("timestampNTZFormat", _TS_FMT).mode("overwrite").json(path)

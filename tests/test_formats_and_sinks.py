@@ -1,0 +1,83 @@
+"""Round-trip tests for the interchange-format sources and the compaction
+sink: CSV/JSONL must carry the events table losslessly (declared schema,
+pinned timestamp format), and write_compacted must hit its file-count
+target regardless of the upstream partition count."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from etl_embargo_spark.catalog import load_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestInterchangeFormats:
+    def test_csv_roundtrip_lossless(self, spark, sf_dir, tmp_path):
+        from etl_embargo_spark.sources.formats import (
+            read_events_csv,
+            write_events_csv,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        path = str(tmp_path / "events_csv")
+        write_events_csv(events, path)
+        back = read_events_csv(spark, path)
+        assert back.schema == events.schema
+        assert _rows(back) == _rows(events)
+
+    def test_jsonl_roundtrip_lossless(self, spark, sf_dir, tmp_path):
+        from etl_embargo_spark.sources.formats import (
+            read_events_jsonl,
+            write_events_jsonl,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        path = str(tmp_path / "events_jsonl")
+        write_events_jsonl(events, path)
+        back = read_events_jsonl(spark, path)
+        assert back.schema == events.schema
+        assert _rows(back) == _rows(events)
+
+    def test_failfast_on_malformed(self, spark, tmp_path):
+        """A malformed row must fail the read, not become silent nulls."""
+        import pytest
+
+        from etl_embargo_spark.sources.formats import read_events_csv
+
+        p = tmp_path / "bad"
+        p.mkdir()
+        (p / "part.csv").write_text(
+            "event_id,ts,user_id,event_type,value,props\n"
+            "not_a_long,also not a ts,1,click,1.0,{}\n"
+        )
+        with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+            read_events_csv(spark, str(p)).collect()
+
+
+class TestCompaction:
+    def test_file_count_tracks_target(self, spark, sf_dir, tmp_path):
+        from etl_embargo_spark.sinks.compact import write_compacted
+
+        li = load_table(spark, sf_dir, "lineitem").repartition(16)
+        out = str(tmp_path / "compact4")
+        # pretend the output is 512 KB against a 128 KB target -> 4 files
+        n = write_compacted(
+            li, out, est_bytes=512 * 1024, target_file_bytes=128 * 1024
+        )
+        files = [f for f in Path(out).glob("part-*") if f.suffix == ".parquet"]
+        assert n == 4
+        assert len(files) == 4
+        # and the data survived intact
+        assert spark.read.parquet(out).count() == li.count()
+
+    def test_single_file_floor(self, spark, sf_dir, tmp_path):
+        from etl_embargo_spark.sinks.compact import write_compacted
+
+        nation = load_table(spark, sf_dir, "nation")
+        out = str(tmp_path / "compact1")
+        n = write_compacted(nation, out, est_bytes=10)
+        files = [f for f in Path(out).glob("part-*") if f.suffix == ".parquet"]
+        assert n == 1 and len(files) == 1
