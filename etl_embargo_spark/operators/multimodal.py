@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_embargo_spark.catalog import load_table
+from etl_embargo_spark.catalog import load_table, spread_for_cpu
 
 MEDIA_SCHEMA = (
     "media_id long, media_type string, content binary, "
@@ -46,7 +46,7 @@ def decoder_available() -> bool:
 def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a media table from ``documents``: the text bytes play the role
     of an encoded payload; type/declared dims are deterministic per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
     mtype = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),

@@ -64,7 +64,7 @@ class TestMinHash:
 
 class TestSimHash:
     def test_near_dups_are_similar(self, spark, sf_dir):
-        """SimHash pairs at hamming ≤ 8 of 64 should share vocabulary:
+        """SimHash pairs within the default radius should share vocabulary:
         verify reported pairs do overlap, and identical texts are found."""
         from etl_embargo_spark.operators.dedup import q_dedup_simhash
 
