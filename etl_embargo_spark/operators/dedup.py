@@ -444,42 +444,58 @@ def embedding_near_dups(
     """Embedding-cosine near-dup via multi-table random-hyperplane LSH.
 
     ``n_tables`` independent tables of ``planes_per_table`` sign bits each
-    (deterministic pseudo-random planes from a fixed seed, computed with
-    built-in ``aggregate`` over the array — no Python); a pair is a
-    candidate if it collides in ANY table; exact cosine verifies.  Recall
-    for angle θ: 1-(1-(1-θ/π)^k)^L — banding, exactly like MinHash; a
-    single wide bucket would have ~zero recall at moderate similarity.  At
-    100 TB the bucket join replaces the O(n²) cross join.
+    (deterministic seeded ±1 planes, applied as ONE Arrow-batched GEMM:
+    (batch × dim) @ (dim × planes) then sign-packed per table — per-row
+    column expressions for this were interpreted per element and ~20x
+    slower); a pair is a candidate if it collides in ANY table; exact
+    cosine verifies.  Recall for angle θ: 1-(1-(1-θ/π)^k)^L — banding,
+    exactly like MinHash; a single wide bucket would have ~zero recall at
+    moderate similarity.  At 100 TB the bucket join replaces the O(n²)
+    cross join.
+
+    Sizing: ``planes_per_table`` is the occupancy knob — expected bucket
+    size is n / 2^k, so at production n it should grow ~log2(n) (with L
+    raised to hold recall).  The default k=4 is tuned for this corpus's
+    low similarity ceiling (~0.5 cosine); real near-dup thresholds
+    (≥ 0.9) tolerate much larger k at the same recall.
     """
+    from etl_embargo_spark.operators.similarity import sign_matrix
 
-    def _bit(p: int) -> F.Column:
-        # sign of dot(embedding, plane_p); plane weights = ±1 from murmur
-        return F.when(
-            F.aggregate(
-                F.expr(
-                    f"zip_with(embedding, sequence(0, size(embedding)-1), "
-                    f"(v, i) -> v * (CASE WHEN pmod(hash({p}, i), 2) = 0 "
-                    f"THEN 1.0 ELSE -1.0 END))"
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = sign_matrix(n_tables * planes_per_table, dim, seed=7)
 
-    table_keys = []
-    for t in range(n_tables):
-        bits = [_bit(t * planes_per_table + j) for j in range(planes_per_table)]
-        key = sum(
-            (bit * F.lit(1 << j) for j, bit in enumerate(bits)),
-            start=F.lit(0),
-        )
-        table_keys.append(key)
+    def _make_bucketer(pm, k, n_t):
+        # nested factory: ships by value (cloudpickle), executor-safe
+        def _buckets(batches):
+            import numpy as _np
+            import pandas as _pd
 
-    bucketed = emb.select(
-        "vec_id",
-        F.posexplode(F.array(*table_keys)).alias("table_id", "bucket"),
+            weights = (1 << _np.arange(k, dtype=_np.int64))[None, :]
+
+            for pdf in batches:
+                e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
+                bits = (e @ pm.T) >= 0  # (n, n_tables*k)
+                keys = (
+                    bits.reshape(len(pdf), n_t, k).astype(_np.int64) * weights
+                ).sum(axis=2)
+                n = len(pdf)
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": _np.repeat(
+                            pdf["vec_id"].to_numpy(), n_t
+                        ),
+                        "table_id": _np.tile(
+                            _np.arange(n_t, dtype=_np.int32), n
+                        ),
+                        "bucket": keys.reshape(-1),
+                    }
+                )
+
+        return _buckets
+
+    bucketed = emb.select("vec_id", "embedding").mapInPandas(
+        _make_bucketer(planes, planes_per_table, n_tables),
+        schema="vec_id long, table_id int, bucket long",
     )
     # Bucket-groupBy pair generation (see _bucket_pairs): the 32 hyperplane
     # dot products per row run once; only (bucket, vec_id) shuffles.  The
@@ -490,21 +506,11 @@ def embedding_near_dups(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    scored = pairs.join(ea, "vec_a").join(eb, "vec_b")
-    # shared vector-math expressions (single source of truth with the
-    # similarity operators)
-    from etl_embargo_spark.operators.similarity import _dot, _norm
+    # Arrow-batched exact-cosine verify (shared with the similarity
+    # operators) — the distinct above means each unique pair is scored once.
+    from etl_embargo_spark.operators.similarity import cosine_score_pairs
 
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
-    )
-    return scored.select(
-        "vec_a",
-        "vec_b",
-        F.round(cos, 6).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    return cosine_score_pairs(pairs, emb).filter(F.col("cosine") >= threshold)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,37 +208,38 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wraps and stops being Karp-Rabin
         MOD = _np.uint64((1 << 31) - 1)
 
+        # B^t % MOD for t = K-1 .. 0 (leftmost byte weighted highest, same
+        # value the rolling recurrence produces)
+        POWERS_REV = _np.empty(K, dtype=_np.uint64)
+        POWERS_REV[K - 1] = 1
+        for _i in range(K - 2, -1, -1):
+            POWERS_REV[_i] = (POWERS_REV[_i + 1] * BASE) % MOD
+
         def fp(text):
+            # fully vectorized: K-gram hashes as one windowed dot product
+            # (exact — max term 255·(MOD−1)·K < 2^42, no uint64 wrap), then
+            # winnowing as a windowed argmin.  A scalar rolling-hash loop
+            # here was ~1.5M Python iterations per batch and dominated the
+            # operator's runtime.
             data = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8).astype(_np.uint64)
             n = data.size
             if n < K:
                 return [int(data.sum() % MOD)] if n else [0]
-            # rolling K-gram hashes
-            powers = _np.empty(K, dtype=_np.uint64)
-            powers[0] = 1
-            for i in range(1, K):
-                powers[i] = (powers[i - 1] * BASE) % MOD
-            hs = _np.zeros(n - K + 1, dtype=_np.uint64)
-            h = _np.uint64(0)
-            for i in range(K):
-                h = (h * BASE + data[i]) % MOD
-            hs[0] = h
-            top = powers[K - 1]
-            for i in range(1, n - K + 1):
-                h = ((h + MOD - (data[i - 1] * top) % MOD) * BASE + data[i + K - 1]) % MOD
-                hs[i] = h
+            grams = _np.lib.stride_tricks.sliding_window_view(data, K)
+            hs = (grams * POWERS_REV[None, :]).sum(axis=1) % MOD
             if hs.size <= W:
                 return [int(hs.min())]
-            # window minimum (rightmost min per window, dedup consecutive)
-            out = []
-            last = -1
-            for i in range(hs.size - W + 1):
-                w = hs[i : i + W]
-                j = i + int(w.size - 1 - _np.argmin(w[::-1]))
-                if j != last:
-                    out.append(int(hs[j]))
-                    last = j
-            return out
+            # rightmost min per window, dedup consecutive selections
+            wins = _np.lib.stride_tricks.sliding_window_view(hs, W)
+            j = (
+                _np.arange(wins.shape[0])
+                + (W - 1)
+                - _np.argmin(wins[:, ::-1], axis=1)
+            )
+            keep = _np.empty(j.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = j[1:] != j[:-1]
+            return [int(v) for v in hs[j[keep]]]
 
         for pdf in batches:
             yield _pd.DataFrame(
