@@ -44,9 +44,12 @@ def q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id bucket), explode them back with the tar-entry source kernel, and
     return the recovered entries.  Verifies the pack/explode machinery on
     driver data without touching the filesystem."""
-    docs = spread_for_cpu(
-        load_table(spark, sf_dir, "documents"), spark
-    ).withColumn("bucket", (F.col("doc_id") % 16).cast("int"))
+    # no spread_for_cpu here: the pack kernel runs inside
+    # groupBy("bucket").applyInPandas, whose own shuffle fixes parallelism
+    # at the 16 bucket groups — a pre-repartition would be a wasted shuffle
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "bucket", (F.col("doc_id") % 16).cast("int")
+    )
 
     def _pack(key, pdf):
         import gzip as _gzip

@@ -300,25 +300,24 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_cpu(
         load_table(spark, sf_dir, "documents"), spark
     ).withColumn("_band", F.floor(F.col("n_chars") / LEV_BAND))
-    a = docs.select(
-        "lang", "source", "_band",
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+    # bucket-groupBy pair generation (_bucket_pairs), not a self-join: the
+    # scan + repartition lineage runs once and only (block key, doc, text)
+    # shuffles; a self-join executed the whole upstream twice (CLAUDE.md
+    # hard-won rule, verified via duplicate FileScans in the plan)
+    pairs = _bucket_pairs(
+        docs,
+        ["lang", "source", "_band"],
+        F.struct(F.col("doc_id"), F.col("text")),
     )
-    b = docs.select(
-        F.col("lang").alias("lang_b"), F.col("source").alias("source_b"),
-        F.col("_band").alias("band_b"),
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+    lev = F.levenshtein(
+        F.col("a.text"), F.col("b.text"), LEV_MAX
     )
-    joined = a.join(
-        b,
-        (a["lang"] == b["lang_b"])
-        & (a["source"] == b["source_b"])
-        & (a["_band"] == b["band_b"])
-        & (a["doc_a"] < b["doc_b"]),
-    )
-    lev = F.levenshtein("text_a", "text_b", LEV_MAX)
     return (
-        joined.select("doc_a", "doc_b", lev.alias("lev"))
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.alias("lev"),
+        )
         .filter(F.col("lev") >= 0)
     )
 
@@ -459,21 +458,28 @@ def embedding_near_dups(
     low similarity ceiling (~0.5 cosine); real near-dup thresholds
     (≥ 0.9) tolerate much larger k at the same recall.
     """
-    from etl_embargo_spark.operators.similarity import sign_matrix
-
-    dim = len(emb.select("embedding").first()["embedding"])
-    planes = sign_matrix(n_tables * planes_per_table, dim, seed=7)
-
-    def _make_bucketer(pm, k, n_t):
-        # nested factory: ships by value (cloudpickle), executor-safe
+    def _make_bucketer(seed, k, n_t):
+        # nested factory: ships by value (cloudpickle), executor-safe.
+        # Planes are generated IN the kernel from the first batch's dim —
+        # keeps query construction lazy (no driver-side first() job, no
+        # crash on an empty table) and every task derives the identical
+        # matrix from the seed (mirrors similarity.sign_matrix).
         def _buckets(batches):
             import numpy as _np
             import pandas as _pd
 
             weights = (1 << _np.arange(k, dtype=_np.int64))[None, :]
+            pm = None
 
             for pdf in batches:
+                if len(pdf) == 0:
+                    continue
                 e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
+                if pm is None:
+                    rng = _np.random.default_rng(seed)
+                    pm = (
+                        rng.integers(0, 2, size=(n_t * k, e.shape[1])) * 2 - 1
+                    ).astype(_np.float64)
                 bits = (e @ pm.T) >= 0  # (n, n_tables*k)
                 keys = (
                     bits.reshape(len(pdf), n_t, k).astype(_np.int64) * weights
@@ -494,7 +500,7 @@ def embedding_near_dups(
         return _buckets
 
     bucketed = emb.select("vec_id", "embedding").mapInPandas(
-        _make_bucketer(planes, planes_per_table, n_tables),
+        _make_bucketer(7, planes_per_table, n_tables),
         schema="vec_id long, table_id int, bucket long",
     )
     # Bucket-groupBy pair generation (see _bucket_pairs): the 32 hyperplane

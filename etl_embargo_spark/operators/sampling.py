@@ -104,10 +104,14 @@ def stratified_sample(
     return docs.sampleBy("lang", fractions, seed=seed)
 
 
+# The synthetic corpus's fixed language set (seed=42 generator); a constant
+# keeps this query builder job-free — deriving it with distinct().collect()
+# would run a full scan every time the (lazy) DataFrame is constructed.
+STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.25}
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: seeded per-language sample of documents (50% en, 25%
     others); pytest bounds the realized per-stratum fractions."""
     docs = load_table(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
-    fractions = {lang: (0.5 if lang == "en" else 0.25) for lang in langs}
-    return stratified_sample(docs, fractions).select("doc_id", "lang")
+    return stratified_sample(docs, STRATA_FRACTIONS).select("doc_id", "lang")

@@ -109,3 +109,9 @@ class TestExtensionPlans:
         plan = _plan(spark, sf_dir, "q_histogram")
         assert plan.count("HashAggregate") >= 2
         assert plan.count("Exchange") == 1
+
+    def test_levenshtein_pairs_single_scan(self, spark, sf_dir):
+        """Blocked pair generation must be the bucket-groupBy shape — one
+        documents scan, never a self-join that executes the lineage twice."""
+        plan = _plan(spark, sf_dir, "q_dedup_levenshtein")
+        assert plan.count("Scan parquet") == 1
