@@ -322,6 +322,82 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster) with
+    cluster = min doc_id in the component: the step that turns pairwise
+    near-dup verdicts into keep/drop groups (keep the representative, drop
+    the rest).
+
+    Iterative min-label propagation — the class of algorithm that is NOT
+    SQL-expressible: each round every vertex adopts the smallest label
+    among itself and its neighbors; converged when a round changes
+    nothing.  Rounds = O(component diameter), and near-dup components are
+    shallow (dup clusters are cliques or short chains), so a handful of
+    rounds suffices at any corpus size.
+
+    Scale mechanics: each round is one shuffle join + groupBy-min, and the
+    label relation is ``localCheckpoint``ed per round — WITHOUT that, the
+    lineage doubles every iteration and Catalyst re-plans (and re-executes)
+    an exponentially growing tree; with it, each round starts from
+    materialized partitions.  The convergence check is a count() per round
+    — one tiny driver scalar, the loop condition itself (this is driver
+    CONTROL FLOW, not a driver-side data pull)."""
+    edges = pairs.selectExpr("a AS src", "b AS dst").unionByName(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("dst", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        labels = (
+            updated.select("id", F.col("new_label").alias("label"))
+            .localCheckpoint()
+        )
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (iterative — not SQL-expressible): cluster assignment over
+    the union of exact-dup pairs and blocked edit-distance pairs; pytest
+    holds a union-find oracle over the same edges."""
+    exact_pairs = _bucket_pairs(
+        load_table(spark, sf_dir, "documents").select(
+            F.md5("text").alias("text_hash"), "doc_id"
+        ),
+        ["text_hash"],
+        F.struct(F.col("doc_id")),
+    ).select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    lev_pairs = q_dedup_levenshtein(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return dedup_clusters(
+        exact_pairs.unionByName(lev_pairs).distinct()
+    ).orderBy("doc_id")
+
+
 def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, simhash bigint) via an Arrow-batched kernel: token murmur
     hashes are computed JVM-side; the per-bit majority vote runs in numpy.

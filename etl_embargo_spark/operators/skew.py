@@ -17,8 +17,10 @@ row per map task before the shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
 
 DEFAULT_SALTS = 8
 
@@ -54,3 +56,18 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join as a driver query: lineitem ⋈ supplier on suppkey
+    through the (key, salt) rewrite — results must be identical to the
+    plain join, which is exactly what the DuckDB oracle states."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    dim = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return salted_join(li, dim, "l_suppkey").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "s_nationkey"
+    )

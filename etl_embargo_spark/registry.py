@@ -27,6 +27,7 @@ from etl_embargo_spark.operators import (
     sampling,
     setops,
     similarity,
+    skew,
     temporal,
     text,
 )
@@ -638,6 +639,7 @@ register(
 register("q_dedup_minhash", dedup.q_dedup_minhash, None)
 register("q_dedup_simhash", dedup.q_dedup_simhash, None)
 register("q_dedup_embedding", dedup.q_dedup_embedding, None)
+register("q_dedup_clusters", dedup.q_dedup_clusters, None)
 
 register(
     "q_dedup_ngram_jaccard",
@@ -905,6 +907,15 @@ register(
            CAST(json_extract_string(props, '$.k') AS INT) AS k
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+    """,
+)
+
+register(
+    "q_salted_join",
+    skew.q_salted_join,
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey, s_nationkey
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     """,
 )
 

@@ -442,3 +442,76 @@ class TestSampling:
         assert abs(c["train"] / n - 0.80) < 0.05
         assert abs(c["val"] / n - 0.10) < 0.04
         assert abs(c["test"] / n - 0.10) < 0.04
+
+
+class TestDedupClusters:
+    def test_matches_union_find(self, spark, sf_dir):
+        """Connected components via label propagation must partition the
+        docs exactly like a sequential union-find over the same edges."""
+        from etl_embargo_spark.operators.dedup import (
+            q_dedup_clusters,
+            q_dedup_levenshtein,
+        )
+        from etl_embargo_spark.catalog import load_table
+
+        # rebuild the same edge set the query uses
+        docs = load_table(spark, sf_dir, "documents").collect()
+        by_hash: dict[str, list[int]] = {}
+        import hashlib
+
+        for r in docs:
+            by_hash.setdefault(
+                hashlib.md5(r["text"].encode()).hexdigest(), []
+            ).append(r["doc_id"])
+        edges = [
+            (a, b)
+            for ds in by_hash.values()
+            for a, b in itertools.combinations(sorted(ds), 2)
+        ]
+        edges += [
+            (r["doc_a"], r["doc_b"])
+            for r in q_dedup_levenshtein(spark, sf_dir).collect()
+        ]
+
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        want = {}
+        for v in parent:
+            want.setdefault(find(v), set()).add(v)
+
+        got = {}
+        for r in q_dedup_clusters(spark, sf_dir).collect():
+            got.setdefault(r["cluster"], set()).add(r["doc_id"])
+
+        assert set(map(frozenset, got.values())) == set(
+            map(frozenset, want.values())
+        )
+        # representative = min id of its component
+        for rep, members in got.items():
+            assert rep == min(members)
+
+    def test_chain_converges_to_one_cluster(self, spark):
+        """A path graph (worst-case diameter) must still collapse to a
+        single component with the min label."""
+        from etl_embargo_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "a long, b long"
+        )
+        out = dedup_clusters(pairs).collect()
+        assert {r["cluster"] for r in out} == {0}
+        assert {r["doc_id"] for r in out} == set(range(11))
