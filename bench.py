@@ -71,17 +71,26 @@ def main() -> None:
     # Warm the JVM + parquet footers so q1 doesn't pay session startup.
     qmap["q_count"](spark, sf_dir).collect()
 
+    # min of N_RUNS per query: run-to-run noise on a shared box is ±25%,
+    # and the minimum is the best estimate of the code's actual cost (the
+    # steady-state number that matters at scale; first run also carries
+    # one-time whole-stage-codegen compile for that query's operators)
+    N_RUNS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # one broken query must not zero the round
-            print(f"# {name} FAILED: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # one broken query must not zero the round
+                print(f"# {name} FAILED: {exc}", file=sys.stderr)
+                best = -1.0
+                break
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
