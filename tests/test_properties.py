@@ -175,3 +175,52 @@ class TestBucketPairsProperty:
         # every pair ordered a < b
         assert Counter(emitted) == want
         assert all(a < b for a, b in emitted)
+
+
+def _py_norm(text: str) -> str:
+    """Pure-Python model of text.normalize_text."""
+    import re
+
+    t = text.lower()
+    t = re.sub(r"[.,!?;:'\"()\[\]{}-]", "", t)
+    t = re.sub(r"\s+", " ", t)
+    return t.strip()
+
+
+class TestCorpusScalarProperties:
+    @settings(max_examples=15, deadline=None)
+    @given(names_lists)
+    def test_hash_bucket_range_and_determinism(self, spark, keys):
+        """Buckets land in [0, 100) and re-evaluating the expression gives
+        identical assignments (the whole point of content-hash sampling)."""
+        from etl_embargo_spark.operators.sampling import hash_bucket
+
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        out = df.select(
+            "k", hash_bucket(F.col("k")).alias("b1"),
+            hash_bucket(F.col("k")).alias("b2"),
+        ).collect()
+        for r in out:
+            assert 0 <= r["b1"] < 100
+            assert r["b1"] == r["b2"]
+        # same key -> same bucket across rows
+        seen: dict[str, int] = {}
+        for r in out:
+            assert seen.setdefault(r["k"], r["b1"]) == r["b1"]
+
+    @settings(max_examples=15, deadline=None)
+    @given(names_lists)
+    def test_normalize_text_idempotent_and_matches_model(self, spark, texts):
+        """normalize(normalize(x)) == normalize(x), and the Spark chain
+        matches the pure-Python model character for character."""
+        from etl_embargo_spark.operators.text import normalize_text
+
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        out = df.select(
+            "t",
+            normalize_text(F.col("t")).alias("once"),
+            normalize_text(normalize_text(F.col("t"))).alias("twice"),
+        ).collect()
+        for r in out:
+            assert r["once"] == _py_norm(r["t"]), r["t"]
+            assert r["twice"] == r["once"], r["t"]
