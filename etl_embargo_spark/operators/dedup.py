@@ -261,24 +261,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    a = sh.select(
-        F.col("lang"), F.col("source"),
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+    # bucket-groupBy pair generation, not a self-join: the tokenize+shingle
+    # lineage runs once (CLAUDE.md hard-won rule; same shape as levenshtein)
+    pairs = _bucket_pairs(
+        sh, ["lang", "source"], F.struct(F.col("doc_id"), F.col("sh"))
     )
-    b = sh.select(
-        F.col("lang").alias("lang_b"), F.col("source").alias("source_b"),
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
-    )
-    joined = a.join(
-        b,
-        (a["lang"] == b["lang_b"])
-        & (a["source"] == b["source_b"])
-        & (a["doc_a"] < b["doc_b"]),
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return joined.select(
-        "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / union, 6).alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.2)
 
 

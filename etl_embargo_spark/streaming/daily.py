@@ -98,6 +98,49 @@ def run_foreach_batch(
     )
 
 
+def streaming_funnel(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases landing within ``horizon`` after
+    a view by the same user — the streaming face of the batch funnel
+    (operators/temporal.q_funnel).
+
+    Both sides carry watermarks and the join condition bounds event time on
+    BOTH ends, which is what lets Spark expire join state: a buffered view
+    can be dropped once the purchase-side watermark passes view_ts +
+    horizon (without the time bound, stream-stream join state grows
+    forever).  Works on batch frames too (watermarks skipped) — that is
+    how the parity test pins it to the batch join."""
+    v = views.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return p.join(
+        v,
+        F.expr(
+            f"p_user_id = v_user_id AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {horizon}"
+        ),
+    ).select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+    )
+
+
 def dedup_events_stream(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

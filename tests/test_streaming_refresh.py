@@ -224,3 +224,54 @@ class TestWatermarkLateData:
         events = load_table(spark, sf_dir, "events")
         n = dedup_events_stream(events).count()
         assert n == events.select("event_id").distinct().count()
+
+
+class TestStreamStreamJoin:
+    def test_streaming_funnel_matches_batch(self, spark, tmp_path):
+        """Stream-stream time-bounded inner join across multiple
+        micro-batches equals the batch join of the same data, including a
+        cross-batch match (purchase arriving a batch after its view)."""
+        from etl_embargo_spark.streaming.daily import streaming_funnel
+
+        views_dir = str(tmp_path / "views")
+        purch_dir = str(tmp_path / "purchases")
+        # batch 1: views for users 1,2 + an in-batch purchase for 1
+        _write_events(spark, views_dir, [
+            (101, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (102, "2024-01-01 10:05:00", 2, "view", 1.0),
+        ])
+        _write_events(spark, purch_dir, [
+            (201, "2024-01-01 10:30:00", 1, "purchase", 9.0),
+        ])
+        # batch 2: cross-batch purchase for user 2 (inside horizon) and a
+        # too-late purchase for user 1 (outside the 1h horizon)
+        _write_events(spark, purch_dir, [
+            (202, "2024-01-01 10:50:00", 2, "purchase", 9.0),
+            (203, "2024-01-01 11:30:00", 1, "purchase", 9.0),
+        ])
+
+        out = streaming_funnel(
+            _stream(spark, views_dir), _stream(spark, purch_dir)
+        )
+        q = (
+            out.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .format("memory")
+            .queryName("sfunnel")
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM sfunnel").collect()
+        }
+        # batch reference over the same files
+        batch = streaming_funnel(
+            spark.read.schema(_EVENTS_SCHEMA).parquet(views_dir),
+            spark.read.schema(_EVENTS_SCHEMA).parquet(purch_dir),
+        )
+        want = {
+            (r["user_id"], r["purchase_id"]) for r in batch.collect()
+        }
+        assert got == want == {(1, 201), (2, 202)}
