@@ -362,6 +362,30 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FEATURE_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature extraction over the event log — the feature-store
+    shape: one row per user with per-type counts (conditional aggregation,
+    same plan a pivot compiles to), monetary totals, and activity span.
+    One shuffle on user_id; partial aggregation compresses map-side."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in FEATURE_EVENT_TYPES
+        ],
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            2,
+        ).alias("purchase_total"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``$.k`` out of the events JSON
     ``props`` column and filter on it.  ``get_json_object`` runs JVM-side

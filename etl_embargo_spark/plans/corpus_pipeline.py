@@ -69,3 +69,25 @@ def prepare_corpus(docs: DataFrame) -> DataFrame:
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus prep: quality gate + language gate + exact dedup."""
     return prepare_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full prepare→split composition: the gated, deduplicated corpus
+    carved into train/val/test by the deterministic md5 bucket of the
+    representative doc_id, reported as per-split counts+token totals — the
+    last step before a corpus ships to training.  Adds NO shuffle beyond
+    corpus-prep's dedup groupBy except the 3-group final count."""
+    from etl_embargo_spark.operators.sampling import hash_bucket, TRAIN_UPTO, VAL_UPTO
+
+    corpus = prepare_corpus(load_table(spark, sf_dir, "documents"))
+    bucket = hash_bucket(F.col("doc_id").cast("string"))
+    tagged = corpus.withColumn(
+        "split",
+        F.when(bucket < TRAIN_UPTO, "train")
+        .when(bucket < VAL_UPTO, "val")
+        .otherwise("test"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

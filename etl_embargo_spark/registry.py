@@ -782,10 +782,7 @@ register("q_doc_fingerprint", text.q_doc_fingerprint, None)
 
 # End-to-end corpus-prep composition (quality gate → lang gate → exact
 # dedup) — the plans/ showcase, fully SQL-expressible.
-register(
-    "q_corpus_prep",
-    corpus_pipeline.q_corpus_prep,
-    r"""
+_CORPUS_PREP_SQL = r"""
     WITH featured AS (
         SELECT doc_id, lang, source, text,
                len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
@@ -808,6 +805,46 @@ register(
            arg_min(source, doc_id) AS source,
            arg_min(n_tokens, doc_id) AS n_tokens
     FROM gated GROUP BY md5(text)
+"""
+
+register("q_corpus_prep", corpus_pipeline.q_corpus_prep, _CORPUS_PREP_SQL)
+
+register(
+    "q_corpus_split",
+    corpus_pipeline.q_corpus_split,
+    f"""
+    WITH corpus AS ({_CORPUS_PREP_SQL}),
+    b AS (
+        SELECT *,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 100 AS bucket
+        FROM corpus
+    )
+    SELECT CASE WHEN bucket < {sampling.TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {sampling.VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM b GROUP BY 1
+    """,
+)
+
+register(
+    "q_user_features",
+    analytics.q_user_features,
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2)
+               AS purchase_total,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen
+    FROM events GROUP BY user_id
     """,
 )
 
