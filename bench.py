@@ -81,16 +81,20 @@ def main() -> None:
         fn = qmap[name]
         best = None
         for _ in range(N_RUNS):
+            # drop any relation a previous run persisted (e.g. minhash's
+            # shingle stage) — otherwise run 2 silently reads the cache
+            # and the minimum under-reports the query's real cost
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # one broken query must not zero the round
                 print(f"# {name} FAILED: {exc}", file=sys.stderr)
-                best = -1.0
                 break
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        # a failure only zeroes the query if NO run succeeded
+        timings[name] = round(best, 3) if best is not None else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

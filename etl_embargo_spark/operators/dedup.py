@@ -119,7 +119,7 @@ def _bucket_pairs(
     bucketed: DataFrame,
     key_cols: list[str],
     item: F.Column,
-    max_bucket: int = 4096,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """All intra-bucket (i < j) candidate pairs via
     ``groupBy(bucket) → collect_set → pair expansion``.
@@ -131,15 +131,24 @@ def _bucket_pairs(
     pair order deterministic (first struct field ascending), so every
     pair comes out exactly once with a < b.
 
-    Buckets larger than ``max_bucket`` are dropped — a bucket that hot is
-    either a degenerate key (empty doc) or an exact-dup cluster already
-    caught by exact dedup, and expanding it is O(k²); the cap bounds
-    worst-case skew at 100 TB.
+    ``max_bucket``: buckets larger than this are dropped — for the
+    APPROXIMATE candidate paths (MinHash bands, SimHash chunks, hyperplane
+    tables) a bucket that hot is a degenerate key and expanding it is
+    O(k²), so the cap bounds worst-case skew at 100 TB.  Pass ``None`` for
+    the EXACT oracle-mirrored variants (ngram, levenshtein), whose
+    contract is "every pair in the block": there the caller's blocking key
+    is responsible for bounding block size (each block is buffered as one
+    collect_set row), and a silent cap would diverge from the SQL oracle
+    at scale.
     """
     buckets = (
         bucketed.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_set(item)).alias("items"))
-        .filter(F.size("items").between(2, max_bucket))
+        .filter(
+            F.size("items") >= 2
+            if max_bucket is None
+            else F.size("items").between(2, max_bucket)
+        )
     )
     return buckets.select(
         F.explode(
@@ -262,9 +271,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     )
     # bucket-groupBy pair generation, not a self-join: the tokenize+shingle
-    # lineage runs once (CLAUDE.md hard-won rule; same shape as levenshtein)
+    # lineage runs once (CLAUDE.md hard-won rule; same shape as levenshtein).
+    # UNCAPPED (max_bucket=None): this exact variant's contract — and its
+    # DuckDB oracle — is every pair in the block; at a SF where a
+    # (lang, source) block outgrows one agg buffer, the blocking key must
+    # be refined (e.g. + length band), not silently truncated.  The
+    # unblocked scale path is MinHash.
     pairs = _bucket_pairs(
-        sh, ["lang", "source"], F.struct(F.col("doc_id"), F.col("sh"))
+        sh,
+        ["lang", "source"],
+        F.struct(F.col("doc_id"), F.col("sh")),
+        max_bucket=None,
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
@@ -299,10 +316,13 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan + repartition lineage runs once and only (block key, doc, text)
     # shuffles; a self-join executed the whole upstream twice (CLAUDE.md
     # hard-won rule, verified via duplicate FileScans in the plan)
+    # uncapped: exact variant, every block pair must match the oracle;
+    # the (lang, source, length-band) key keeps blocks small by design
     pairs = _bucket_pairs(
         docs,
         ["lang", "source", "_band"],
         F.struct(F.col("doc_id"), F.col("text")),
+        max_bucket=None,
     )
     lev = F.levenshtein(
         F.col("a.text"), F.col("b.text"), LEV_MAX
@@ -317,7 +337,7 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster) with
     cluster = min doc_id in the component: the step that turns pairwise
     near-dup verdicts into keep/drop groups (keep the representative, drop
@@ -352,6 +372,9 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("dst", "id")
         )
+        # checkpoint the joined round ONCE; both the convergence count and
+        # the next round's labels read the materialized result (counting
+        # first and checkpointing after would execute the join twice)
         updated = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -361,14 +384,19 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 ).alias("new_label"),
                 "label",
             )
-        )
-        changed = updated.filter(F.col("new_label") < F.col("label")).count()
-        labels = (
-            updated.select("id", F.col("new_label").alias("label"))
             .localCheckpoint()
         )
+        changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        labels = updated.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # silent non-convergence would return a component split into
+        # several clusters with wrong representatives — fail loudly
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster")
     )
@@ -378,13 +406,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only (iterative — not SQL-expressible): cluster assignment over
     the union of exact-dup pairs and blocked edit-distance pairs; pytest
     holds a union-find oracle over the same edges."""
-    exact_pairs = _bucket_pairs(
-        load_table(spark, sf_dir, "documents").select(
-            F.md5("text").alias("text_hash"), "doc_id"
-        ),
-        ["text_hash"],
-        F.struct(F.col("doc_id")),
-    ).select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    # exact-dup edges as STARS (representative ↔ member), not cliques:
+    # connectivity needs only k-1 edges per k-doc group, and a clique
+    # expansion of a large dup cluster is O(k²) for nothing — union-find
+    # components are identical either way
+    groups = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_set("doc_id").alias("members"),
+        )
+        .filter(F.size("members") >= 2)
+    )
+    exact_pairs = groups.select(
+        F.col("rep").alias("a"), F.explode("members").alias("b")
+    ).filter(F.col("a") < F.col("b"))
     lev_pairs = q_dedup_levenshtein(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )

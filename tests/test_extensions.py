@@ -515,3 +515,16 @@ class TestDedupClusters:
         out = dedup_clusters(pairs).collect()
         assert {r["cluster"] for r in out} == {0}
         assert {r["doc_id"] for r in out} == set(range(11))
+
+    def test_non_convergence_raises(self, spark):
+        """Exhausting max_iters with labels still moving must fail loudly,
+        never return a silently-split component."""
+        import pytest
+
+        from etl_embargo_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "a long, b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_clusters(pairs, max_iters=3)
