@@ -399,3 +399,129 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         k.alias("k"),
     ).filter(F.col("k") > 50)
+
+
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer first/last/second order price: first_value, last_value
+    and nth_value over an UNBOUNDED-both-ways frame (the only frame under
+    which last_value/nth_value are deterministic — the default frame stops
+    at CURRENT ROW and would make last_value degenerate to the row itself).
+    One window partition ordering serves all three functions, so Spark
+    plans a single sort + single Window operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias(
+            "second_price"
+        ),
+    )
+
+
+RANGE_FRAME_DAYS = 30
+
+
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day revenue per customer: a RANGE frame over a day
+    number, not a ROWS frame — all orders in the last 30 *days* contribute,
+    however many rows that is, and same-day ties all see the same frame.
+    The order key is an int day number so the DataFrame-API rangeBetween
+    (numeric only) applies; this is also the portable form (interval range
+    frames are SQL-dialect-specific)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-RANGE_FRAME_DAYS, 0)
+    )
+    return orders.withColumn("day_num", day_num).select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing30"),
+    )
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance and both standard deviations of (quantity, extendedprice)
+    per returnflag.  All four are single-pass mergeable co-moment
+    aggregates (Welford-style partial merge) — constant state per
+    partition, one shuffle, safe at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("stddev_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level re-aggregation: daily partials (sum, count) merged into
+    monthly finals, with the monthly average derived from merged sums —
+    NOT an average of daily averages.  This is the incremental-pipeline
+    contract at 100 TB: yesterday's partials never get rescanned; only
+    sum/count partials are stored because they are the mergeable closure
+    of avg.  Correctness of the merge is exactly what the oracle checks
+    (a direct monthly aggregation over the raw rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("day"), "l_returnflag"
+    ).agg(
+        F.sum("l_quantity").alias("pq"),
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("l_extendedprice").alias("pp"),
+    )
+    return daily.groupBy(
+        (F.year("day") * 100 + F.month("day")).cast("int").alias("month_int"),
+        "l_returnflag",
+    ).agg(
+        F.round(F.sum("pq"), 2).alias("sum_qty"),
+        F.sum("pn").alias("n_rows"),
+        F.round(F.sum("pp"), 2).alias("sum_price"),
+        F.round(F.sum("pq") / F.sum("pn"), 6).alias("avg_qty"),
+    )
+
+
+HH_LIFT = 1.15
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users whose event count is ≥ 1.15× the mean
+    per-user count (the events table is the one input with real per-key
+    dispersion; TPC-H keys are near-uniform).  The threshold is relative,
+    so the query is scale-invariant.  The global (total, n_groups) pair
+    rides in on a broadcast one-row cross join — no driver collect, plan
+    stays lazy.  The mean is computed as sum/count explicitly (identical
+    IEEE result in any engine; a builtin avg is free to use a different
+    incremental algorithm, which would make the >= boundary
+    engine-dependent)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("_k")
+    )
+    mean = F.col("_tot") / F.col("_k")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("n") >= HH_LIFT * mean)
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / mean, 4).alias("lift"),
+        )
+    )

@@ -191,3 +191,44 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, windows, key="user_id", ts="ts", lo="win_start", hi="win_end"
     )
     return out.select("event_id", "user_id", "ts", "win_start", "win_end")
+
+
+def scd2_intervals(
+    rows: DataFrame, key: str, ts: str, tie: str
+) -> DataFrame:
+    """Build type-2 slowly-changing-dimension validity intervals from a
+    change log: valid_from = this change's timestamp, valid_to = the next
+    change's timestamp for the same key (NULL = still current).  One
+    window (lead + row_number share the same sort), one shuffle on the
+    key — at 100 TB this is the standard way to turn an append-only CDC
+    feed into point-in-time-queryable history."""
+    w = Window.partitionBy(key).orderBy(ts, tie)
+    return (
+        rows.withColumn("valid_to", F.lead(ts).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumnRenamed(ts, "valid_from")
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history over purchase events: each user's purchases become
+    versioned validity intervals (valid_from/valid_to/version/is_current)
+    with the purchase value as the tracked attribute."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value", 2).alias("purchase_value"),
+    )
+    out = scd2_intervals(purchases, key="user_id", ts="ts", tie="event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        "valid_from",
+        "valid_to",
+        F.col("version").cast("int").alias("version"),
+        "is_current",
+        "purchase_value",
+    )

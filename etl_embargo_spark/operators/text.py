@@ -252,3 +252,53 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         _fingerprint, schema="doc_id long, fingerprint array<long>"
     ).select("doc_id", F.size("fingerprint").alias("n_grams"), "fingerprint")
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits):
+    H = log2(N) − Σ tf·log2(tf) / N, computed from per-(doc, token) counts
+    in one pass — the algebraic form avoids materializing probabilities.
+    Low entropy flags boilerplate/repetitive documents, a standard corpus
+    quality signal.  Two chained aggregations, both with map-side partials:
+    the (doc, token) shuffle carries distinct tokens once each (not every
+    occurrence), and the per-doc rollup shuffles one row per (doc, token)
+    group — the exploded token stream itself never crosses the wire."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.log2(F.sum("tf"))
+            - F.sum(F.col("tf") * F.log2("tf")) / F.sum("tf"),
+            4,
+        ).alias("entropy_bits"),
+    )
+
+
+NGRAM_TOP = 50
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams: adjacent-token pairs built array-side
+    (codegen transform over the token array, no self-join on position),
+    exploded once, counted, TakeOrderedAndProject for the top-k — the
+    n-gram language-model counting shape.  Deterministic tie-break on the
+    bigram string."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = docs.select(_tokens().alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(NGRAM_TOP)
+    )

@@ -1179,3 +1179,156 @@ register(
     GROUP BY user_id, sess_id
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Analytic surface, round-1 extension batch 2: full window-function frames,
+# bivariate stats, incremental re-aggregation, exact heavy hitters
+# ---------------------------------------------------------------------------
+
+register(
+    "q_first_last",
+    analytics.q_first_last,
+    """
+    SELECT o_custkey, o_orderkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice) OVER w, 2) AS last_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+
+register(
+    "q_range_frame",
+    analytics.q_range_frame,
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+                AS INT) AS day_num,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                  o_orderdate)
+               RANGE BETWEEN {analytics.RANGE_FRAME_DAYS} PRECEDING
+                         AND CURRENT ROW
+           ), 2) AS trailing30
+    FROM orders
+    """,
+)
+
+register(
+    "q_corr_stats",
+    analytics.q_corr_stats,
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2)
+               AS covar_qty_price,
+           round(stddev_samp(l_quantity), 4) AS stddev_qty,
+           round(stddev_samp(l_extendedprice), 4) AS stddev_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+register(
+    "q_incremental_agg",
+    analytics.q_incremental_agg,
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', l_shipdate) AS day, l_returnflag,
+               sum(l_quantity) AS pq, count(*) AS pn,
+               sum(l_extendedprice) AS pp
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT CAST(year(day)*100 + month(day) AS INT) AS month_int,
+           l_returnflag,
+           round(sum(pq), 2) AS sum_qty,
+           CAST(sum(pn) AS BIGINT) AS n_rows,
+           round(sum(pp), 2) AS sum_price,
+           round(sum(pq) / sum(pn), 6) AS avg_qty
+    FROM daily GROUP BY 1, 2
+    """,
+)
+
+register(
+    "q_heavy_hitters",
+    analytics.q_heavy_hitters,
+    f"""
+    WITH c AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ),
+    m AS (SELECT sum(n) AS tot, count(*) AS k FROM c)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           round(n / (tot::DOUBLE / k), 4) AS lift
+    FROM c, m
+    WHERE n >= {analytics.HH_LIFT} * (tot::DOUBLE / k)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Temporal, continued: SCD-2 change-log history
+# ---------------------------------------------------------------------------
+
+register(
+    "q_scd2",
+    temporal.q_scd2,
+    """
+    SELECT user_id, event_id,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS INT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           round(value, 2) AS purchase_value
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Text analysis, continued: token entropy + n-gram counts
+# ---------------------------------------------------------------------------
+
+register(
+    "q_token_entropy",
+    text.q_token_entropy,
+    r"""
+    WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS token
+              FROM documents WHERE n_chars > 0)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           round(log2(sum(tf)) - sum(tf * log2(tf)) / sum(tf), 4)
+               AS entropy_bits
+    FROM tf GROUP BY doc_id
+    """,
+)
+
+register(
+    "q_ngram_counts",
+    text.q_ngram_counts,
+    rf"""
+    WITH toks AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(list_transform(
+            range(0, len(t) - 1), i -> t[i+1] || ' ' || t[i+2]
+        )) AS bigram
+        FROM toks WHERE len(t) >= 2
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {text.NGRAM_TOP}
+    """,
+)

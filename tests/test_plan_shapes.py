@@ -115,3 +115,76 @@ class TestExtensionPlans:
         documents scan, never a self-join that executes the lineage twice."""
         plan = _plan(spark, sf_dir, "q_dedup_levenshtein")
         assert plan.count("Scan parquet") == 1
+
+
+class TestBatch2Plans:
+    def test_first_last_single_window(self, spark, sf_dir):
+        """first/last/nth_value share one window spec — the plan must carry
+        exactly one Window operator (and so one sort), not three."""
+        plan = _plan(spark, sf_dir, "q_first_last")
+        assert plan.count("Window") == 1
+
+    def test_scd2_single_window_single_shuffle(self, spark, sf_dir):
+        """lead + row_number share the (key, ts) sort: one Window, one
+        Exchange on user_id."""
+        plan = _plan(spark, sf_dir, "q_scd2")
+        assert plan.count("Window") == 1
+        assert plan.count("Exchange") == 1
+
+    def test_incremental_agg_two_level(self, spark, sf_dir):
+        """Daily and monthly levels each get a partial+final HashAggregate
+        pair; nothing collapses the merge back into a raw-row rescan."""
+        plan = _plan(spark, sf_dir, "q_incremental_agg")
+        assert plan.count("HashAggregate") >= 4
+        assert plan.count("Scan parquet") == 1
+
+    def test_heavy_hitters_broadcasts_totals(self, spark, sf_dir):
+        """The one-row totals must ride a broadcast nested-loop cross join;
+        any shuffle join on a cross product would be catastrophic."""
+        plan = _plan(spark, sf_dir, "q_heavy_hitters")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_ngram_topk_is_heap_based(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q_ngram_counts")
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestRuntimeBloomFilter:
+    def test_bloom_filter_injected_on_shuffle_join(self, spark, sf_dir):
+        """The 100-TB shape for a selective dim join that is too big to
+        broadcast: Spark's runtime bloom-filter injection builds a bloom
+        filter from the filtered creation side and semi-join-prunes the
+        probe side *before* the shuffle.  Verified here by forcing the
+        shuffle join (broadcast off) and lowering the size thresholds the
+        optimizer gates on; production keeps the defaults, where the rule
+        arms itself exactly when the probe scan is big enough to matter."""
+        from etl_embargo_spark.catalog import load_table
+
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        }
+        prior = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            from pyspark.sql import functions as F
+
+            li = load_table(spark, sf_dir, "lineitem")
+            supp = load_table(spark, sf_dir, "supplier").filter(
+                F.col("s_acctbal") > 4500.0
+            )
+            joined = li.join(supp, li.l_suppkey == supp.s_suppkey).select(
+                "l_orderkey", "s_nationkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan or "bloomfilter" in plan.lower()
+        finally:
+            for k, v in prior.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
