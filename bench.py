@@ -54,6 +54,11 @@ HEADLINE = [
     "q_dedup_levenshtein",
     "q_hash_sample",
     "q_funnel",
+    "q_incremental_agg",
+    "q_heavy_hitters",
+    "q_scd2",
+    "q_token_entropy",
+    "q_ngram_counts",
 ]
 
 

@@ -302,3 +302,41 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(NGRAM_TOP)
     )
+
+
+EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails then phone numbers with typed placeholder tokens.
+    Both patterns are deliberately in the regex subset where Java regex
+    (Spark) and RE2 (DuckDB, Go) agree — no backrefs, no lookaround —
+    so the scrub is engine-portable.  Pure codegen regexp_replace: this
+    runs at scan speed, the right cost profile for a pass applied to
+    every document of a 100 TB corpus."""
+    c = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents: deterministic synthetic emails/phones
+    are appended to each text (the corpus itself is PII-free), then
+    redacted; output carries the per-doc match counts and the md5 of the
+    scrubbed text so the oracle checks the exact redaction result, not
+    just the counts."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_pii = docs.select("doc_id", pii_text.alias("pii_text"))
+    return with_pii.select(
+        "doc_id",
+        F.regexp_count("pii_text", F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("pii_text", F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(scrub_pii(F.col("pii_text"))).alias("scrubbed_hash"),
+    )

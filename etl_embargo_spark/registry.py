@@ -1332,3 +1332,27 @@ register(
     LIMIT {text.NGRAM_TOP}
     """,
 )
+
+register(
+    "q_pii_scrub",
+    text.q_pii_scrub,
+    rf"""
+    WITH with_pii AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com tel 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS pii_text
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{text.EMAIL_RE}'))
+                AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{text.PHONE_RE}'))
+                AS INT) AS n_phones,
+           md5(regexp_replace(
+               regexp_replace(pii_text, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{text.PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash
+    FROM with_pii
+    """,
+)
