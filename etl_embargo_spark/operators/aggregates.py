@@ -65,3 +65,25 @@ def observed_metrics(df: DataFrame, name: str = "etl_metrics") -> DataFrame:
             "files_private"
         ),
     )
+
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of lineitem's numeric measures: row count
+    plus null count / distinct count / min / max per column — the
+    data-quality sweep a pipeline runs before trusting a new drop.  All
+    stats for all columns compute in a single aggregation (one scan, one
+    reduce); the exact distincts share the scan via Catalyst's expand,
+    with map-side partials bounding the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"distinct_{c}"),
+            F.round(F.min(c), 2).alias(f"min_{c}"),
+            F.round(F.max(c), 2).alias(f"max_{c}"),
+        ]
+    return li.agg(*aggs)

@@ -1356,3 +1356,22 @@ register(
     FROM with_pii
     """,
 )
+
+_PROFILE_STATS = ",\n".join(
+    f"""           CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT)
+               AS nulls_{c},
+           CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_{c},
+           round(min({c}), 2) AS min_{c},
+           round(max({c}), 2) AS max_{c}"""
+    for c in aggregates.PROFILE_COLS
+)
+
+register(
+    "q_data_profile",
+    aggregates.q_data_profile,
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+{_PROFILE_STATS}
+    FROM lineitem
+    """,
+)
