@@ -123,3 +123,94 @@ class TestStatefulStreaming:
         got = sorted(map(tuple, final.collect()))
         want = sorted(map(tuple, batch_user_totals(events).collect()))
         assert got == want
+
+
+class TestBatch2Invariants:
+    def test_scd2_intervals_chain(self, spark, sf_dir):
+        """Per key: versions dense from 1, exactly one open (is_current)
+        interval, and version k's valid_to equals version k+1's
+        valid_from — the point-in-time-query contract."""
+        from etl_embargo_spark.operators.temporal import q_scd2
+
+        rows = q_scd2(spark, sf_dir).collect()
+        by_user: dict[int, list] = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        assert by_user
+        for user, items in by_user.items():
+            items.sort(key=lambda r: r.version)
+            assert [r.version for r in items] == list(
+                range(1, len(items) + 1)
+            ), user
+            assert sum(r.is_current for r in items) == 1
+            assert items[-1].is_current and items[-1].valid_to is None
+            for a, b in zip(items, items[1:]):
+                assert a.valid_to == b.valid_from, user
+
+    def test_entropy_bounds(self, spark, sf_dir):
+        """0 <= H <= log2(n_unique); H == 0 iff one distinct token."""
+        import math
+
+        from etl_embargo_spark.operators.text import q_token_entropy
+
+        rows = q_token_entropy(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert -1e-9 <= r.entropy_bits, r
+            assert r.entropy_bits <= math.log2(r.n_unique) + 1e-6, r
+            if r.n_unique == 1:
+                assert abs(r.entropy_bits) < 1e-9
+
+    def test_heavy_hitters_threshold(self, spark, sf_dir):
+        """Every returned user clears the relative threshold against the
+        independently recomputed mean, and at least one row exists at
+        every SF (the non-degeneracy that made us move off TPC-H keys)."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            HH_LIFT,
+            q_heavy_hitters,
+        )
+
+        rows = q_heavy_hitters(spark, sf_dir).collect()
+        assert rows
+        counts = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        mean = sum(r.n for r in counts) / len(counts)
+        for r in rows:
+            assert r.n >= HH_LIFT * mean - 1e-9
+
+    def test_incremental_agg_equals_direct(self, spark, sf_dir):
+        """The two-level merge must be indistinguishable from aggregating
+        the raw rows directly (Spark-side cross-check, independent of the
+        DuckDB oracle)."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import q_incremental_agg
+
+        got = {
+            (r.month_int, r.l_returnflag): (r.sum_qty, r.n_rows, r.avg_qty)
+            for r in q_incremental_agg(spark, sf_dir).collect()
+        }
+        li = load_table(spark, sf_dir, "lineitem")
+        direct = li.groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("int")
+            .alias("month_int"),
+            "l_returnflag",
+        ).agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+        want = {
+            (r.month_int, r.l_returnflag): (r.sum_qty, r.n_rows, r.avg_qty)
+            for r in direct.collect()
+        }
+        assert got == want

@@ -275,3 +275,80 @@ class TestStreamStreamJoin:
             (r["user_id"], r["purchase_id"]) for r in batch.collect()
         }
         assert got == want == {(1, 201), (2, 202)}
+
+
+class TestStreamUpsert:
+    def test_upsert_matches_batch_merge_and_reruns_idempotently(
+        self, spark, tmp_path
+    ):
+        """Two change batches merged through the streaming upsert sink must
+        leave exactly the per-key last-writer state the batch rule computes
+        over all changes at once — batching must not be observable."""
+        from etl_embargo_spark.streaming.upsert import (
+            merge_last_writer_wins,
+            stream_upsert,
+        )
+
+        src = str(tmp_path / "changes")
+        _write_events(
+            spark,
+            src,
+            [
+                (1, "2024-01-01 10:00:00", 1, "profile", 10.0),
+                (2, "2024-01-01 10:05:00", 2, "profile", 20.0),
+                (3, "2024-01-01 10:10:00", 3, "profile", 30.0),
+            ],
+        )
+        _write_events(
+            spark,
+            src,
+            [
+                (4, "2024-01-01 11:00:00", 2, "profile", 21.0),
+                (5, "2024-01-01 11:05:00", 3, "profile", 31.0),
+                (6, "2024-01-01 11:10:00", 4, "profile", 40.0),
+            ],
+        )
+
+        table = str(tmp_path / "table")
+        ckpt = str(tmp_path / "ckpt")
+        q = stream_upsert(
+            _stream(spark, src),
+            table,
+            ckpt,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r.user_id, r.value)
+            for r in spark.read.parquet(table).collect()
+        }
+        assert got == {(1, 10.0), (2, 21.0), (3, 31.0), (4, 40.0)}
+
+        # batch oracle: one merge over the full change log
+        want = {
+            (r.user_id, r.value)
+            for r in merge_last_writer_wins(
+                None,
+                spark.read.parquet(src),
+                ["user_id"],
+                ["ts", "event_id"],
+            ).collect()
+        }
+        assert got == want
+
+        # rerun on the drained checkpoint: no state change
+        q2 = stream_upsert(
+            _stream(spark, src),
+            table,
+            ckpt,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+        q2.awaitTermination(120)
+        got2 = {
+            (r.user_id, r.value)
+            for r in spark.read.parquet(table).collect()
+        }
+        assert got2 == got
