@@ -91,3 +91,31 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-deliverable of the dedup suite: the corpus with near-dups
+    REMOVED (rows-only — cluster assignment is iterative).  Exact-dup and
+    blocked edit-distance pairs → connected components → every member that
+    is not its component's representative (min doc_id) is dropped; output
+    is the per-source keep/drop accounting.
+
+    Scale shape: the drop-list is O(duplicates), far smaller than the
+    corpus, so it broadcast-anti-joins back onto documents — the full
+    corpus never shuffles.  Pytest holds the union-find oracle
+    (tests/test_extensions.py::TestCorpusDedup)."""
+    from etl_embargo_spark.operators.dedup import q_dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    drop = (
+        clusters.filter(F.col("doc_id") != F.col("cluster"))
+        .select("doc_id")
+        .withColumn("_dup", F.lit(True))
+    )
+    flagged = docs.join(F.broadcast(drop), "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
+    )

@@ -809,6 +809,8 @@ _CORPUS_PREP_SQL = r"""
 
 register("q_corpus_prep", corpus_pipeline.q_corpus_prep, _CORPUS_PREP_SQL)
 
+register("q_corpus_dedup", corpus_pipeline.q_corpus_dedup, None)
+
 register(
     "q_corpus_split",
     corpus_pipeline.q_corpus_split,

@@ -528,3 +528,60 @@ class TestDedupClusters:
         )
         with pytest.raises(RuntimeError, match="did not converge"):
             dedup_clusters(pairs, max_iters=3)
+
+
+class TestCorpusDedup:
+    def test_keep_drop_accounting_matches_union_find(self, spark, sf_dir):
+        """Per source: dropped = members minus representatives of the
+        union-find components over the same edge set; kept + dropped =
+        total."""
+        import hashlib
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.dedup import q_dedup_levenshtein
+        from etl_embargo_spark.plans.corpus_pipeline import q_corpus_dedup
+
+        docs = load_table(spark, sf_dir, "documents").collect()
+        source_of = {r["doc_id"]: r["source"] for r in docs}
+        by_hash: dict[str, list[int]] = {}
+        for r in docs:
+            by_hash.setdefault(
+                hashlib.md5(r["text"].encode()).hexdigest(), []
+            ).append(r["doc_id"])
+        edges = [
+            (a, b)
+            for ds in by_hash.values()
+            for a, b in itertools.combinations(sorted(ds), 2)
+        ]
+        edges += [
+            (r["doc_a"], r["doc_b"])
+            for r in q_dedup_levenshtein(spark, sf_dir).collect()
+        ]
+
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        dropped = {v for v in parent if find(v) != v}
+        from collections import Counter
+
+        want_dropped = Counter(source_of[d] for d in dropped)
+        want_total = Counter(source_of[d] for d in source_of)
+
+        got = q_corpus_dedup(spark, sf_dir).collect()
+        assert sum(r["n_docs"] for r in got) == len(docs)
+        for r in got:
+            assert r["n_dropped"] == want_dropped.get(r["source"], 0), r
+            assert r["n_kept"] == want_total[r["source"]] - want_dropped.get(
+                r["source"], 0
+            ), r
