@@ -525,3 +525,63 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / mean, 4).alias("lift"),
         )
     )
+
+
+COPURCHASE_TOP = 50
+
+
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs appearing in the same
+    order.  Pair generation is the single-scan bucket-groupBy shape
+    (groupBy order → collect_set → expand), not a self-join — the lineitem
+    scan runs once and only (orderkey, partkey) crosses the wire.  Basket
+    sizes are bounded (an order has a handful of parts), so the expansion
+    is O(k²) with tiny k; the top-50 is TakeOrderedAndProject."""
+    from etl_embargo_spark.operators.dedup import _bucket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = _bucket_pairs(
+        items,
+        ["l_orderkey"],
+        F.struct(F.col("l_partkey").alias("p")),
+        max_bucket=None,
+    )
+    return (
+        pairs.select(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "part_a", "part_b")
+        .limit(COPURCHASE_TOP)
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by signup week, counted as active
+    per week offset.  Two aggregations over one events lineage (signup
+    cohort = min signup week per user; activity = distinct user-weeks)
+    joined on user — the cohort side is small (one row per user) and
+    broadcasts.  Weeks are date_trunc('week') Mondays in both engines;
+    output weeks are yyyymmdd ints (no DATE columns in oracle-checked
+    results)."""
+    events = load_table(spark, sf_dir, "events")
+    cohort = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).alias("cw"))
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    joined = activity.join(F.broadcast(cohort), "user_id").filter(
+        F.col("w") >= F.col("cw")
+    )
+    week_int = (
+        F.year("cw") * 10000 + F.month("cw") * 100 + F.dayofmonth("cw")
+    ).cast("int")
+    offset = (F.datediff(F.to_date("w"), F.to_date("cw")) / 7).cast("int")
+    return joined.groupBy(
+        week_int.alias("cohort_week"), offset.alias("week_offset")
+    ).agg(F.countDistinct("user_id").alias("n_users"))

@@ -1377,3 +1377,84 @@ register(
     FROM lineitem
     """,
 )
+
+register(
+    "q_copurchase",
+    analytics.q_copurchase,
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n DESC, part_a, part_b
+    LIMIT {analytics.COPURCHASE_TOP}
+    """,
+)
+
+register(
+    "q_retention",
+    analytics.q_retention,
+    """
+    WITH cohort AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cw
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT CAST(year(cw)*10000 + month(cw)*100 + day(cw) AS INT)
+               AS cohort_week,
+           CAST(date_diff('day', cw, w) / 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM activity JOIN cohort USING (user_id)
+    WHERE w >= cw
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _q_sliding_window(spark, sf_dir):
+    """Hopping (1 hour / 30 min slide) event-time window counts: every
+    event lands in exactly two overlapping windows.  The same F.window
+    expression runs unchanged under readStream with a watermark — this is
+    the batch-checkable face of the sliding-window streaming surface."""
+    from pyspark.sql import functions as F
+
+    from etl_embargo_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+register(
+    "q_sliding_window",
+    _q_sliding_window,
+    """
+    WITH g AS (
+        SELECT event_type,
+               make_timestamp(
+                   (epoch_us(ts) // 1800000000) * 1800000000
+               ) AS flo
+        FROM events
+    )
+    SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT event_type,
+               unnest([flo, flo - INTERVAL 30 MINUTE]) AS window_start
+        FROM g
+    )
+    GROUP BY 1, 2
+    """,
+)

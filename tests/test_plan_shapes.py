@@ -188,3 +188,20 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestBatch3Plans:
+    def test_copurchase_single_scan(self, spark, sf_dir):
+        """Basket pair mining must be the bucket-groupBy shape: ONE
+        lineitem scan (a self-join would scan and shuffle twice) and a
+        heap-based top-k."""
+        plan = _plan(spark, sf_dir, "q_copurchase")
+        assert plan.count("Scan parquet") == 1
+        assert "TakeOrderedAndProject" in plan
+
+    def test_retention_broadcasts_cohort(self, spark, sf_dir):
+        """The per-user cohort side must broadcast onto the activity
+        stream — it is one row per user, tiny next to the event log."""
+        plan = _plan(spark, sf_dir, "q_retention")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
