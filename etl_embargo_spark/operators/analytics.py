@@ -585,3 +585,97 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         week_int.alias("cohort_week"), offset.alias("week_offset")
     ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+MAD_CUT = 3.5
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scan: median absolute deviation per event_type —
+    the breakdown-resistant counterpart to q_zscore_outliers (one wild
+    value moves a mean+stddev fence, but not a median+MAD fence).
+
+    Two exact-percentile passes (median of values, then median of
+    absolute deviations), each a grouped aggregate broadcast back onto
+    the stream; events whose modified z-score |v − med| / (1.4826·MAD)
+    exceeds 3.5 are flagged.  Spark's percentile and DuckDB's
+    quantile_cont share the linear-interpolation definition, so the
+    fence — and therefore the flagged set — is engine-identical."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+    )
+    scored = events.join(F.broadcast(mad), "event_type").withColumn(
+        "mod_z",
+        F.round(
+            F.abs(F.col("value") - F.col("med"))
+            / (F.lit(MAD_CONSISTENCY) * F.col("mad")),
+            4,
+        ),
+    )
+    return scored.filter(F.col("mod_z") >= MAD_CUT).select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value_r"),
+        "mod_z",
+    )
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over the purchase log: per-user recency (days
+    since last purchase, anchored at the global max event time so the
+    query is deterministic), frequency and monetary total, each assigned
+    a quartile — the standard customer-value segmentation.
+
+    Shape: one grouped aggregate per user, the one-row global anchor
+    broadcast in, quartiles via broadcast percentile fences (see the
+    inline note on why not ntile)."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("_anchor"))
+    purchases = events.filter(F.col("event_type") == "purchase")
+    per_user = purchases.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    rfm = per_user.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.datediff(F.to_date("_anchor"), F.to_date("last_ts")),
+    )
+    # Quartiles via broadcast percentile thresholds, NOT a global ntile:
+    # ntile needs one total-order window (a single sort task — dead at
+    # scale), while three thresholds broadcast onto a narrow map.  The
+    # p25/p50/p75 fences come from the same exact-percentile family the
+    # oracle's quantile_cont uses, so assignment is engine-identical.
+    fences = rfm.agg(
+        F.expr(
+            "percentile(recency_days, array(0.25, 0.5, 0.75))"
+        ).alias("_rf"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("_ff"),
+        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("_mf"),
+    )
+
+    def _quartile(col: str, f: str) -> F.Column:
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + (v > F.element_at(f, 1)).cast("int")
+            + (v > F.element_at(f, 2)).cast("int")
+            + (v > F.element_at(f, 3)).cast("int")
+        )
+
+    return rfm.crossJoin(F.broadcast(fences)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _quartile("recency_days", "_rf").alias("r_quartile"),
+        _quartile("frequency", "_ff").alias("f_quartile"),
+        _quartile("monetary", "_mf").alias("m_quartile"),
+    )

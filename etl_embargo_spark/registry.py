@@ -1458,3 +1458,62 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+register(
+    "q_anomaly_mad",
+    analytics.q_anomaly_mad,
+    f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    mad AS (
+        SELECT e.event_type, any_value(m.med) AS med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT event_id, e.event_type,
+           round(value, 2) AS value_r,
+           round(abs(value - med) / ({analytics.MAD_CONSISTENCY} * mad), 4)
+               AS mod_z
+    FROM events e JOIN mad USING (event_type)
+    WHERE round(abs(value - med) / ({analytics.MAD_CONSISTENCY} * mad), 4)
+          >= {analytics.MAD_CUT}
+    """,
+)
+
+register(
+    "q_rfm",
+    analytics.q_rfm,
+    """
+    WITH anchor AS (SELECT max(ts) AS a FROM events),
+    per_user AS (
+        SELECT user_id, max(ts) AS last_ts,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(value), 2) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    rfm AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(last_ts AS DATE),
+                              CAST(a AS DATE)) AS INT) AS recency_days,
+               frequency, monetary
+        FROM per_user, anchor
+    ),
+    fences AS (
+        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rf,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS ff,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mf
+        FROM rfm
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(1 + (recency_days > rf[1])::INT + (recency_days > rf[2])::INT
+                  + (recency_days > rf[3])::INT AS INT) AS r_quartile,
+           CAST(1 + (frequency > ff[1])::INT + (frequency > ff[2])::INT
+                  + (frequency > ff[3])::INT AS INT) AS f_quartile,
+           CAST(1 + (monetary > mf[1])::INT + (monetary > mf[2])::INT
+                  + (monetary > mf[3])::INT AS INT) AS m_quartile
+    FROM rfm, fences
+    """,
+)

@@ -224,3 +224,57 @@ class TestCorpusScalarProperties:
         for r in out:
             assert r["once"] == _py_norm(r["t"]), r["t"]
             assert r["twice"] == r["once"], r["t"]
+
+
+class TestMergeBatchingInvariance:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # key
+                st.integers(min_value=0, max_value=50),  # version
+                st.integers(min_value=0, max_value=99),  # payload
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(min_value=1, max_value=4),  # number of batches
+    )
+    def test_final_state_independent_of_batching(
+        self, spark, changes, n_batches
+    ):
+        """Folding merge_last_writer_wins over ANY batching of a change
+        log must produce the same final state as one merge over the whole
+        log — the property that makes the streaming upsert sink correct
+        regardless of micro-batch boundaries.  (event_id tie-break comes
+        from the change's position, mirroring a log offset.)"""
+        from etl_embargo_spark.streaming.upsert import merge_last_writer_wins
+
+        rows = [
+            (k, v, p, i) for i, (k, v, p) in enumerate(changes)
+        ]  # (key, version, payload, offset)
+        schema = "key long, version long, payload long, offset long"
+
+        whole = merge_last_writer_wins(
+            None,
+            spark.createDataFrame(rows, schema),
+            ["key"],
+            ["version", "offset"],
+        )
+
+        # deterministic round-robin batching
+        state = None
+        for b in range(n_batches):
+            batch = [r for i, r in enumerate(rows) if i % n_batches == b]
+            if not batch:
+                continue
+            state = merge_last_writer_wins(
+                state,
+                spark.createDataFrame(batch, schema),
+                ["key"],
+                ["version", "offset"],
+            )
+
+        want = {tuple(r) for r in whole.collect()}
+        got = {tuple(r) for r in state.collect()}
+        assert got == want
