@@ -140,3 +140,15 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return a.intersect(b)
+
+
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): every lineitem orderkey
+    occurrence minus one occurrence per order (the linenumber-1 rows) —
+    multiplicities are preserved, unlike the set-semantics EXCEPT.  Spark
+    plans exceptAll as a generate/aggregate counting form (sum of +1/-1
+    tags per value), one shuffle, no join blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    all_keys = li.select("l_orderkey")
+    first_lines = li.filter(F.col("l_linenumber") == 1).select("l_orderkey")
+    return all_keys.exceptAll(first_lines)

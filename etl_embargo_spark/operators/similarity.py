@@ -243,3 +243,31 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     query = _query_vector(spark, sf_dir, 0)
     return ivf_topk(spark, emb, query, k=10, n_centroids=16, nprobe=4)
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm and component sum via array higher-order
+    functions (F.aggregate) — the built-ins path for one-off array math.
+    Elements are cast to double BEFORE multiplying (float*float would
+    lose precision differently per engine); left-to-right list folding is
+    the same order in Spark and DuckDB, so sums are IEEE-identical.
+
+    This is deliberately the HOF counterpart to the numpy GEMM kernels
+    used by the ANN/dedup paths: fine for a single pass over a column,
+    20x+ interpreted overhead when it sits inside a hot pairwise loop
+    (which is why the kernels exist)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x2 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    xsum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.sqrt(x2), 6).alias("l2_norm"),
+        F.round(xsum, 6).alias("comp_sum"),
+    )

@@ -1517,3 +1517,56 @@ register(
     FROM rfm, fences
     """,
 )
+
+register(
+    "q_except_all",
+    setops.q_except_all,
+    """
+    SELECT l_orderkey FROM lineitem
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+
+
+def _q_scalar_subquery(spark, sf_dir):
+    """Orders priced above 1.5x the average order — a scalar subquery in
+    the SQL front-end; Catalyst plans the aggregate once as a broadcast
+    scalar (ReusedSubquery), not per-row."""
+    from etl_embargo_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        """
+    )
+
+
+register(
+    "q_scalar_subquery",
+    _q_scalar_subquery,
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+
+register(
+    "q_vector_norms",
+    similarity.q_vector_norms,
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           round(sqrt(list_sum(
+               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)
+           )), 6) AS l2_norm,
+           round(list_sum(
+               list_transform(embedding, x -> x::DOUBLE)
+           ), 6) AS comp_sum
+    FROM embeddings
+    """,
+)
