@@ -115,3 +115,49 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     others); pytest bounds the realized per-stratum fractions."""
     docs = load_table(spark, sf_dir, "documents")
     return stratified_sample(docs, STRATA_FRACTIONS).select("doc_id", "lang")
+
+
+MIX_BUCKETS = 10000
+MIX_BUDGET_FRAC = 0.5  # downsample the corpus to half, mixture-shaped
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: reshape the corpus toward target source weights by
+    deterministic per-source downsampling — the mixture step of an LLM
+    data pipeline (upweight curated sources, downweight crawl).
+
+    Target weight w_s = (source number % 4) + 1; a budget of half the
+    corpus is allotted proportionally to w_s and each source keeps
+    min(1, allotment / n_s) of its docs by md5-bucket — so selection is
+    a narrow filter (stable under reruns/partitioning, like every
+    sampler here) and only the tiny per-source rate table is computed
+    with a shuffle, then broadcast back.  Output is the per-source
+    accounting: docs in, kept, and the realized keep-rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4 + 1).alias(
+        "w"
+    )
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first(w).alias("w"),
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("_n"), F.sum("w").alias("_sumw")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("_n") * MIX_BUDGET_FRAC * F.col("w"))
+            / (F.col("_sumw") * F.col("n_docs")),
+        ).alias("rate"),
+    )
+    bucket = hash_bucket(F.col("doc_id").cast("string"), MIX_BUCKETS)
+    kept_flag = (bucket < F.col("rate") * MIX_BUCKETS).cast("int")
+    tagged = docs.join(F.broadcast(rates), "source")
+    return tagged.groupBy("source").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.sum(kept_flag).alias("n_kept"),
+        F.round(F.first("rate"), 6).alias("keep_rate"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_embargo_spark.operators import (
     aggregates,
+    graph,
     analytics,
     archive_queries,
     dedup,
@@ -1570,3 +1571,33 @@ register(
     FROM embeddings
     """,
 )
+
+register(
+    "q_corpus_mix",
+    sampling.q_corpus_mix,
+    f"""
+    WITH c AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 + 1 AS w
+        FROM documents GROUP BY 1
+    ),
+    t AS (SELECT sum(n_docs) AS n, sum(w) AS sumw FROM c),
+    r AS (
+        SELECT source, n_docs,
+               least(1.0, (n * {sampling.MIX_BUDGET_FRAC} * w)
+                          / (sumw * n_docs)) AS rate
+        FROM c, t
+    )
+    SELECT source,
+           CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                              % {sampling.MIX_BUCKETS}
+                         < rate * {sampling.MIX_BUCKETS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(any_value(rate), 6) AS keep_rate
+    FROM documents JOIN r USING (source)
+    GROUP BY source
+    """,
+)
+
+register("q_pagerank", graph.q_pagerank, None)

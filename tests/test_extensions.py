@@ -585,3 +585,59 @@ class TestCorpusDedup:
             assert r["n_kept"] == want_total[r["source"]] - want_dropped.get(
                 r["source"], 0
             ), r
+
+
+class TestPageRank:
+    def test_matches_python_power_iteration(self, spark, sf_dir):
+        """Spark PageRank must match a sequential power iteration with the
+        same damping/iterations over the same edges (1e-9 tolerance for
+        summation-order float drift)."""
+        from collections import defaultdict
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.graph import (
+            PR_DAMPING,
+            PR_ITERS,
+            copurchase_edges,
+            q_pagerank,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem")
+        edges = [
+            (r.src, r.dst) for r in copurchase_edges(li).collect()
+        ]
+        out_edges = defaultdict(list)
+        for s, d in edges:
+            out_edges[s].append(d)
+        nodes = sorted(out_edges)
+        n = len(nodes)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(PR_ITERS):
+            contrib = defaultdict(float)
+            for s in nodes:
+                share = rank[s] / len(out_edges[s])
+                for d in out_edges[s]:
+                    contrib[d] += share
+            rank = {
+                v: (1.0 - PR_DAMPING) / n + PR_DAMPING * contrib.get(v, 0.0)
+                for v in nodes
+            }
+
+        got = {r.id: r.rank for r in q_pagerank(spark, sf_dir).collect()}
+        assert set(got) == set(rank)
+        for v in nodes:
+            assert abs(got[v] - rank[v]) < 1e-6, v
+        # ranks form a probability distribution (no dangling mass loss:
+        # the symmetrized graph has no sinks)
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+
+    def test_star_center_dominates(self, spark):
+        """Sanity on a literal star graph: the hub outranks every leaf."""
+        from etl_embargo_spark.operators.graph import pagerank
+
+        pairs = [(0, i) for i in range(1, 6)]
+        edges = spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "src long, dst long"
+        )
+        out = {r.id: r.rank for r in pagerank(edges).collect()}
+        assert out[0] > max(v for k, v in out.items() if k != 0)
