@@ -11,8 +11,11 @@ costed.  The headline set covers every engine axis: scan+filter+scalar
 shuffle agg (q_pricing_summary, q_metrics_rollup), window (q_overwrite_merge,
 q_sessionize), event-time (q_events_window), dedup (exact + MinHash LSH +
 blocked edit-distance), similarity (cosine top-k), text analysis
-(q_text_quality, q_tfidf), deterministic sampling (q_hash_sample), and the
-funnel range-join composition (q_funnel).
+(q_text_quality, q_tfidf), deterministic sampling (q_hash_sample, and the
+mixture sampler q_corpus_mix), the funnel range-join composition
+(q_funnel), incremental re-aggregation (q_incremental_agg), CDC history
+(q_scd2), basket mining (q_copurchase), cohort retention (q_retention),
+robust outliers (q_anomaly_mad), and hopping windows (q_sliding_window).
 """
 
 from __future__ import annotations
@@ -59,6 +62,11 @@ HEADLINE = [
     "q_scd2",
     "q_token_entropy",
     "q_ngram_counts",
+    "q_copurchase",
+    "q_retention",
+    "q_anomaly_mad",
+    "q_corpus_mix",
+    "q_sliding_window",
 ]
 
 

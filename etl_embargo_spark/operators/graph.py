@@ -38,10 +38,14 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("id")).distinct()
     n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_row))
-        .select("id", (F.lit(1.0) / F.col("_n")).alias("rank"))
-        .localCheckpoint()
+    # attach the node count ONCE, outside the loop: (id, _n) is
+    # checkpointed and reused every round — broadcasting the one-row
+    # count per iteration would pin n_iters broadcast blobs on the
+    # driver for no reason (observed driver-memory pressure at sf0.1
+    # in a long default-heap session)
+    nodes_n = nodes.crossJoin(F.broadcast(n_row)).localCheckpoint()
+    ranks = nodes_n.select(
+        "id", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     for _ in range(n_iters):
         contribs = (
@@ -52,8 +56,7 @@ def pagerank(
             .withColumnRenamed("dst", "id")
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(n_row))
-            .join(contribs, "id", "left")
+            nodes_n.join(contribs, "id", "left")
             .select(
                 "id",
                 (

@@ -187,3 +187,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.sum("n_frames").alias("total_frames"),
     )
+
+
+FRAME_EVERY_N = 5
+
+
+def q_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver query for the full multimodal chain: synthesize →
+    resize (fit-within 128×128) → decode/feature-extract → sample every
+    5th frame of the video rows → per-media accounting (frames sampled,
+    highest index).  Every stage is the Arrow-batched plumbing the real
+    codecs plug into; pytest pins the sampled-frame arithmetic
+    (tests/test_extensions.py)."""
+    media = synthetic_media(spark, sf_dir)
+    resized = resize_media(media, target_w=128, target_h=128)
+    feats = extract_features(resized)
+    sampled = frame_sample(feats, every_n=FRAME_EVERY_N)
+    return sampled.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )

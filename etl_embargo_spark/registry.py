@@ -1117,6 +1117,7 @@ register(
 # ---------------------------------------------------------------------------
 
 register("q_media_features", multimodal.q_media_features, None)
+register("q_media_framesample", multimodal.q_media_framesample, None)
 
 # ---------------------------------------------------------------------------
 # Event-time windowing (streaming surface, batch-checkable)

@@ -641,3 +641,32 @@ class TestPageRank:
         )
         out = {r.id: r.rank for r in pagerank(edges).collect()}
         assert out[0] > max(v for k, v in out.items() if k != 0)
+
+
+class TestMediaFrameSampleQuery:
+    def test_sampled_counts_match_frame_arithmetic(self, spark, sf_dir):
+        """Per video: n_sampled == ceil(n_frames / 5) and the highest
+        sampled index is the last multiple of 5 below n_frames."""
+        from etl_embargo_spark.operators.multimodal import (
+            FRAME_EVERY_N,
+            extract_features,
+            q_media_framesample,
+            resize_media,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, sf_dir)
+        feats = extract_features(resize_media(media, 128, 128))
+        frames = {
+            r.media_id: r.n_frames
+            for r in feats.filter("media_type = 'video'").collect()
+        }
+        got = {
+            r.media_id: (r.n_sampled, r.max_frame_idx)
+            for r in q_media_framesample(spark, sf_dir).collect()
+        }
+        assert set(got) == set(frames)
+        for mid, nf in frames.items():
+            want_n = -(-nf // FRAME_EVERY_N)  # ceil
+            want_max = ((nf - 1) // FRAME_EVERY_N) * FRAME_EVERY_N
+            assert got[mid] == (want_n, want_max), (mid, nf)
