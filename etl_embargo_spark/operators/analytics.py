@@ -540,7 +540,10 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_embargo_spark.operators.dedup import _bucket_pairs
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # no .distinct() pre-pass: collect_set inside the pair expansion
+    # already dedups within the order, so a distinct here is a second
+    # full shuffle for nothing
+    items = li.select("l_orderkey", "l_partkey")
     pairs = _bucket_pairs(
         items,
         ["l_orderkey"],

@@ -74,7 +74,9 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
     bucket-groupBy pair shape, one lineitem scan."""
     from etl_embargo_spark.operators.dedup import _bucket_pairs
 
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # collect_set in the expansion dedups within the order — no distinct
+    # pre-pass (see analytics.q_copurchase)
+    items = li.select("l_orderkey", "l_partkey")
     pairs = _bucket_pairs(
         items,
         ["l_orderkey"],
