@@ -604,7 +604,12 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream; events whose modified z-score |v − med| / (1.4826·MAD)
     exceeds 3.5 are flagged.  Spark's percentile and DuckDB's
     quantile_cont share the linear-interpolation definition, so the
-    fence — and therefore the flagged set — is engine-identical."""
+    fence — and therefore the flagged set — is engine-identical.
+
+    Groups with MAD = 0 (a constant-valued event_type) are excluded
+    before scoring: a zero fence has no meaningful modified z-score, and
+    under ANSI SQL (Spark 4 default) the division would abort the whole
+    job rather than return an IEEE infinity."""
     events = load_table(spark, sf_dir, "events")
     med = events.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
@@ -613,7 +618,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.first("med").alias("med"),
         F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
-    )
+    ).filter(F.col("mad") > 0)
     scored = events.join(F.broadcast(mad), "event_type").withColumn(
         "mod_z",
         F.round(
@@ -681,4 +686,163 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quartile("recency_days", "_rf").alias("r_quartile"),
         _quartile("frequency", "_ff").alias("f_quartile"),
         _quartile("monetary", "_mf").alias("m_quartile"),
+    )
+
+
+UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt of the lineitem measures: one output row per
+    (line, measure) — the reshape feeding any generic per-metric pipeline
+    (profiling, drift monitors, metric stores).  ``DataFrame.unpivot`` is
+    a Generate (explode of a struct array) — a narrow, codegen operator:
+    no shuffle, no join, output is exactly n_measures x n_rows streamed
+    out of the scan, so it costs the same as reading the table at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        UNPIVOT_MEASURES,
+        "measure",
+        "value",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round("value", 2).alias("value"),
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the FILTER-clause surface): per return
+    flag, counts and sums restricted to predicate slices of the input —
+    discounted lines, taxed lines, high-quantity lines — all in ONE
+    grouped pass.  Each conditional is a when()-guarded partial aggregate
+    (null rows don't contribute), so adding a slice adds zero shuffles;
+    the alternative (one filtered aggregation per slice, unioned) scans
+    the fact table k times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    taxed = F.col("l_tax") > 0.0
+    bulk = F.col("l_quantity") >= 30
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(disc, 1)).alias("n_discounted"),
+        F.round(F.sum(F.when(disc, F.col("l_extendedprice"))), 2).alias(
+            "disc_revenue"
+        ),
+        F.count(F.when(taxed, 1)).alias("n_taxed"),
+        F.count(F.when(bulk, 1)).alias("n_bulk"),
+        F.round(F.avg(F.when(bulk, F.col("l_extendedprice"))), 2).alias(
+            "bulk_avg_price"
+        ),
+    )
+
+
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event type,
+    ties broken lexicographically.  The builtin ``mode()`` aggregate is
+    free to pick any maximal value, so tie behavior is engine-dependent;
+    the count + rank form pins it.  Shape: one grouped count (map-side
+    combined) then a WindowGroupLimit-eligible rank over the tiny
+    (user, type) relation — the full event stream never reaches the
+    window."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "n")
+    )
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: each customer's order keys joined into
+    one comma-separated string, numerically ordered.  collect_list gives
+    no intra-group order guarantee (partition arrival order), so the sort
+    happens array-side AFTER collection — array_sort + transform +
+    array_join, all codegen — making the result deterministic under any
+    partitioning.  Per-group state is the order list itself: bounded here
+    (orders per customer), the right shape only when group payloads are
+    small — which is exactly when string_agg is the right tool at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys_sorted = F.array_sort(F.collect_list("o_orderkey"))
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.array_join(
+            F.transform(keys_sorted, lambda x: x.cast("string")), ","
+        ).alias("order_keys"),
+    )
+
+
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count-distinct per user: after each event, how many
+    DISTINCT event types has this user produced so far.  Spark has no
+    count(DISTINCT) OVER; the idiomatic form is size(collect_set() OVER
+    (... ROWS UNBOUNDED PRECEDING)) — running set state is O(distinct
+    types), bounded by the type vocabulary, so the window state stays
+    tiny however long the user's history is.  The oracle computes the
+    same thing as a running sum of first-occurrence flags (two stacked
+    windows) — engine-identical because both use the same total order
+    (ts, event_id)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("int")
+        .alias("n_types_seen"),
+    )
+
+
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per order priority, a complete daily spine
+    over the table's [min, max] date range with three fill policies side
+    by side — raw (NULL on missing days), zero-fill, and last-observation
+    -carried-forward.  The spine is generated IN the engine
+    (sequence + explode over the broadcast one-row bounds — no driver
+    collect) and is tiny (days x priorities), so the build is a broadcast
+    hash join against the pre-aggregated counts: the fact table shuffles
+    once for the count, never for the fill."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    counts = orders.groupBy(
+        day.alias("day"), "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n_raw"))
+    bounds = orders.agg(
+        F.min(day).alias("_lo"), F.max(day).alias("_hi")
+    )
+    spine_days = (
+        spark.range(1)
+        .crossJoin(F.broadcast(bounds))
+        .select(F.explode(F.sequence("_lo", "_hi")).alias("day"))
+    )
+    prios = orders.select("o_orderpriority").distinct()
+    spine = spine_days.crossJoin(F.broadcast(prios))
+    joined = spine.join(F.broadcast(counts), ["day", "o_orderpriority"], "left")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    day_int = (
+        F.year("day") * 10000 + F.month("day") * 100 + F.dayofmonth("day")
+    ).cast("int")
+    return joined.select(
+        day_int.alias("day_int"),
+        "o_orderpriority",
+        "n_raw",
+        F.coalesce("n_raw", F.lit(0)).alias("n_zero"),
+        F.last("n_raw", ignorenulls=True).over(w).alias("n_locf"),
     )

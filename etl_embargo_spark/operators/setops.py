@@ -152,3 +152,28 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_keys = li.select("l_orderkey")
     first_lines = li.filter(F.col("l_linenumber") == 1).select("l_orderkey")
     return all_keys.exceptAll(first_lines)
+
+
+def q_null_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti join — the NOT IN subquery shape (TPC-H Q22's
+    core): customers with no finished ('F') order on file.  NOT IN over a
+    nullable column is NOT a plain anti join (one NULL in the subquery
+    empties the result under three-valued logic); expressed through the
+    SQL front-end so Catalyst plans its null-aware single-column anti
+    join rather than a silently-wrong left_anti rewrite.  The subquery
+    side aggregates to distinct keys and broadcasts.  (The status filter
+    keeps the result non-empty at every SF — with no restriction every
+    customer has some order and the check is vacuous.)"""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM v_customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM v_orders WHERE o_orderstatus = 'F'
+        )
+        """
+    )

@@ -1474,6 +1474,7 @@ register(
                quantile_cont(abs(e.value - m.med), 0.5) AS mad
         FROM events e JOIN med m USING (event_type)
         GROUP BY e.event_type
+        HAVING quantile_cont(abs(e.value - m.med), 0.5) > 0
     )
     SELECT event_id, e.event_type,
            round(value, 2) AS value_r,
@@ -1602,3 +1603,142 @@ register(
 )
 
 register("q_pagerank", graph.q_pagerank, None)
+
+# ---------------------------------------------------------------------------
+# Round-1 extension batch 3: reshape (unpivot), conditional aggregates,
+# deterministic mode, ordered string_agg, running count-distinct,
+# date-spine gap fill, null-aware anti join
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ARMS = "\n    UNION ALL\n".join(
+    f"""    SELECT l_orderkey, l_linenumber, '{m}' AS measure,
+           round({m}, 2) AS value FROM lineitem"""
+    for m in analytics.UNPIVOT_MEASURES
+)
+
+register(
+    "q_unpivot",
+    analytics.q_unpivot,
+    f"""
+{_UNPIVOT_ARMS}
+    """,
+)
+
+register(
+    "q_conditional_agg",
+    analytics.q_conditional_agg,
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (l_discount > 0.05) AS BIGINT)
+               AS n_discounted,
+           round(sum(l_extendedprice) FILTER (l_discount > 0.05), 2)
+               AS disc_revenue,
+           CAST(count(*) FILTER (l_tax > 0.0) AS BIGINT) AS n_taxed,
+           CAST(count(*) FILTER (l_quantity >= 30) AS BIGINT) AS n_bulk,
+           round(avg(l_extendedprice) FILTER (l_quantity >= 30), 2)
+               AS bulk_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+register(
+    "q_mode",
+    analytics.q_mode,
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS top_event, n
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n DESC, event_type
+        ) AS rn FROM c
+    )
+    WHERE rn = 1
+    """,
+)
+
+register(
+    "q_string_agg",
+    analytics.q_string_agg,
+    """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS order_keys
+    FROM orders GROUP BY o_custkey
+    """,
+)
+
+register(
+    "q_window_distinct",
+    analytics.q_window_distinct,
+    """
+    WITH f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INT) AS n_types_seen
+    FROM f
+    """,
+)
+
+register(
+    "q_date_spine",
+    analytics.q_date_spine,
+    """
+    WITH b AS (
+        SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+               max(CAST(o_orderdate AS DATE)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM b
+    ),
+    counts AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_raw
+        FROM orders GROUP BY 1, 2
+    ),
+    prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+    filled AS (
+        SELECT s.day, p.o_orderpriority, c.n_raw
+        FROM spine s CROSS JOIN prios p
+        LEFT JOIN counts c
+          ON c.day = s.day AND c.o_orderpriority = p.o_orderpriority
+    )
+    SELECT CAST(year(day)*10000 + month(day)*100 + day(day) AS INT)
+               AS day_int,
+           o_orderpriority,
+           n_raw,
+           CAST(coalesce(n_raw, 0) AS BIGINT) AS n_zero,
+           last_value(n_raw IGNORE NULLS) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_locf
+    FROM filled
+    """,
+)
+
+register(
+    "q_null_anti",
+    setops.q_null_anti,
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
