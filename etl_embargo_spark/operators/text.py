@@ -340,3 +340,88 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("pii_text", F.lit(PHONE_RE)).cast("int").alias("n_phones"),
         F.md5(scrub_pii(F.col("pii_text"))).alias("scrubbed_hash"),
     )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: each document split into
+    64-token chunks on a 48-token stride (16 tokens of overlap), the
+    standard context-window packing step before tokenization.  All
+    array-side codegen — sequence() generates the chunk starts, slice()
+    cuts each window, one explode — so chunking is a narrow map over the
+    corpus scan: no shuffle, no UDF, and the text column crosses the wire
+    exactly once however large the corpus.  The chunk md5 pins exact
+    chunk content in the oracle, not just counts."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = docs.select("doc_id", _tokens().alias("t")).filter(
+        F.size("t") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.size("t").alias("doc_tokens"),
+        F.explode(starts).alias("start"),
+        F.col("t"),
+    )
+    chunk_arr = F.slice("t", F.col("start") + 1, F.lit(CHUNK_TOKENS))
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        "doc_tokens",
+        F.size(chunk_arr).alias("chunk_tokens"),
+        F.md5(F.array_join(chunk_arr, " ")).alias("chunk_md5"),
+    )
+
+
+DECON_NGRAM = 8
+DECON_EVAL_MOD = 97  # doc_id % 97 == 0 plays the held-out eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    8-gram with the held-out set (doc_id % 97 == 0 stands in for the
+    benchmark corpus).  This is the n-gram overlap check run before every
+    serious LLM training job.
+
+    Scale shape: the eval side is tiny by construction, so its distinct
+    8-gram set BROADCASTS; the training corpus explodes to distinct
+    (doc, gram) pairs once and probes the broadcast set with a left-semi
+    join — the corpus never shuffles for the probe, only for its own
+    per-doc distinct/rollup, and gram strings (not documents) are the
+    widest thing in flight."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    toks = docs.select(
+        "doc_id", is_eval.alias("is_eval"), _tokens().alias("t")
+    ).filter(F.size("t") >= DECON_NGRAM)
+    grams = toks.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - DECON_NGRAM),
+                lambda i: F.array_join(
+                    F.slice("t", i + 1, F.lit(DECON_NGRAM)), " "
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    eval_grams = grams.filter("is_eval").select("g").distinct()
+    train = grams.filter(~F.col("is_eval"))
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(eval_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -1742,3 +1742,71 @@ register(
     )
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Training-pipeline text ops: context-window chunking, eval decontamination
+# ---------------------------------------------------------------------------
+
+register(
+    "q_doc_chunk",
+    text.q_doc_chunk,
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE n_chars > 0
+    ),
+    c AS (
+        SELECT doc_id, len(t) AS doc_tokens, t,
+               unnest(range(0, len(t), {text.CHUNK_STRIDE})) AS start
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(start // {text.CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(doc_tokens AS INT) AS doc_tokens,
+           CAST(len(list_slice(t, start + 1,
+                               least(start + {text.CHUNK_TOKENS}, doc_tokens)))
+                AS INT) AS chunk_tokens,
+           md5(array_to_string(
+               list_slice(t, start + 1,
+                          least(start + {text.CHUNK_TOKENS}, doc_tokens)),
+               ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+
+register(
+    "q_decontaminate",
+    text.q_decontaminate,
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {text.DECON_EVAL_MOD} = 0 AS is_eval,
+               string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE n_chars > 0
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, is_eval, g FROM (
+            SELECT doc_id, is_eval,
+                   unnest(list_transform(
+                       range(0, len(t) - {text.DECON_NGRAM} + 1),
+                       i -> array_to_string(
+                           list_slice(t, i + 1, i + {text.DECON_NGRAM}), ' ')
+                   )) AS g
+            FROM toks WHERE len(t) >= {text.DECON_NGRAM}
+        )
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+    train AS (SELECT doc_id, g FROM grams WHERE NOT is_eval),
+    totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM train GROUP BY 1
+    ),
+    hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        FROM train WHERE g IN (SELECT g FROM ev) GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_grams,
+           coalesce(h.n_hit, 0) AS n_hit,
+           coalesce(h.n_hit, 0) > 0 AS contaminated
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+)
