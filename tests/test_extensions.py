@@ -670,3 +670,94 @@ class TestMediaFrameSampleQuery:
             want_n = -(-nf // FRAME_EVERY_N)  # ceil
             want_max = ((nf - 1) // FRAME_EVERY_N) * FRAME_EVERY_N
             assert got[mid] == (want_n, want_max), (mid, nf)
+
+
+class TestDocChunk:
+    """Pure-Python reference model for the context-window chunker: the
+    md5 of every (doc, chunk) must match slicing the token list directly,
+    and the chunk set must tile the document (every token covered,
+    consecutive full chunks overlapping by CHUNK_TOKENS - CHUNK_STRIDE)."""
+
+    def test_chunks_match_python_model(self, spark, sf_dir):
+        import hashlib
+
+        from etl_embargo_spark.operators.text import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+            q_doc_chunk,
+        )
+
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (r["chunk_tokens"], r["chunk_md5"])
+            for r in q_doc_chunk(spark, sf_dir).collect()
+        }
+        expected = {}
+        for doc_id, text in _doc_texts(spark, sf_dir).items():
+            toks = text.strip().lower().split()
+            if not toks:
+                continue
+            for idx, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                chunk = toks[start : start + CHUNK_TOKENS]
+                expected[(doc_id, idx)] = (
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+        assert got == expected
+
+    def test_tiling_invariants(self, spark, sf_dir):
+        from etl_embargo_spark.operators.text import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+            q_doc_chunk,
+        )
+
+        rows = q_doc_chunk(spark, sf_dir).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_idx"])
+            n = chunks[0]["doc_tokens"]
+            # chunk count tiles the token range at the stride
+            assert len(chunks) == -(-n // CHUNK_STRIDE)
+            # every chunk but the tail is full (or truncated by doc end)
+            for r in chunks:
+                start = r["chunk_idx"] * CHUNK_STRIDE
+                assert r["chunk_tokens"] == min(CHUNK_TOKENS, n - start)
+
+
+class TestDecontaminate:
+    """Reference model: exact 8-gram overlap between each training doc
+    and the union of eval-side grams."""
+
+    def test_matches_python_model(self, spark, sf_dir):
+        from etl_embargo_spark.operators.text import (
+            DECON_EVAL_MOD,
+            DECON_NGRAM,
+            q_decontaminate,
+        )
+
+        texts = _doc_texts(spark, sf_dir)
+
+        def grams(text):
+            toks = text.strip().lower().split()
+            return {
+                " ".join(toks[i : i + DECON_NGRAM])
+                for i in range(len(toks) - DECON_NGRAM + 1)
+            }
+
+        eval_grams: set = set()
+        for doc_id, text in texts.items():
+            if doc_id % DECON_EVAL_MOD == 0:
+                eval_grams |= grams(text)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_hit"], r["contaminated"])
+            for r in q_decontaminate(spark, sf_dir).collect()
+        }
+        for doc_id, text in texts.items():
+            g = grams(text)
+            if doc_id % DECON_EVAL_MOD == 0 or not g:
+                assert doc_id not in got
+                continue
+            hit = len(g & eval_grams)
+            assert got[doc_id] == (len(g), hit, hit > 0)
