@@ -846,3 +846,33 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_raw", F.lit(0)).alias("n_zero"),
         F.last("n_raw", ignorenulls=True).over(w).alias("n_locf"),
     )
+
+
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (returnflag, linestatus) cell's revenue as a
+    share of its returnflag total and of the grand total.  The window
+    runs AFTER the aggregation, over the tiny grouped relation — the
+    ratio denominator never touches the fact table a second time.  The
+    grand total rides the same window trick with an empty partition
+    spec: legitimate here only because its input is the handful of
+    grouped rows (an un-partitioned window over raw facts would
+    serialize the job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "_rev"
+        )
+    )
+    w_flag = Window.partitionBy("l_returnflag")
+    w_all = Window.partitionBy()
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("_rev", 2).alias("revenue"),
+        F.round(F.col("_rev") / F.sum("_rev").over(w_flag), 6).alias(
+            "share_of_flag"
+        ),
+        F.round(F.col("_rev") / F.sum("_rev").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    )

@@ -1810,3 +1810,21 @@ register(
     FROM totals t LEFT JOIN hits h USING (doc_id)
     """,
 )
+
+register(
+    "q_percent_of_total",
+    analytics.q_percent_of_total,
+    """
+    WITH g AS (
+        SELECT l_returnflag, l_linestatus,
+               sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus,
+           round(rev, 2) AS revenue,
+           round(rev / sum(rev) OVER (PARTITION BY l_returnflag), 6)
+               AS share_of_flag,
+           round(rev / sum(rev) OVER (), 6) AS share_of_total
+    FROM g
+    """,
+)

@@ -66,3 +66,17 @@ def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
 def write_events_jsonl(df: DataFrame, path: str) -> None:
     df.write.option("timestampNTZFormat", _TS_FMT).mode("overwrite").json(path)
+
+
+def read_events_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema declared, same rule as CSV/JSONL).  ORC is the
+    one other columnar interchange format worth supporting natively:
+    splittable, compressed, with min/max stripe statistics — predicate
+    pushdown and column pruning work exactly as for parquet, so unlike
+    CSV/JSONL it is acceptable pipeline-internal storage when a peer
+    system mandates it."""
+    return spark.read.schema(EVENTS_DDL).orc(path)
+
+
+def write_events_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

@@ -41,6 +41,19 @@ class TestInterchangeFormats:
         assert back.schema == events.schema
         assert _rows(back) == _rows(events)
 
+    def test_orc_roundtrip_lossless(self, spark, sf_dir, tmp_path):
+        from etl_embargo_spark.sources.formats import (
+            read_events_orc,
+            write_events_orc,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        path = str(tmp_path / "events_orc")
+        write_events_orc(events, path)
+        back = read_events_orc(spark, path)
+        assert back.schema == events.schema
+        assert _rows(back) == _rows(events)
+
     def test_failfast_on_malformed(self, spark, tmp_path):
         """A malformed row must fail the read, not become silent nulls."""
         import pytest
