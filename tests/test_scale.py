@@ -173,6 +173,44 @@ class TestDatePartitionPruning:
         assert one_day.count() == want
 
 
+class TestDynamicPartitionPruning:
+    def test_join_driven_pruning_subquery(self, spark, sf_dir, tmp_path):
+        """Dynamic partition pruning: when the partition column is joined
+        to a FILTERED dim, Catalyst injects a runtime pruning subquery on
+        the fact scan — at 100 TB this is what turns 'join facts to this
+        week's dim rows' into a scan of 7 partitions instead of all of
+        them.  Static pruning can't do it: the partition values are only
+        known after the dim filter runs."""
+        events = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        out = str(tmp_path / "dpp_by_day")
+        events.write.partitionBy("event_date").parquet(out)
+        fact = spark.read.parquet(out)
+
+        dim = (
+            events.select("event_date")
+            .distinct()
+            .withColumn(
+                "is_kept", F.dayofmonth("event_date").isin(2, 3)
+            )
+        )
+        joined = fact.join(
+            dim.filter("is_kept"), "event_date"
+        ).groupBy("event_date").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+        # semantic parity with the unpartitioned formulation
+        want = (
+            events.filter(F.dayofmonth("event_date").isin(2, 3))
+            .groupBy("event_date")
+            .count()
+            .collect()
+        )
+        got = joined.collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 class TestReviewRegressions:
     def test_events_load_is_session_timezone_invariant(self, spark, sf_dir):
         """The nanos→ntz conversion must not shift with
