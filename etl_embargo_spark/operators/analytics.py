@@ -876,3 +876,105 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap concurrency via sweep-line: each event is held open
+    for ``value`` minutes; per event_type, the peak number of simultaneously
+    open intervals.
+
+    The reference reasons about time only as scalar cutoffs
+    (/root/reference/embargo.go:272-277); interval algebra is a gap.  The
+    sweep is the scalable shape: boundary points (+1 at start, -1 at end)
+    union'd in ONE narrow pass, then a running sum inside a single
+    partitionBy(event_type) sort — no self-join, no N^2 overlap test.  At
+    100 TB the union is map-side only and the window shuffles each type
+    once; a skewed type can be range-chunked and merged with per-chunk
+    carry-in, the standard parallel-prefix-sum extension.
+
+    Tie policy: ends sort before starts at the same instant (delta -1 < +1),
+    so back-to-back intervals don't double-count.  The running max is
+    invariant under reordering within equal (t, delta) ties, so a ROWS frame
+    is hash-stable across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        F.expr(
+            "timestampadd(SECOND, CAST(floor(value * 60) AS BIGINT), ts)"
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = starts.unionAll(ends).select(
+        "event_type", F.sum("delta").over(w).alias("open_now")
+    )
+    return run.groupBy("event_type").agg(
+        F.max("open_now").cast("int").alias("max_concurrent")
+    )
+
+
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, consecutive-day activity streaks from the
+    event log — active days, number of streaks, longest streak.
+
+    The islands trick (day - row_number() is constant within a run) needs no
+    self-join and no iteration: one distinct, one window sort per user, two
+    cheap aggregations.  All three shuffles key on user_id, so AQE coalesces
+    them and a pre-bucketed layout would collapse them to one.  Days are
+    ordinals from a fixed epoch so the arithmetic is integer end-to-end (no
+    DATE-typed output, per the oracle-compare rules).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id", (F.col("day") - F.row_number().over(w)).alias("g")
+    )
+    streaks = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("int").alias("active_days"),
+        F.count(F.lit(1)).cast("int").alias("n_streaks"),
+        F.max("len").cast("int").alias("max_streak"),
+    )
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: per user the event sequence is
+    ordered by time, adjacent pairs counted corpus-wide, and each source
+    type's outgoing counts normalized to probabilities.
+
+    Sequence mining the Spark-first way: lead() inside a per-user sort (one
+    shuffle on user_id, frames stream), then a hash aggregation onto the
+    tiny (src, dst) matrix — the normalizing window runs over that grouped
+    relation only, never re-touching the fact table.  Deterministic
+    tie-break (ts, event_id) keeps the pairing hash-stable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    ).filter(F.col("dst_type").isNotNull())
+    counts = seq.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_src = Window.partitionBy("src_type")
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_src), 4).alias("p"),
+    )

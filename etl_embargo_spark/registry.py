@@ -1828,3 +1828,76 @@ register(
     FROM g
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Interval algebra, islands, sequence mining (events table)
+# ---------------------------------------------------------------------------
+
+register(
+    "q_concurrency",
+    analytics.q_concurrency,
+    """
+    WITH pts AS (
+        SELECT event_type, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type,
+               ts + to_seconds(CAST(floor(value * 60) AS BIGINT)),
+               -1
+        FROM events
+    ),
+    run AS (
+        SELECT event_type,
+               sum(delta) OVER (
+                   PARTITION BY event_type ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS open_now
+        FROM pts
+    )
+    SELECT event_type, CAST(max(open_now) AS INT) AS max_concurrent
+    FROM run GROUP BY 1
+    """,
+)
+
+register(
+    "q_streaks",
+    analytics.q_streaks,
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               (ts::DATE - DATE '2024-01-01') AS day
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id,
+               day - row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS g
+        FROM days
+    ),
+    st AS (SELECT user_id, g, count(*) AS len FROM grp GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(sum(len) AS INT) AS active_days,
+           CAST(count(*) AS INT) AS n_streaks,
+           CAST(max(len) AS INT) AS max_streak
+    FROM st GROUP BY 1
+    """,
+)
+
+register(
+    "q_transitions",
+    analytics.q_transitions,
+    """
+    WITH seq AS (
+        SELECT event_type AS src_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        FROM events
+    ),
+    c AS (
+        SELECT src_type, dst_type, count(*) AS n
+        FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
+           round(n / sum(n) OVER (PARTITION BY src_type), 4) AS p
+    FROM c
+    """,
+)
