@@ -978,3 +978,69 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_src), 4).alias("p"),
     )
+
+
+PATH_TOPK = 10
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the top-10 most common 3-step event-type sequences
+    across all users (clickstream "what do people do next-next" analysis).
+
+    Two stacked lead() frames share ONE window sort — Catalyst collapses
+    same-spec window functions into a single Window node, so the per-user
+    shuffle+sort happens once however many steps the path has.  The
+    corpus-wide count lands on a tiny (t1,t2,t3) relation and the top-10 is
+    TakeOrderedAndProject (per-partition heap — no global sort of the
+    matrix).  Deterministic (ts, event_id) tie-break keeps pairing stable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return paths.orderBy(
+        F.desc("n"), "step1", "step2", "step3"
+    ).limit(PATH_TOPK)
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning actives: per day, how many distinct users were
+    seen for the first time that day vs seen before.
+
+    The first-seen day is a min() aggregate keyed on user_id, re-joined to
+    the per-(day, user) distinct — both shuffles key on user_id so AQE
+    plans them back-to-back without a broadcast of the full user dimension.
+    The classic alternative (window min over raw events) sorts every event;
+    the aggregate-then-join shape only shuffles the distinct pairs.  Days
+    are yyyymmdd ints (oracle rule: no DATE output).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_int = (
+        F.year(F.col("ts")) * 10000
+        + F.month(F.col("ts")) * 100
+        + F.dayofmonth(F.col("ts"))
+    ).cast("int")
+    daily = ev.select("user_id", day_int.alias("day")).distinct()
+    first_seen = daily.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("int").alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).cast("int").alias("returning_users"),
+        )
+    )

@@ -1901,3 +1901,43 @@ register(
     FROM c
     """,
 )
+
+register(
+    "q_event_paths",
+    analytics.q_event_paths,
+    f"""
+    WITH seq AS (
+        SELECT event_type AS step1,
+               lead(event_type, 1) OVER w AS step2,
+               lead(event_type, 2) OVER w AS step3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, step1, step2, step3
+    LIMIT {analytics.PATH_TOPK}
+    """,
+)
+
+register(
+    "q_new_vs_returning",
+    analytics.q_new_vs_returning,
+    """
+    WITH daily AS (
+        SELECT DISTINCT user_id,
+               CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT)
+                   AS day
+        FROM events
+    ),
+    fs AS (SELECT user_id, min(day) AS first_day FROM daily GROUP BY 1)
+    SELECT day,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS INT)
+               AS new_users,
+           CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS INT)
+               AS returning_users
+    FROM daily JOIN fs USING (user_id)
+    GROUP BY 1
+    """,
+)
