@@ -1015,12 +1015,15 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily new-vs-returning actives: per day, how many distinct users were
     seen for the first time that day vs seen before.
 
-    The first-seen day is a min() aggregate keyed on user_id, re-joined to
-    the per-(day, user) distinct — both shuffles key on user_id so AQE
-    plans them back-to-back without a broadcast of the full user dimension.
-    The classic alternative (window min over raw events) sorts every event;
-    the aggregate-then-join shape only shuffles the distinct pairs.  Days
-    are yyyymmdd ints (oracle rule: no DATE output).
+    Two exchanges total: collect_set(day) per user dedups the (user, day)
+    pairs AND yields first_day = array_min in the same shuffle (map-side
+    partial collect keeps the wire cost at distinct-pairs, same as a
+    DISTINCT), then the exploded days aggregate on day.  The naive
+    distinct → groupBy(user) → join → groupBy(day) chain costs four
+    exchanges for identical output.  Per-user state is bounded by the
+    calendar (days-per-user, not events-per-user), so the set never
+    approaches executor memory even at 100 TB.  Days are yyyymmdd ints
+    (oracle rule: no DATE output).
     """
     ev = load_table(spark, sf_dir, "events")
     day_int = (
@@ -1028,19 +1031,102 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.month(F.col("ts")) * 100
         + F.dayofmonth(F.col("ts"))
     ).cast("int")
-    daily = ev.select("user_id", day_int.alias("day")).distinct()
-    first_seen = daily.groupBy("user_id").agg(
-        F.min("day").alias("first_day")
-    )
-    return (
-        daily.join(first_seen, "user_id")
-        .groupBy("day")
-        .agg(
-            F.sum(
-                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
-            ).cast("int").alias("new_users"),
-            F.sum(
-                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
-            ).cast("int").alias("returning_users"),
+    per_user = (
+        ev.select("user_id", day_int.alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+        .select(
+            F.array_min("days").alias("first_day"),
+            F.explode("days").alias("day"),
         )
+    )
+    return per_user.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).cast("int").alias("new_users"),
+        F.sum(
+            F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+        ).cast("int").alias("returning_users"),
+    )
+
+
+ITEM_COSINE_TOP = 50
+
+
+def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over the co-purchase matrix — the
+    classic collaborative-filtering neighborhood: cosine(a, b) =
+    n_ab / sqrt(n_a · n_b) on order-occurrence sets.
+
+    The pair side reuses the single-scan bucket-groupBy expansion (no
+    self-join; lineage runs once).  The per-item degree is one
+    count-distinct aggregate whose output is item-cardinality-sized, so
+    both degree joins broadcast — the only heavy exchange is the pair
+    count, exactly as in q_copurchase.  Top-50 by cosine is
+    TakeOrderedAndProject with a rounded, deterministically tie-broken
+    key so the cut is hash-stable across engines.
+    """
+    from etl_embargo_spark.operators.dedup import _bucket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ip = li.select("l_orderkey", "l_partkey")
+    pair_counts = (
+        _bucket_pairs(
+            ip,
+            ["l_orderkey"],
+            F.struct(F.col("l_partkey").alias("p")),
+            max_bucket=None,
+        )
+        .select(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    degree = ip.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    da = F.broadcast(degree.select(
+        F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")
+    ))
+    db = F.broadcast(degree.select(
+        F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")
+    ))
+    return (
+        pair_counts.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "part_a", "part_b")
+        .limit(ITEM_COSINE_TOP)
+    )
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the reporting composition of
+    aggregate → ordered lag → percent change.  The un-partitioned window
+    is legitimate here for the same reason as q_percent_of_total: it runs
+    over the already-aggregated month relation (dozens of rows), never
+    the fact table.  Growth is computed from the round-2 revenue so the
+    oracle compare is bit-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = (
+        F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    ).cast("int")
+    monthly = orders.groupBy(month.alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
+            "growth_pct"
+        ),
     )

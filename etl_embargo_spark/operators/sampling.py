@@ -20,7 +20,7 @@ the corpus-prep story.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_embargo_spark.catalog import load_table
@@ -160,4 +160,30 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n_docs").alias("n_docs"),
         F.sum(kept_flag).alias("n_kept"),
         F.round(F.first("rate"), 6).alias("keep_rate"),
+    )
+
+
+GROUP_SAMPLE_K = 5
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group reservoir-style sample: a fixed k documents per source,
+    chosen by md5 order — deterministic across engines, runs, and
+    partitionings (a seeded reservoir would not survive a repartition).
+
+    row_number over (source, md5) compiles to WindowGroupLimit, so each
+    map task truncates to k rows per group before the shuffle — the
+    exchange carries O(groups × k), which is what makes fixed-k-per-group
+    sampling viable on a 100 TB corpus.  md5 of the key (not rand()) for
+    the same reason as every sampler here: the sample must not change
+    when the engine or layout does.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_SAMPLE_K)
     )

@@ -1941,3 +1941,62 @@ register(
     GROUP BY 1
     """,
 )
+
+register(
+    "q_group_sample",
+    sampling.q_group_sample,
+    f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, rk FROM ranked
+    WHERE rk <= {sampling.GROUP_SAMPLE_K}
+    """,
+)
+
+register(
+    "q_item_cosine",
+    analytics.q_item_cosine,
+    f"""
+    WITH ip AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    deg AS (SELECT p, count(*) AS n FROM ip GROUP BY 1),
+    pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_ab
+        FROM ip a JOIN ip b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(n_ab / sqrt(da.n * db.n), 6) AS cosine
+    FROM pairs
+    JOIN deg da ON pairs.part_a = da.p
+    JOIN deg db ON pairs.part_b = db.p
+    ORDER BY cosine DESC, part_a, part_b
+    LIMIT {analytics.ITEM_COSINE_TOP}
+    """,
+)
+
+register(
+    "q_mom_growth",
+    analytics.q_mom_growth,
+    """
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER w AS prev_revenue,
+           round((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w * 100, 4) AS growth_pct
+    FROM monthly
+    WINDOW w AS (ORDER BY month)
+    """,
+)

@@ -205,3 +205,33 @@ class TestBatch3Plans:
         plan = _plan(spark, sf_dir, "q_retention")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestBatch4Plans:
+    def test_new_vs_returning_two_exchanges(self, spark, sf_dir):
+        """The collect_set formulation must keep the plan at two
+        exchanges (user_id, then day) — the naive distinct→agg→join→agg
+        chain costs four for identical output."""
+        plan = _plan(spark, sf_dir, "q_new_vs_returning")
+        assert plan.count("Exchange") == 2, plan
+
+    def test_group_sample_window_group_limit(self, spark, sf_dir):
+        """Fixed-k-per-group sampling must push the rank cut below the
+        shuffle (WindowGroupLimit), so the exchange carries O(groups*k)."""
+        plan = _plan(spark, sf_dir, "q_group_sample")
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_event_paths_single_window(self, spark, sf_dir):
+        """Stacked lead() steps must collapse into ONE Window node (one
+        per-user sort however long the path is) and finish in a top-k
+        heap, not a global sort."""
+        plan = _plan(spark, sf_dir, "q_event_paths")
+        assert plan.count("Window") == 1, plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_item_cosine_broadcasts_degrees(self, spark, sf_dir):
+        """Both degree joins must broadcast (item-cardinality relations);
+        the only shuffle-heavy stage is the pair count."""
+        plan = _plan(spark, sf_dir, "q_item_cosine")
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
