@@ -15,7 +15,10 @@ blocked edit-distance), similarity (cosine top-k), text analysis
 mixture sampler q_corpus_mix), the funnel range-join composition
 (q_funnel), incremental re-aggregation (q_incremental_agg), CDC history
 (q_scd2), basket mining (q_copurchase), cohort retention (q_retention),
-robust outliers (q_anomaly_mad), and hopping windows (q_sliding_window).
+robust outliers (q_anomaly_mad), hopping windows (q_sliding_window),
+interval sweep-lines (q_concurrency), path mining (q_event_paths),
+item-item cosine CF (q_item_cosine), and rolling distinct actives
+(q_rolling_dau).
 """
 
 from __future__ import annotations
@@ -67,6 +70,10 @@ HEADLINE = [
     "q_anomaly_mad",
     "q_corpus_mix",
     "q_sliding_window",
+    "q_concurrency",
+    "q_event_paths",
+    "q_item_cosine",
+    "q_rolling_dau",
 ]
 
 

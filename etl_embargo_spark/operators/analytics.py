@@ -1130,3 +1130,45 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_pct"
         ),
     )
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user counts: per day, the distinct users active that
+    day (DAU) and in the trailing 7 days (WAU) — the engagement-ratio pair
+    every product pipeline reports.
+
+    There is no count(DISTINCT) OVER a time range; the scalable shape is
+    contribution explosion: each distinct (user, day) pair emits the 7
+    window-END days it contributes to, then one count-distinct per end day.
+    The explosion factor is the window length (constant), the state per
+    group is one HLL-exact set per day — versus a range self-join (quadratic
+    in days) or a giant collect_set window (single-partition sort).  The
+    inner join back to real days drops the phantom window-ends past the
+    calendar edge.  Days are ordinals from the fixed epoch (no DATE output).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).distinct()
+    dau = days.groupBy("day").agg(F.count(F.lit(1)).cast("int").alias("dau"))
+    wau = (
+        days.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + (ROLLING_WINDOW_DAYS - 1),
+                )
+            ).alias("wday"),
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("int").alias("wau"))
+        .withColumnRenamed("wday", "day")
+    )
+    return dau.join(wau, "day")

@@ -2000,3 +2000,27 @@ register(
     WINDOW w AS (ORDER BY month)
     """,
 )
+
+register(
+    "q_rolling_dau",
+    analytics.q_rolling_dau,
+    f"""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               (ts::DATE - DATE '2024-01-01') AS day
+        FROM events
+    ),
+    dau AS (SELECT day, CAST(count(*) AS INT) AS dau FROM days GROUP BY 1),
+    expl AS (
+        SELECT user_id, day + t.x AS day
+        FROM days
+        CROSS JOIN generate_series(0, {analytics.ROLLING_WINDOW_DAYS - 1})
+            AS t(x)
+    ),
+    wau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS INT) AS wau
+        FROM expl GROUP BY 1
+    )
+    SELECT day, dau, wau FROM dau JOIN wau USING (day)
+    """,
+)
