@@ -74,6 +74,10 @@ HEADLINE = [
     "q_event_paths",
     "q_item_cosine",
     "q_rolling_dau",
+    "q_local_volume",
+    "q_returned_items",
+    "q_large_orders",
+    "q_hll_merge",
 ]
 
 

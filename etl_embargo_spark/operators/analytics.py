@@ -1172,3 +1172,206 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("wday", "day")
     )
     return dau.join(wau, "day")
+
+
+LOCAL_VOLUME_REGION = "ASIA"
+RETURNED_TOP = 20
+LARGE_ORDER_QTY = 300.0
+
+
+def _revenue_term():
+    """Exact-decimal revenue term.  l_extendedprice is cent-valued and
+    l_discount has two decimals, so the product is exact at 4 decimals;
+    casting each term to decimal BEFORE the sum makes the aggregate
+    order-insensitive (a float sum's last ulp depends on addition order —
+    partition count, engine — and flips round(·, 2) at x.xx5 boundaries,
+    which broke q_returned_items parity on customer 249)."""
+    return (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+
+
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue per nation where the
+    customer and the supplier sit in the SAME nation of one region, over a
+    one-year order window.
+
+    Scale shape: the whole dimension chain (region → nation → supplier,
+    and customer) is broadcast — the only shuffle in the plan is the
+    lineitem⋈orders co-partition on orderkey, and the final nation-sized
+    aggregate rides map-side partials.  The same-nation predicate
+    (c_nationkey = s_nationkey) is applied as a post-broadcast filter, so
+    no theta-join materializes.  (The reference has no inner joins at all
+    — SURVEY §2.3 'Absent'; this is the §2.9 gap surface at its widest.)
+    """
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == LOCAL_VOLUME_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    nat = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_revenue_term()), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: the top customers by revenue
+    lost to returned lineitems in one quarter, tagged with their nation.
+
+    Scale shape: orders is date-pruned BEFORE its join (predicate pushdown
+    to the scan), the returnflag filter prunes lineitem the same way, the
+    quarter's orders⋈lineitem co-partitions on orderkey, and the
+    customer/nation dims broadcast into the aggregate's output.  Top-20 by
+    rounded revenue with a key tie-break is TakeOrderedAndProject — a
+    per-partition heap, no global sort at any size.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(_revenue_term()), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(RETURNED_TOP)
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: orders whose total lineitem
+    quantity exceeds the threshold, with their customer.
+
+    Scale shape: the HAVING-filtered per-order aggregate is tiny (its
+    cardinality is the number of outlier orders, not the fact size), so it
+    broadcasts into orders, and that result — still outlier-sized —
+    broadcasts into customer: after the one map-side-combined aggregation
+    shuffle, no exchange touches a large relation again.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > LARGE_ORDER_QTY)
+        .select("l_orderkey", F.round("qty", 2).alias("sum_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    ordbig = orders.join(
+        F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyyMMdd")
+        .cast("int")
+        .alias("orderdate_int"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "sum_qty",
+    )
+    return cust.join(
+        F.broadcast(ordbig), cust["c_custkey"] == ordbig["o_custkey"]
+    ).select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        "orderdate_int",
+        "totalprice",
+        "sum_qty",
+    )
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: mergeable HLL sketch partials — daily user sketches
+    merged into monthly distinct-user estimates WITHOUT re-touching raw
+    rows.  This is the 100 TB cardinality contract: partition-level
+    sketches are tiny (KB), unionable, and re-aggregatable to any coarser
+    grain, so the monthly rollup reads days, not events.  pytest
+    (tests/test_analytics.py) asserts the merge path is bit-identical to
+    sketching the raw data directly AND within HLL error of the exact
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy(
+            (F.year("day") * 100 + F.month("day")).cast("int").alias(
+                "month_int"
+            )
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).cast("int").alias("n_days"),
+        )
+    )

@@ -2024,3 +2024,73 @@ register(
     SELECT day, dau, wau FROM dau JOIN wau USING (day)
     """,
 )
+
+register(
+    "q_local_volume",
+    analytics.q_local_volume,
+    f"""
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = '{analytics.LOCAL_VOLUME_REGION}'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+
+register(
+    "q_returned_items",
+    analytics.q_returned_items,
+    f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate <  DATE '1996-04-01'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT {analytics.RETURNED_TOP}
+    """,
+)
+
+register(
+    "q_large_orders",
+    analytics.q_large_orders,
+    f"""
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > {analytics.LARGE_ORDER_QTY}
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS orderdate_int,
+           round(o_totalprice, 2) AS totalprice,
+           sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+
+# rows-only: DataSketches HLL binaries are not ANSI-SQL; the merge-vs-direct
+# identity is asserted in tests/test_analytics.py::TestHllMerge.
+register("q_hll_merge", analytics.q_hll_merge, None)

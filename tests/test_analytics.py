@@ -214,3 +214,42 @@ class TestBatch2Invariants:
             for r in direct.collect()
         }
         assert got == want
+
+
+class TestHllMerge:
+    def test_merge_equals_direct_and_tracks_exact(self, spark, sf_dir):
+        """Daily-sketch → monthly-merge must estimate the same cardinality
+        as sketching the month's raw rows directly (the mergeability
+        contract that makes partial sketches safe to persist), and both
+        must sit within HLL error (lgK=12 → ~1.6% rse, allow 5%) of the
+        exact distinct count."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import q_hll_merge
+
+        merged = {
+            r.month_int: (r.approx_users, r.n_days)
+            for r in q_hll_merge(spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        month = (F.year("ts") * 100 + F.month("ts")).cast("int").alias(
+            "month_int"
+        )
+        direct = {
+            r.month_int: r.approx
+            for r in ev.groupBy(month)
+            .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx"))
+            .collect()
+        }
+        exact = {
+            r.month_int: r.exact
+            for r in ev.groupBy(month)
+            .agg(F.countDistinct("user_id").alias("exact"))
+            .collect()
+        }
+        assert set(merged) == set(direct) == set(exact)
+        for m, (approx, n_days) in merged.items():
+            assert n_days >= 1
+            assert approx == direct[m]
+            assert abs(approx - exact[m]) <= max(2.0, 0.05 * exact[m])

@@ -235,3 +235,34 @@ class TestBatch4Plans:
         plan = _plan(spark, sf_dir, "q_item_cosine")
         assert plan.count("BroadcastHashJoin") >= 2
         assert "SortMergeJoin" not in plan
+
+
+class TestTpchJoinPlans:
+    def test_local_volume_single_fact_shuffle(self, spark, sf_dir):
+        """Q5 shape: every dimension (region→nation→supplier, customer)
+        broadcasts; the only sort-merge-eligible join is lineitem⋈orders.
+        A SortMergeJoin against a dim would mean a full fact shuffle per
+        dim at 100 TB."""
+        plan = _plan(spark, sf_dir, "q_local_volume")
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+    def test_returned_items_topk_is_heap(self, spark, sf_dir):
+        """Q10 shape: top-20 must be TakeOrderedAndProject (per-partition
+        heap + merge), never a global Sort."""
+        plan = _plan(spark, sf_dir, "q_returned_items")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_large_orders_broadcasts_outliers(self, spark, sf_dir):
+        """Q18 shape: after the per-order aggregate, the HAVING-filtered
+        outlier set is tiny — both remaining joins must be broadcast, so
+        no exchange ever touches orders or customer."""
+        plan = _plan(spark, sf_dir, "q_large_orders")
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in plan
+
+    def test_hll_merge_reaggregates_partials(self, spark, sf_dir):
+        """The monthly rollup must consume daily sketch partials (two
+        HashAggregate pairs), not re-scan raw events per month."""
+        plan = _plan(spark, sf_dir, "q_hll_merge")
+        assert plan.count("Scan parquet") == 1
