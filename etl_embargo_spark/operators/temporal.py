@@ -232,3 +232,45 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         "purchase_value",
     )
+
+
+DEBOUNCE_SECONDS = 300  # suppress same-type repeats inside this gap
+
+
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate suppression (debounce): drop an event when it
+    repeats the immediately-previous event's type for that user within
+    5 minutes — the retry-storm / double-click cleanup every event
+    pipeline runs before sessionization.  Output: surviving events plus
+    the gap (µs) to the previous event (null on each user's first).
+
+    Scale shape: one shuffle on user_id, one window sort, lag() + filter —
+    the decision is purely local to the per-user ordered scan, so the
+    operator is a single exchange at any scale.  Gap arithmetic is
+    timestampdiff(MICROSECOND, …) on NTZ values: exact integer µs,
+    session-timezone invariant (no DST edge between engines)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over "
+        "(partition by user_id order by ts, event_id), ts)"
+    )
+    prev_type = F.lag("event_type").over(w)
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        gap.alias("gap_us"),
+        prev_type.alias("prev_type"),
+    )
+    keep = (
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+        | (F.col("gap_us") >= DEBOUNCE_SECONDS * 1_000_000)
+    )
+    return staged.filter(keep).select(
+        "event_id", "user_id", "event_type", "value", "gap_us"
+    )

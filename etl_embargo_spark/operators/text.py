@@ -425,3 +425,48 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
         (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+PACK_BUDGET = 256  # tokens per packed context window
+PACK_SHARDS = 8  # independent pack-writer shards
+
+
+def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous context-window packing (GPT-style pretraining layout):
+    documents are concatenated into one token stream per writer shard
+    (doc_id order within shard = doc_id % 8) and the stream is split at
+    fixed 256-token boundaries.  Per document: its start offset in the
+    shard's stream, the context window its first token lands in, and how
+    many windows it straddles — the bookkeeping a sequence-packing job
+    needs to write attention-mask boundaries.
+
+    Scale shape: ONE shuffle, on the shard key — each shard is an
+    independent sequential pack-writer (exactly how a distributed packing
+    job parallelizes), and the running total inside a shard is a single
+    window cumsum: no iteration, no UDF, token COUNTS (ints) are the only
+    thing shuffled, never text."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = (
+        F.sum("n_tokens").over(w).cast("bigint") - F.col("n_tokens")
+    ).alias("start_offset")
+    staged = toks.select("doc_id", "shard", "n_tokens", start)
+    first_win = F.floor(F.col("start_offset") / PACK_BUDGET)
+    last_win = F.floor(
+        (F.col("start_offset") + F.col("n_tokens") - 1) / PACK_BUDGET
+    )
+    return staged.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        first_win.cast("int").alias("window_id"),
+        (last_win - first_win + 1).cast("int").alias("windows_spanned"),
+    )

@@ -2094,3 +2094,50 @@ register(
 # rows-only: DataSketches HLL binaries are not ANSI-SQL; the merge-vs-direct
 # identity is asserted in tests/test_analytics.py::TestHllMerge.
 register("q_hll_merge", analytics.q_hll_merge, None)
+
+register(
+    "q_pack_contexts",
+    text.q_pack_contexts,
+    rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(doc_id % {text.PACK_SHARDS} AS INT) AS shard,
+               CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+                    AS INT) AS n_tokens
+        FROM documents WHERE n_chars > 0
+    ),
+    s AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                   AS start_offset
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           CAST(floor(start_offset / {text.PACK_BUDGET}) AS INT)
+               AS window_id,
+           CAST(floor((start_offset + n_tokens - 1) / {text.PACK_BUDGET})
+                - floor(start_offset / {text.PACK_BUDGET}) + 1 AS INT)
+               AS windows_spanned
+    FROM s
+    """,
+)
+
+register(
+    "q_debounce",
+    temporal.q_debounce,
+    f"""
+    WITH o AS (
+        SELECT event_id, user_id, event_type, value,
+               date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, event_type, value, gap_us
+    FROM o
+    WHERE prev_type IS NULL
+       OR prev_type <> event_type
+       OR gap_us >= {temporal.DEBOUNCE_SECONDS} * 1000000
+    """,
+)

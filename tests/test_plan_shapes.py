@@ -266,3 +266,23 @@ class TestTpchJoinPlans:
         HashAggregate pairs), not re-scan raw events per month."""
         plan = _plan(spark, sf_dir, "q_hll_merge")
         assert plan.count("Scan parquet") == 1
+
+
+class TestPipelineOpsPlans:
+    def test_pack_contexts_single_exchange(self, spark, sf_dir):
+        """Packing must shuffle token COUNTS once (on the shard key) —
+        never text, never twice."""
+        plan = _plan(spark, sf_dir, "q_pack_contexts")
+        assert plan.count("Exchange") == 1
+        assert "hashpartitioning(shard" in plan
+        # the tokenizer runs BELOW the exchange: the shuffled projection
+        # is (doc_id, shard, n_tokens) ints, so text never crosses the wire
+        exchange_input = plan.split("Exchange")[1]
+        assert "size(split(" in exchange_input
+
+    def test_debounce_single_exchange(self, spark, sf_dir):
+        """Debounce is one user_id exchange + one window sort; both lag()
+        columns must ride the same window (no second sort)."""
+        plan = _plan(spark, sf_dir, "q_debounce")
+        assert plan.count("Exchange") == 1
+        assert plan.count("Window") == 1
