@@ -111,6 +111,31 @@ SHOWCASE: dict[str, str] = {
         "explosion then per-day count-distinct — no range self-join, no "
         "giant collect_set window."
     ),
+    "q_local_volume": (
+        "TPC-H Q5 shape: the entire dimension chain broadcasts; the only "
+        "shuffle is lineitem⋈orders on orderkey, and the nation-sized "
+        "aggregate rides map-side partials."
+    ),
+    "q_large_orders": (
+        "TPC-H Q18 shape: HAVING-filtered per-order aggregate is "
+        "outlier-sized, so BOTH remaining joins broadcast — no exchange "
+        "touches orders or customer after the one agg shuffle."
+    ),
+    "q_hll_merge": (
+        "Mergeable sketches: daily HLL partials union-merged to monthly "
+        "— the rollup re-aggregates KB-sized sketches from ONE raw scan, "
+        "never re-reading events per grain."
+    ),
+    "q_pack_contexts": (
+        "Sequence packing: tokenizer runs below the single shard "
+        "exchange, so only (doc_id, shard, n_tokens) ints cross the "
+        "wire; window cumsum assigns context windows with no UDF."
+    ),
+    "q_debounce": (
+        "Debounce: one user_id exchange, one window sort; both lag() "
+        "columns share the window, and the filter is local to the "
+        "per-user ordered scan."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
