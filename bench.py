@@ -78,6 +78,9 @@ HEADLINE = [
     "q_returned_items",
     "q_large_orders",
     "q_hll_merge",
+    "q_pack_contexts",
+    "q_debounce",
+    "q_pareto",
 ]
 
 

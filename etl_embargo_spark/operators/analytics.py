@@ -1375,3 +1375,45 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_days"),
         )
     )
+
+
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): orders not STRICTLY dominated on both
+    axes — no other order is both more recent AND higher-priced.  The
+    dominance test is a prefix-max: sorted by date descending, a row is on
+    the frontier iff its price exceeds the running max over all strictly
+    later dates (RANGE … 1 PRECEDING excludes same-date peers).
+
+    Scale shape: the naive skyline is a quadratic NOT EXISTS self-join
+    (the oracle states it that way for transparency).  Here it's two
+    window passes: a PER-MONTH local frontier first — embarrassingly
+    parallel, and dominance-pruning within any subset can never drop a
+    global frontier point — then the same prefix-max over the tiny
+    survivor set.  The global window's single-partition pass touches only
+    local-frontier survivors (O(months × frontier), not O(rows))."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias(
+            "date_int"
+        ),
+        F.col("o_totalprice").alias("price"),
+    )
+    month = (F.col("date_int") / 100).cast("int")
+    wl = (
+        Window.partitionBy(month)
+        .orderBy(F.desc("date_int"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    local = orders.withColumn("mprev", F.max("price").over(wl)).filter(
+        F.col("mprev").isNull() | (F.col("price") > F.col("mprev"))
+    )
+    wg = Window.orderBy(F.desc("date_int")).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        local.withColumn("gprev", F.max("price").over(wg))
+        .filter(F.col("gprev").isNull() | (F.col("price") > F.col("gprev")))
+        .select("o_orderkey", "date_int", "price")
+    )

@@ -2141,3 +2141,22 @@ register(
        OR gap_us >= {temporal.DEBOUNCE_SECONDS} * 1000000
     """,
 )
+
+register(
+    "q_pareto",
+    analytics.q_pareto,
+    """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_int,
+               o_totalprice AS price
+        FROM orders
+    )
+    SELECT o_orderkey, date_int, price
+    FROM o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM o x
+        WHERE x.date_int > o.date_int AND x.price > o.price
+    )
+    """,
+)

@@ -80,3 +80,28 @@ def read_events_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_events_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written across SCHEMA VERSIONS (columns added over
+    time) as one frame: per-file footers are merged, files lacking a
+    column surface nulls for it.
+
+    Scale note: ``mergeSchema`` reconciles footers from a SAMPLE of files
+    per directory at planning time — cheap even over millions of files —
+    and costs nothing at execution (parquet is read column-by-name).  At
+    100 TB the alternative (migrating years of immutable data on every
+    column add) is not viable; this is the append-only evolution contract.
+    Column REMOVAL/renames still require a migration: mergeSchema only
+    unions, it cannot express drops."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def union_evolving(*frames: DataFrame) -> DataFrame:
+    """Union in-flight frames whose schemas drifted (added columns):
+    positional union would mis-align or reject; by-name union with
+    missing-column fill keeps every batch readable forever."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

@@ -253,3 +253,29 @@ class TestHllMerge:
             assert n_days >= 1
             assert approx == direct[m]
             assert abs(approx - exact[m]) <= max(2.0, 0.05 * exact[m])
+
+
+class TestPackContexts:
+    def test_token_conservation_and_window_continuity(self, spark, sf_dir):
+        """Per shard: offsets are exactly the prefix sums of token counts
+        in doc_id order (no gaps, no overlaps — the packed stream is
+        contiguous), and windows_spanned matches the offset arithmetic."""
+        from collections import defaultdict
+
+        from etl_embargo_spark.operators.text import PACK_BUDGET, q_pack_contexts
+
+        rows = q_pack_contexts(spark, sf_dir).collect()
+        by_shard = defaultdict(list)
+        for r in rows:
+            by_shard[r.shard].append(r)
+        assert len(by_shard) > 1
+        for shard, docs in by_shard.items():
+            docs.sort(key=lambda r: r.doc_id)
+            expect_start = 0
+            for r in docs:
+                assert r.start_offset == expect_start, (shard, r.doc_id)
+                first = r.start_offset // PACK_BUDGET
+                last = (r.start_offset + r.n_tokens - 1) // PACK_BUDGET
+                assert r.window_id == first
+                assert r.windows_spanned == last - first + 1 >= 1
+                expect_start += r.n_tokens

@@ -154,3 +154,44 @@ class TestZOrderLayout:
         # x=5 (101), y=3 (011): z bits (y1 x1 y0 x0 ...) ->
         # pos0=x0=1 pos1=y0=1 pos2=x1=0 pos3=y1=1 pos4=x2=1 pos5=y2=0
         assert df.first()[0] == 0b011011
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_across_versions(self, spark, sf_dir, tmp_path):
+        """v1 files (no `source` column) and v2 files (with it) must read
+        as ONE frame: v1 rows surface null for the added column, values
+        and counts are lossless."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.sources.formats import read_parquet_evolving
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        v1 = ev.filter(F.col("event_id") % 2 == 0)
+        v2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "source", F.lit("v2")
+        )
+        root = str(tmp_path / "evolving")
+        v1.write.parquet(root + "/batch=1")
+        v2.write.parquet(root + "/batch=2")
+        got = read_parquet_evolving(spark, root + "/batch=1", root + "/batch=2")
+        assert set(got.columns) == {"event_id", "user_id", "value", "source"}
+        assert got.count() == ev.count()
+        assert got.filter(F.col("source").isNull()).count() == v1.count()
+        assert got.filter(F.col("source") == "v2").count() == v2.count()
+
+    def test_union_by_name_with_drift(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.sources.formats import union_evolving
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        a = ev.limit(10)
+        b = ev.limit(5).withColumn("quality", F.lit(0.5))
+        got = union_evolving(a, b)
+        assert set(got.columns) == {"event_id", "value", "quality"}
+        assert got.count() == 15
+        assert got.filter(F.col("quality").isNull()).count() == 10

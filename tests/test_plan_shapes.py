@@ -286,3 +286,11 @@ class TestPipelineOpsPlans:
         plan = _plan(spark, sf_dir, "q_debounce")
         assert plan.count("Exchange") == 1
         assert plan.count("Window") == 1
+
+    def test_pareto_two_phase(self, spark, sf_dir):
+        """Skyline must be the two-window shape: per-month local frontier
+        (parallel) then the global prefix-max over survivors — never a
+        quadratic self-join (no NestedLoop/CartesianProduct)."""
+        plan = _plan(spark, sf_dir, "q_pareto")
+        assert plan.count("Window") == 2
+        assert "NestedLoop" not in plan and "Cartesian" not in plan

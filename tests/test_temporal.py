@@ -76,3 +76,36 @@ class TestAsOfJoin:
         matched_self = out.filter(F.col("ts") == F.col("asof_ts"))
         for r in matched_self.limit(50).collect():
             assert (r["user_id"], r["ts"]) in purchases
+
+
+class TestDebounceModel:
+    def test_matches_pure_python_model(self, spark, sf_dir):
+        """Spark debounce vs an independent pure-Python replay of the
+        rule (lag-based: compare each event to its immediate predecessor,
+        kept or not) — the SURVEY §5 reference-model pattern."""
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.temporal import (
+            DEBOUNCE_SECONDS,
+            q_debounce,
+        )
+
+        got = {r.event_id for r in q_debounce(spark, sf_dir).collect()}
+        ev = sorted(
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "ts")
+            .collect(),
+            key=lambda r: (r.user_id, r.ts, r.event_id),
+        )
+        want = set()
+        prev_by_user = {}
+        for r in ev:
+            prev = prev_by_user.get(r.user_id)
+            if (
+                prev is None
+                or prev.event_type != r.event_type
+                or (r.ts - prev.ts).total_seconds() >= DEBOUNCE_SECONDS
+            ):
+                want.add(r.event_id)
+            prev_by_user[r.user_id] = r
+        assert got == want
+        assert 0 < len(want)
