@@ -1400,20 +1400,77 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_totalprice").alias("price"),
     )
+    return pareto_frontier(orders)
+
+
+def pareto_frontier(points: DataFrame) -> DataFrame:
+    """Two-phase skyline over (date_int maximize, price maximize) with
+    STRICT dominance on both axes; see q_pareto for the scale argument.
+    Input columns: o_orderkey, date_int (int), price."""
+    from pyspark.sql import Window
+
     month = (F.col("date_int") / 100).cast("int")
     wl = (
         Window.partitionBy(month)
         .orderBy(F.desc("date_int"))
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    local = orders.withColumn("mprev", F.max("price").over(wl)).filter(
-        F.col("mprev").isNull() | (F.col("price") > F.col("mprev"))
+    # keep unless a strictly-later point has STRICTLY higher price:
+    # price == running-max is a tie on one axis, not dominance
+    local = points.withColumn("mprev", F.max("price").over(wl)).filter(
+        F.col("mprev").isNull() | (F.col("price") >= F.col("mprev"))
     )
     wg = Window.orderBy(F.desc("date_int")).rangeBetween(
         Window.unboundedPreceding, -1
     )
     return (
         local.withColumn("gprev", F.max("price").over(wg))
-        .filter(F.col("gprev").isNull() | (F.col("price") > F.col("gprev")))
+        .filter(F.col("gprev").isNull() | (F.col("price") >= F.col("gprev")))
         .select("o_orderkey", "date_int", "price")
+    )
+
+
+SMALL_QTY_BRAND = "Brand#13"
+SMALL_QTY_FRACTION = 0.2
+
+
+def q_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated subquery: yearly revenue lost to
+    small-quantity orders — lineitems under 20% of their part's average
+    quantity, for one brand.  The oracle states the correlated form; this
+    is the DECORRELATED plan a 100 TB engine must produce.
+
+    Scale shape: the brand filter prunes part to a tiny key set that
+    broadcasts into lineitem FIRST, so everything downstream sees only
+    the brand's fact slice; the correlated average then becomes a
+    whole-partition window avg over that slice — ONE lineitem scan, one
+    broadcast join, one exchange (a decorrelation via groupBy + rejoin
+    would re-execute the scan once per use of the slice).  Revenue sums
+    in exact decimal (order-insensitive)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == SMALL_QTY_BRAND)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pruned = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thr = (
+        F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+        * SMALL_QTY_FRACTION
+    )
+    return (
+        pruned.withColumn("thr", thr)
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )

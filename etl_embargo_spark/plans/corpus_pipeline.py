@@ -119,3 +119,35 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dropped"),
         F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prepare→pack composition: the gated, deduplicated corpus laid
+    out as contiguous 256-token context windows across 8 writer shards —
+    the per-shard packing manifest (docs, tokens, windows, fill ratio) a
+    training job reads to size its data loader.
+
+    Scale shape: prep's dedup groupBy is the only corpus-sized shuffle;
+    packing adds one O(shards) aggregate over (doc_id, n_tokens) ints —
+    the text column never reaches the packing stage at all."""
+    from etl_embargo_spark.operators.text import PACK_BUDGET, PACK_SHARDS
+
+    corpus = prepare_corpus(load_table(spark, sf_dir, "documents"))
+    per_shard = corpus.groupBy(
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    n_windows = F.floor(
+        (F.col("total_tokens") + PACK_BUDGET - 1) / PACK_BUDGET
+    ).cast("bigint")
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_windows.alias("n_windows"),
+        F.round(
+            F.col("total_tokens") / (n_windows * PACK_BUDGET), 6
+        ).alias("fill_ratio"),
+    )

@@ -2160,3 +2160,39 @@ register(
     )
     """,
 )
+
+register(
+    "q_corpus_pack",
+    corpus_pipeline.q_corpus_pack,
+    f"""
+    WITH corpus AS ({_CORPUS_PREP_SQL}),
+    per_shard AS (
+        SELECT CAST(doc_id % {text.PACK_SHARDS} AS INT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM corpus GROUP BY 1
+    )
+    SELECT shard, n_docs, total_tokens,
+           CAST(floor((total_tokens + {text.PACK_BUDGET} - 1)
+                      / {text.PACK_BUDGET}) AS BIGINT) AS n_windows,
+           round(total_tokens / (floor((total_tokens + {text.PACK_BUDGET} - 1)
+                 / {text.PACK_BUDGET}) * {text.PACK_BUDGET}), 6) AS fill_ratio
+    FROM per_shard
+    """,
+)
+
+register(
+    "q_small_quantity",
+    analytics.q_small_quantity,
+    f"""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = '{analytics.SMALL_QTY_BRAND}'
+      AND l_quantity < (
+          SELECT {analytics.SMALL_QTY_FRACTION} * avg(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)

@@ -105,3 +105,41 @@ def union_evolving(*frames: DataFrame) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out
+
+
+def read_events_jsonl_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter variant of the JSONL reader: PERMISSIVE mode routes
+    malformed lines into a capture column instead of failing the job, and
+    the result is split into (good, quarantined-raw-lines).
+
+    When to use which: FAILFAST (read_events_jsonl) at a boundary you
+    control — corruption means a bug, stop.  Quarantine at a boundary you
+    don't — at 100 TB a 1e-8 corruption rate is still thousands of lines,
+    and failing a 6-hour job on line 4 billion (or silently nulling the
+    rows) are both worse than landing them in a dead-letter table for
+    replay.
+
+    The parse is persisted before the split: Spark disallows querying the
+    corrupt-record column off a raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    — the parse that fills it would otherwise be optimized away).  At
+    ingest scale use DISK_ONLY persistence or, equivalently, write both
+    splits in one pass (foreachBatch / partitioned write on the validity
+    flag) so the boundary is still read exactly once."""
+    from pyspark import StorageLevel
+
+    raw = (
+        spark.read.schema(EVENTS_DDL + ", _corrupt_record string")
+        .option("timestampNTZFormat", _TS_FMT)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    good = raw.filter(raw["_corrupt_record"].isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = raw.filter(raw["_corrupt_record"].isNotNull()).select(
+        raw["_corrupt_record"].alias("raw_line")
+    )
+    return good, bad

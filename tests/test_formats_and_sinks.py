@@ -195,3 +195,29 @@ class TestSchemaEvolution:
         assert set(got.columns) == {"event_id", "value", "quality"}
         assert got.count() == 15
         assert got.filter(F.col("quality").isNull()).count() == 10
+
+
+class TestQuarantineReader:
+    def test_splits_good_and_dead_letter(self, spark, sf_dir, tmp_path):
+        """3 valid lines + 2 malformed → good side parses 3 rows losslessly,
+        quarantine side carries the 2 raw lines for replay."""
+        from etl_embargo_spark.sources.formats import (
+            read_events_jsonl_quarantine,
+        )
+
+        p = tmp_path / "mixed.jsonl"
+        p.write_text(
+            '{"event_id": 1, "ts": "2024-01-01 00:00:00.000001", '
+            '"user_id": 7, "event_type": "click", "value": 1.5, "props": "{}"}\n'
+            "this is not json at all\n"
+            '{"event_id": 2, "ts": "2024-01-02 10:30:00.000000", '
+            '"user_id": 8, "event_type": "view", "value": 2.0, "props": "{}"}\n'
+            '{"event_id": "NOT_A_NUMBER", "ts": "2024-01-03 00:00:00.000000"}\n'
+            '{"event_id": 3, "ts": "2024-01-03 12:00:00.000000", '
+            '"user_id": 9, "event_type": "purchase", "value": 9.99, "props": "{}"}\n'
+        )
+        good, bad = read_events_jsonl_quarantine(spark, str(p))
+        assert sorted(r.event_id for r in good.collect()) == [1, 2, 3]
+        bad_lines = {r.raw_line for r in bad.collect()}
+        assert len(bad_lines) == 2
+        assert any("not json" in line for line in bad_lines)

@@ -294,3 +294,12 @@ class TestPipelineOpsPlans:
         plan = _plan(spark, sf_dir, "q_pareto")
         assert plan.count("Window") == 2
         assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_small_quantity_single_scan_decorrelation(self, spark, sf_dir):
+        """Q17 shape: the correlated average decorrelates to a window over
+        the broadcast-pruned slice — ONE lineitem scan, one broadcast
+        join, never a sort-merge join or a second fact read."""
+        plan = _plan(spark, sf_dir, "q_small_quantity")
+        assert plan.count("BroadcastHashJoin") == 1
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Scan parquet") == 2  # lineitem once + part once

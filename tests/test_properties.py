@@ -278,3 +278,40 @@ class TestMergeBatchingInvariance:
         want = {tuple(r) for r in whole.collect()}
         got = {tuple(r) for r in state.collect()}
         assert got == want
+
+
+class TestParetoProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=20240101, max_value=20240420),
+                st.integers(min_value=0, max_value=50),
+            ),
+            min_size=0,
+            max_size=50,
+        )
+    )
+    def test_frontier_matches_bruteforce(self, spark, points):
+        """The two-phase window skyline must equal the O(n²) strict-
+        dominance brute force on arbitrary point sets — including ties on
+        either axis (a tied point is NOT dominated)."""
+        from etl_embargo_spark.operators.analytics import pareto_frontier
+
+        rows = [
+            (i, d, float(p)) for i, (d, p) in enumerate(points)
+        ]
+        want = {
+            i
+            for i, d, p in rows
+            if not any(
+                d2 > d and p2 > p for _, d2, p2 in rows
+            )
+        }
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, date_int int, price double"
+        )
+        got = {r.o_orderkey for r in pareto_frontier(df).collect()}
+        assert got == want
