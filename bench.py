@@ -81,6 +81,10 @@ HEADLINE = [
     "q_pack_contexts",
     "q_debounce",
     "q_pareto",
+    "q_small_quantity",
+    "q_blame_supplier",
+    "q_top_supplier",
+    "q_corpus_pack",
 ]
 
 

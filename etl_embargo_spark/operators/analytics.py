@@ -1474,3 +1474,87 @@ def q_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+BLAME_TOP = 20
+
+
+def q_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped sole-failure attribution: in multi-supplier
+    orders where EXACTLY ONE supplier had lineitems returned, count the
+    blame per supplier — the exists/not-exists double self-join of the
+    classic query.
+
+    Scale shape: the textbook formulation is two lineitem self-joins
+    (semi for "other suppliers exist", anti for "no other supplier
+    failed") — three shuffles of the fact at 100 TB.  Per-order
+    conditional aggregation gets the same relation in ONE orderkey
+    shuffle (map-side combined): n_suppliers, n_returned_suppliers, and
+    min(returned supplier) — which IS the blamed supplier when the
+    returned count is exactly 1.  The top-20 is a per-partition heap."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(ret_supp).alias("n_ret"),
+        F.min(ret_supp).alias("blamed"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_ret") == 1)
+    ).groupBy("blamed").agg(F.count(F.lit(1)).alias("numwait"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        blamed.join(
+            F.broadcast(supp), blamed["blamed"] == supp["s_suppkey"]
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(BLAME_TOP)
+    )
+
+
+TOP_SUPPLIER_FROM = "1996-01-01"
+TOP_SUPPLIER_TO = "1996-04-01"
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped view-max query: the supplier(s) whose quarterly
+    revenue equals the maximum over all suppliers.
+
+    Scale shape: the per-supplier revenue aggregate is built ONCE; the
+    scalar MAX and the equality probe then ride a whole-frame window over
+    that supplier-sized relation (O(suppliers) rows in one partition —
+    trivial at any fact size).  The naive scalar-subquery formulation
+    duplicates the aggregate subtree, and Spark 4 does not reuse the
+    exchange even under AQE (verified: two full lineitem scans) — the
+    window form makes the sharing structural instead of hoping the
+    optimizer finds it.  Revenue is an exact-decimal sum, so the
+    float-equality-on-aggregate trap (ties breaking differently per
+    partitioning) cannot occur."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= TOP_SUPPLIER_FROM)
+        & (F.col("l_shipdate") < TOP_SUPPLIER_TO)
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_revenue_term()), 2).alias("total_revenue")
+    )
+    best = F.max("total_revenue").over(
+        Window.partitionBy(F.lit(1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.withColumn("best", best)
+        .filter(F.col("total_revenue") == F.col("best"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )

@@ -2196,3 +2196,47 @@ register(
       )
     """,
 )
+
+register(
+    "q_blame_supplier",
+    analytics.q_blame_supplier,
+    f"""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                   THEN l_suppkey END) AS n_ret,
+               min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                   AS blamed
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    counts AS (
+        SELECT blamed, CAST(count(*) AS BIGINT) AS numwait
+        FROM per_order WHERE n_supp > 1 AND n_ret = 1
+        GROUP BY blamed
+    )
+    SELECT s_suppkey, s_name, numwait
+    FROM counts JOIN supplier ON blamed = s_suppkey
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT {analytics.BLAME_TOP}
+    """,
+)
+
+register(
+    "q_top_supplier",
+    analytics.q_top_supplier,
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{analytics.TOP_SUPPLIER_FROM} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{analytics.TOP_SUPPLIER_TO} 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)

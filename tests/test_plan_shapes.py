@@ -303,3 +303,21 @@ class TestPipelineOpsPlans:
         assert plan.count("BroadcastHashJoin") == 1
         assert "SortMergeJoin" not in plan
         assert plan.count("Scan parquet") == 2  # lineitem once + part once
+
+    def test_blame_supplier_no_self_join(self, spark, sf_dir):
+        """Q21 shape: the exists/not-exists pair must be per-order
+        conditional aggregation — one lineitem scan, no self-join, and a
+        heap-based top-20."""
+        plan = _plan(spark, sf_dir, "q_blame_supplier")
+        assert plan.count("Scan parquet") == 2  # lineitem once + supplier
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_top_supplier_single_fact_scan(self, spark, sf_dir):
+        """Q15 shape: the scalar-MAX-over-aggregate must be structural
+        sharing (window over the built aggregate), not a duplicated
+        subtree — exactly one lineitem scan (Spark 4 does NOT reuse the
+        exchange for the scalar-subquery form, even under AQE)."""
+        plan = _plan(spark, sf_dir, "q_top_supplier")
+        assert plan.count("Scan parquet") == 2  # lineitem once + supplier
+        assert plan.count("Window") == 1

@@ -136,6 +136,25 @@ SHOWCASE: dict[str, str] = {
         "columns share the window, and the filter is local to the "
         "per-user ordered scan."
     ),
+    "q_pareto": (
+        "Skyline: per-month local dominance prune (parallel) then the "
+        "same prefix-max over survivors — the single-partition global "
+        "pass touches O(months × frontier), never a quadratic self-join."
+    ),
+    "q_small_quantity": (
+        "Q17 correlated subquery, decorrelated: brand keys broadcast-"
+        "prune lineitem FIRST, the correlated AVG becomes a window over "
+        "the pruned slice — one fact scan end to end."
+    ),
+    "q_blame_supplier": (
+        "Q21 exists/not-exists pair as ONE per-order conditional "
+        "aggregation — one orderkey shuffle replaces two fact self-joins."
+    ),
+    "q_top_supplier": (
+        "Q15 view-max: scalar MAX via window over the built aggregate — "
+        "structural sharing; the scalar-subquery form would scan the "
+        "fact twice (Spark 4 does not reuse the exchange)."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
