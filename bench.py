@@ -85,6 +85,7 @@ HEADLINE = [
     "q_blame_supplier",
     "q_top_supplier",
     "q_corpus_pack",
+    "q_market_share",
 ]
 
 

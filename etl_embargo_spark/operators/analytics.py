@@ -1558,3 +1558,68 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
     )
+
+
+MARKET_REGION = "ASIA"
+MARKET_NATION = "NATION_7"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: per order year, the fraction of
+    ASIA-region customers' revenue supplied by NATION_7's suppliers —
+    the conditional-aggregation ratio pattern (share = sum(case)/sum).
+
+    Scale shape: all four dimension legs (region→nation→customer for the
+    scope filter; nation→supplier for the share flag) broadcast; the one
+    fact-sized shuffle is lineitem⋈orders on orderkey, and the year-level
+    ratio rides map-side partials.  Both numerator and denominator come
+    from ONE pass — the naive two-query form scans the join twice.
+    Exact-decimal sums make the ratio engine-stable to the 6th decimal."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MARKET_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region_nations = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select(F.col("n_nationkey").alias("rn_key"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(region_nations),
+            F.col("c_nationkey") == F.col("rn_key"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.sum(_revenue_term())
+    target = F.sum(
+        F.when(F.col("n_name") == MARKET_NATION, _revenue_term()).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("o_year")
+        .agg(
+            F.round((target / vol).cast("double"), 6).alias("mkt_share"),
+            F.round(vol, 2).cast("double").alias("total_revenue"),
+        )
+    )

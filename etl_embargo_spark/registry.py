@@ -2240,3 +2240,29 @@ register(
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
 )
+
+register(
+    "q_market_share",
+    analytics.q_market_share,
+    f"""
+    SELECT year(o_orderdate) AS o_year,
+           round(CAST(sum(CASE WHEN sn.n_name = '{analytics.MARKET_NATION}'
+                          THEN CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,4))
+                          ELSE CAST(0 AS DECIMAL(18,4)) END)
+                / sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = '{analytics.MARKET_REGION}'
+    GROUP BY 1
+    """,
+)

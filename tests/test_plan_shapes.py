@@ -321,3 +321,16 @@ class TestPipelineOpsPlans:
         plan = _plan(spark, sf_dir, "q_top_supplier")
         assert plan.count("Scan parquet") == 2  # lineitem once + supplier
         assert plan.count("Window") == 1
+
+    def test_market_share_single_fact_pass(self, spark, sf_dir):
+        """Q8 shape: numerator and denominator from ONE pass — a single
+        lineitem scan, one orderkey co-partition join, every dim leg
+        broadcast."""
+        plan = _plan(spark, sf_dir, "q_market_share")
+        assert plan.count("Scan parquet") <= 7
+        assert len([
+            seg for seg in plan.split("FileScan parquet")
+            if "lineitem" in seg.split("]")[0]
+        ]) <= 1 or plan.count("lineitem.parquet") == 1
+        assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+        assert plan.count("BroadcastHashJoin") >= 2
