@@ -86,6 +86,7 @@ HEADLINE = [
     "q_top_supplier",
     "q_corpus_pack",
     "q_market_share",
+    "q_priority_count",
 ]
 
 

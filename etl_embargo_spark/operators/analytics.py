@@ -1623,3 +1623,41 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(vol, 2).cast("double").alias("total_revenue"),
         )
     )
+
+
+ORDER_PRIORITY_FROM = "1996-07-01"
+ORDER_PRIORITY_TO = "1996-10-01"
+
+
+def q_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: per order priority, how many of
+    one quarter's orders contain at least one returned lineitem.
+
+    Scale shape: unlike the whitelist semi (J1 — broadcast dim), the
+    right side here is FACT-sized, so the correct 100 TB plan is a
+    shuffled LEFT SEMI co-partitioned on orderkey: the semi probe stops
+    at first match and emits each order at most once, so no pair
+    explosion and no distinct pre-pass; the priority rollup rides
+    map-side partials on the semi output."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= ORDER_PRIORITY_FROM)
+            & (F.col("o_orderdate") < ORDER_PRIORITY_TO)
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned,
+            orders["o_orderkey"] == returned["l_orderkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

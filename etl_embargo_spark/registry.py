@@ -2266,3 +2266,19 @@ register(
     GROUP BY 1
     """,
 )
+
+register(
+    "q_priority_count",
+    analytics.q_priority_count,
+    f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '{analytics.ORDER_PRIORITY_FROM}'
+      AND o_orderdate <  DATE '{analytics.ORDER_PRIORITY_TO}'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)

@@ -334,3 +334,10 @@ class TestPipelineOpsPlans:
         ]) <= 1 or plan.count("lineitem.parquet") == 1
         assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
         assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_priority_count_semi_join(self, spark, sf_dir):
+        """Q4 shape: the EXISTS must plan as LeftSemi (first-match
+        short-circuit, no pair explosion, no distinct pre-pass)."""
+        plan = _plan(spark, sf_dir, "q_priority_count")
+        assert "LeftSemi" in plan
+        assert plan.count("HashAggregate") >= 2  # partial + final rollup
