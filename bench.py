@@ -87,6 +87,7 @@ HEADLINE = [
     "q_corpus_pack",
     "q_market_share",
     "q_priority_count",
+    "q_bpe_pairs",
 ]
 
 

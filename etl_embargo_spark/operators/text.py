@@ -470,3 +470,39 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_win.cast("int").alias("window_id"),
         (last_win - first_win + 1).cast("int").alias("windows_spanned"),
     )
+
+
+BPE_TOP = 50
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE vocabulary training: corpus-wide
+    adjacent-character-pair counts weighted by word frequency — the
+    argmax of this table is the first merge rule.
+
+    Scale shape: the corpus collapses to DISTINCT words + counts first
+    (vocabulary-sized, zipf-bounded — orders of magnitude smaller than
+    the corpus), so the quadratic-ish pair explosion runs over the
+    vocabulary, not the text; both shuffles are map-side combined and
+    the top-50 is a per-partition heap.  Pair slicing is substr over a
+    generated index array — pure codegen, no UDF."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    words = docs.select(F.explode(_tokens()).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    return (
+        wc.select("cnt", pair)
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP)
+    )

@@ -2282,3 +2282,28 @@ register(
     GROUP BY o_orderpriority
     """,
 )
+
+register(
+    "q_bpe_pairs",
+    text.q_bpe_pairs,
+    rf"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE n_chars > 0
+    ),
+    wc AS (
+        SELECT w, count(*) AS cnt FROM words
+        WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                      i -> substr(w, CAST(i AS INT), 2))) AS pair,
+               cnt
+        FROM wc
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {text.BPE_TOP}
+    """,
+)

@@ -341,3 +341,16 @@ class TestPipelineOpsPlans:
         plan = _plan(spark, sf_dir, "q_priority_count")
         assert "LeftSemi" in plan
         assert plan.count("HashAggregate") >= 2  # partial + final rollup
+
+    def test_bpe_pairs_explodes_vocabulary_not_corpus(self, spark, sf_dir):
+        """BPE pair counting must collapse to distinct words BEFORE the
+        pair explosion (two agg pairs around the explode) and heap the
+        top-50 — the explode over raw text would be corpus-sized."""
+        plan = _plan(spark, sf_dir, "q_bpe_pairs")
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("HashAggregate") >= 4
+        gen = plan.split("Generate explode")
+        assert len(gen) == 3  # token explode + pair explode, nothing more
+        # the word-count aggregate sits BETWEEN the two explodes: the
+        # pair explosion consumes vocabulary rows, not corpus rows
+        assert "HashAggregate" in gen[1]
