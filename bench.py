@@ -88,6 +88,7 @@ HEADLINE = [
     "q_market_share",
     "q_priority_count",
     "q_bpe_pairs",
+    "q_attribution",
 ]
 
 

@@ -1661,3 +1661,38 @@ def q_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent PRECEDING non-purchase event type (the "channel"), and
+    credited revenue is rolled up per channel — the standard marketing
+    attribution join, done without a join.
+
+    Scale shape: one user_id shuffle, one window sort; the carried
+    channel is last(...ignorenulls) over a PRECEDING-only frame, so the
+    whole attribution is a streaming per-user scan — the self-as-of-join
+    formulation would shuffle events twice and explode on active users.
+    First-touch or position-based variants are the same frame with
+    first()/both."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    purchases = ev.withColumn("channel", channel).filter(
+        F.col("event_type") == "purchase"
+    )
+    return purchases.groupBy(
+        F.coalesce("channel", F.lit("(direct)")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("credited_value"),
+    )

@@ -2307,3 +2307,25 @@ register(
     LIMIT {text.BPE_TOP}
     """,
 )
+
+register(
+    "q_attribution",
+    analytics.q_attribution,
+    """
+    WITH tagged AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS channel
+        FROM events
+    )
+    SELECT coalesce(channel, '(direct)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS credited_value
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)

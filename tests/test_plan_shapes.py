@@ -354,3 +354,10 @@ class TestPipelineOpsPlans:
         # the word-count aggregate sits BETWEEN the two explodes: the
         # pair explosion consumes vocabulary rows, not corpus rows
         assert "HashAggregate" in gen[1]
+
+    def test_attribution_single_window_no_join(self, spark, sf_dir):
+        """Last-touch attribution must be one window over one user_id
+        exchange — never a self-as-of-join (no join operator at all)."""
+        plan = _plan(spark, sf_dir, "q_attribution")
+        assert plan.count("Window") == 1
+        assert "Join" not in plan
