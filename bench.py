@@ -89,6 +89,8 @@ HEADLINE = [
     "q_priority_count",
     "q_bpe_pairs",
     "q_attribution",
+    "q_skew_profile",
+    "q_ri_audit",
 ]
 
 

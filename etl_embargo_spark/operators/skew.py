@@ -71,3 +71,68 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, dim, "l_suppkey").select(
         "l_orderkey", "l_linenumber", "l_suppkey", "s_nationkey"
     )
+
+
+SKEW_KEYS = ("l_suppkey", "l_orderkey", "l_partkey")
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: for each candidate join key of the fact
+    table, the distribution of group sizes (p50/p99/max, distinct keys,
+    mean) — the numbers that decide broadcast vs shuffle vs salt vs AQE
+    skew-join BEFORE the join is written.  max/p99 >> p50 means a salted
+    join or AQE split; tiny n_keys means broadcast the other side.
+
+    Scale shape: one scan per key (count aggregates are map-side
+    combined, the exchange carries O(keys)); the percentile pass runs
+    over the key-count relation, which is dim-sized."""
+    import functools
+
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for key in SKEW_KEYS:
+        counts = li.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        outs.append(
+            counts.agg(
+                F.lit(key).alias("join_key"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.min("n").alias("min_n"),
+                F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50"),
+                F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99"),
+                F.max("n").alias("max_n"),
+                F.round(F.avg("n"), 4).alias("avg_n"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    edge of the star schema in one report — the data-quality gate a
+    pipeline runs after ingest, before anything joins.
+
+    Scale shape: each edge is a LEFT ANTI join with the dim's key side
+    broadcast (keys only, deduped by the build), so each fact is scanned
+    once and never shuffled; the per-edge count collapses map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = [
+        ("lineitem.l_orderkey->orders", li.select(F.col("l_orderkey").alias("k")),
+         orders.select(F.col("o_orderkey").alias("k"))),
+        ("lineitem.l_partkey->part", li.select(F.col("l_partkey").alias("k")),
+         load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))),
+        ("lineitem.l_suppkey->supplier", li.select(F.col("l_suppkey").alias("k")),
+         load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))),
+        ("orders.o_custkey->customer", orders.select(F.col("o_custkey").alias("k")),
+         load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))),
+    ]
+    import functools
+
+    outs = [
+        fact.join(F.broadcast(dim.distinct()), "k", "left_anti").agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        )
+        for name, fact, dim in edges
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), outs)

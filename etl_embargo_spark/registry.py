@@ -2329,3 +2329,47 @@ register(
     GROUP BY 1
     """,
 )
+
+register(
+    "q_skew_profile",
+    skew.q_skew_profile,
+    """
+    WITH p AS (
+        SELECT 'l_suppkey' AS join_key, CAST(count(*) AS BIGINT) AS n_keys,
+               min(n) AS min_n, round(quantile_cont(n, 0.5), 4) AS p50,
+               round(quantile_cont(n, 0.99), 4) AS p99, max(n) AS max_n,
+               round(avg(n), 4) AS avg_n
+        FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_suppkey)
+        UNION ALL
+        SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
+               min(n), round(quantile_cont(n, 0.5), 4),
+               round(quantile_cont(n, 0.99), 4), max(n), round(avg(n), 4)
+        FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey)
+        UNION ALL
+        SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+               min(n), round(quantile_cont(n, 0.5), 4),
+               round(quantile_cont(n, 0.99), 4), max(n), round(avg(n), 4)
+        FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT * FROM p
+    """,
+)
+
+register(
+    "q_ri_audit",
+    skew.q_ri_audit,
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)

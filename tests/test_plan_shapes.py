@@ -361,3 +361,19 @@ class TestPipelineOpsPlans:
         plan = _plan(spark, sf_dir, "q_attribution")
         assert plan.count("Window") == 1
         assert "Join" not in plan
+
+
+class TestOpsToolingPlans:
+    def test_ri_audit_broadcast_anti(self, spark, sf_dir):
+        """Every FK edge must be a broadcast LEFT ANTI (dim keys build) —
+        the facts are scanned but never shuffled."""
+        plan = _plan(spark, sf_dir, "q_ri_audit")
+        assert plan.count("BroadcastHashJoin") == 4
+        assert "LeftAnti" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_skew_profile_two_level(self, spark, sf_dir):
+        """Per-key counts combine map-side; the percentile pass consumes
+        the key-count relation, never raw rows (>= 2 agg levels per key)."""
+        plan = _plan(spark, sf_dir, "q_skew_profile")
+        assert plan.count("HashAggregate") >= 6
