@@ -155,6 +155,28 @@ SHOWCASE: dict[str, str] = {
         "structural sharing; the scalar-subquery form would scan the "
         "fact twice (Spark 4 does not reuse the exchange)."
     ),
+    "q_market_share": (
+        "Q8 ratio: numerator and denominator in ONE fact pass "
+        "(conditional aggregation); every dimension leg broadcasts."
+    ),
+    "q_priority_count": (
+        "Q4 EXISTS with a fact-sized right side: shuffled LEFT SEMI "
+        "co-partitioned on orderkey — first-match short-circuit, no "
+        "pair explosion, no distinct pre-pass."
+    ),
+    "q_attribution": (
+        "Last-touch attribution: channel carry via last-ignorenulls "
+        "over a PRECEDING-only frame — one window, no self-as-of-join."
+    ),
+    "q_bpe_pairs": (
+        "BPE pair counts: corpus collapses to the zipf-bounded "
+        "vocabulary BEFORE the pair explosion; both aggs map-side "
+        "combined, top-50 heap-based."
+    ),
+    "q_ri_audit": (
+        "RI audit: four broadcast LEFT ANTI probes — facts scanned, "
+        "never shuffled; per-edge counts collapse map-side."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
