@@ -91,6 +91,8 @@ HEADLINE = [
     "q_attribution",
     "q_skew_profile",
     "q_ri_audit",
+    "q_incremental_dedup",
+    "q_time_rollup",
 ]
 
 

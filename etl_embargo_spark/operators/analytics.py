@@ -1696,3 +1696,43 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("credited_value"),
     )
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup: order revenue at (year, quarter, month),
+    (year, quarter), (year), and grand-total grains in ONE pass — the
+    hypertable-style continuous-aggregate ladder, batch form.
+
+    Scale shape: rollup expands grouping sets map-side (partial
+    aggregation), so the single exchange carries O(distinct months × 4)
+    partial rows regardless of fact size; re-aggregating a finer grain
+    into a coarser one later needs only the month relation (see
+    q_incremental_agg for that contract).  Exact-decimal sums."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mth"),
+        "o_totalprice",
+    )
+    return (
+        orders.rollup("yr", "qtr", "mth")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.grouping("yr").alias("g_yr"),
+            F.grouping("qtr").alias("g_qtr"),
+            F.grouping("mth").alias("g_mth"),
+        )
+        .select(
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            F.coalesce("qtr", F.lit(-1)).alias("qtr"),
+            F.coalesce("mth", F.lit(-1)).alias("mth"),
+            "n_orders",
+            "revenue",
+            "g_yr",
+            "g_qtr",
+            "g_mth",
+        )
+    )

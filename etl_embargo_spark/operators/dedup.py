@@ -636,3 +636,33 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_for_cpu(load_table(spark, sf_dir, "embeddings"), spark)
     # unsorted on purpose — see q_dedup_minhash
     return embedding_near_dups(emb, threshold=0.45)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup: drop new-batch documents whose (normalized) text
+    hash already exists in the standing corpus — the ingest gate that
+    keeps re-crawled pages from re-entering training data.  Even doc_ids
+    stand in for the standing corpus, odd for today's batch.
+
+    Scale shape: only HASHES of the standing corpus cross the wire, and
+    the probe is a LEFT ANTI join — at 100 TB the standing-hash relation
+    is the thing to keep bucketed/compact (it is corpus-sized but
+    32 bytes/row); the new batch is typically small and never shuffles
+    more than its own hashes.  Output is the surviving new docs plus
+    batch accounting."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        (F.col("doc_id") % 2 == 0).alias("is_standing"),
+    )
+    standing = hashed.filter("is_standing").select("h").distinct()
+    fresh = hashed.filter(~F.col("is_standing"))
+    survivors = fresh.join(standing, "h", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.count_distinct("h").alias("n_new_hashes"),
+    )

@@ -2373,3 +2373,42 @@ register(
     FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
     """,
 )
+
+register(
+    "q_incremental_dedup",
+    dedup.q_incremental_dedup,
+    """
+    WITH hashed AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS h,
+               doc_id % 2 = 0 AS is_standing
+        FROM documents WHERE n_chars > 0
+    ),
+    standing AS (SELECT DISTINCT h FROM hashed WHERE is_standing),
+    fresh AS (SELECT * FROM hashed WHERE NOT is_standing)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_new_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_new_hashes
+    FROM fresh
+    WHERE NOT EXISTS (SELECT 1 FROM standing s WHERE s.h = fresh.h)
+    GROUP BY source
+    """,
+)
+
+register(
+    "q_time_rollup",
+    analytics.q_time_rollup,
+    """
+    SELECT coalesce(year(o_orderdate), -1) AS yr,
+           coalesce(quarter(o_orderdate), -1) AS qtr,
+           coalesce(month(o_orderdate), -1) AS mth,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue,
+           CAST(grouping(year(o_orderdate)) AS INT) AS g_yr,
+           CAST(grouping(quarter(o_orderdate)) AS INT) AS g_qtr,
+           CAST(grouping(month(o_orderdate)) AS INT) AS g_mth
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate),
+                     month(o_orderdate))
+    """,
+)

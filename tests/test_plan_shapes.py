@@ -377,3 +377,19 @@ class TestOpsToolingPlans:
         the key-count relation, never raw rows (>= 2 agg levels per key)."""
         plan = _plan(spark, sf_dir, "q_skew_profile")
         assert plan.count("HashAggregate") >= 6
+
+    def test_incremental_dedup_anti_on_hashes(self, spark, sf_dir):
+        """Cross-run dedup must anti-join on 32-byte hashes with a single
+        documents scan feeding both sides via projection — text itself
+        never reaches the join."""
+        plan = _plan(spark, sf_dir, "q_incremental_dedup")
+        assert "LeftAnti" in plan
+        assert "text" not in plan.split("Join")[0]
+
+    def test_time_rollup_single_exchange(self, spark, sf_dir):
+        """The grouping-set ladder expands map-side: one Expand, partial +
+        final HashAggregate around ONE exchange."""
+        plan = _plan(spark, sf_dir, "q_time_rollup")
+        assert plan.count("Expand") == 1
+        assert plan.count("Exchange") == 1
+        assert plan.count("HashAggregate") >= 2
