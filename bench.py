@@ -93,6 +93,7 @@ HEADLINE = [
     "q_ri_audit",
     "q_incremental_dedup",
     "q_time_rollup",
+    "q_basket_lift",
 ]
 
 

@@ -1736,3 +1736,73 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_mth",
         )
     )
+
+
+LIFT_MIN_PAIR = 3  # support floor: pairs seen fewer times are noise
+LIFT_TOP = 30
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift over the co-purchase matrix: for part pairs
+    sharing an order, lift = P(a,b) / (P(a)·P(b)) — >1 means genuinely
+    bought together, not just popular.  Completes q_copurchase (raw
+    counts) with the statistical step of market-basket analysis.
+
+    Scale shape: pair generation is the single-scan bucket-groupBy shape
+    (never a self-join); per-part order counts are a second map-side-
+    combined aggregate over the SAME projection; both count relations
+    are part-dimensioned, so the two probability joins broadcast.  The
+    support floor keeps the lift ranking out of small-sample noise, and
+    the top-30 is a per-partition heap."""
+    from etl_embargo_spark.operators.dedup import _bucket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey")
+    # one-row total rides a broadcast nested-loop cross join (builders
+    # must be job-free — no .count() at construction)
+    n_orders_df = items.select(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    pairs = _bucket_pairs(
+        items,
+        ["l_orderkey"],
+        F.struct(F.col("l_partkey").alias("p")),
+        max_bucket=None,
+    )
+    pair_counts = (
+        pairs.select(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= LIFT_MIN_PAIR)
+    )
+    part_counts = (
+        items.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    ca = part_counts.select(
+        F.col("l_partkey").alias("ka"), F.col("n_p").alias("n_a")
+    )
+    cb = part_counts.select(
+        F.col("l_partkey").alias("kb"), F.col("n_p").alias("n_b")
+    )
+    lift = (
+        F.col("n_ab")
+        * F.col("n_orders").cast("double")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pair_counts.join(F.broadcast(ca), F.col("part_a") == F.col("ka"))
+        .join(F.broadcast(cb), F.col("part_b") == F.col("kb"))
+        .join(F.broadcast(n_orders_df))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(LIFT_TOP)
+    )

@@ -2412,3 +2412,32 @@ register(
                      month(o_orderdate))
     """,
 )
+
+register(
+    "q_basket_lift",
+    analytics.q_basket_lift,
+    f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {analytics.LIFT_MIN_PAIR}
+    ),
+    pc AS (SELECT l_partkey, count(*) AS n_p FROM items GROUP BY 1),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem)
+    SELECT part_a, part_b, n_ab,
+           round(n_ab * CAST(n_orders AS DOUBLE) / (ca.n_p * cb.n_p), 6)
+               AS lift
+    FROM pairs
+    JOIN pc ca ON pairs.part_a = ca.l_partkey
+    JOIN pc cb ON pairs.part_b = cb.l_partkey
+    CROSS JOIN tot
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {analytics.LIFT_TOP}
+    """,
+)

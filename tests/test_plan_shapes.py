@@ -393,3 +393,13 @@ class TestOpsToolingPlans:
         assert plan.count("Expand") == 1
         assert plan.count("Exchange") == 1
         assert plan.count("HashAggregate") >= 2
+
+    def test_basket_lift_no_self_join_broadcast_probs(self, spark, sf_dir):
+        """Lift: pair generation stays bucket-groupBy (single lineitem
+        scan lineage per side), probability joins broadcast, top-30 is
+        heap-based."""
+        plan = _plan(spark, sf_dir, "q_basket_lift")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "BroadcastNestedLoopJoin" in plan  # the one-row total
+        assert "TakeOrderedAndProject" in plan
