@@ -143,8 +143,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         return _check_schema(name, df)
-    df = spark.read.parquet(path)
+    df = spark.read.schema(_declared_ddl(name)).parquet(path)
     return _check_schema(name, df)
+
+
+def _declared_ddl(name: str) -> str:
+    """DDL built from the declared catalog — passed to the reader so NO
+    schema is ever inferred (SURVEY §1.3) and query CONSTRUCTION runs
+    zero Spark jobs (footer-inference reads were one tiny job per
+    load_table; guarded by tests/test_plan_shapes.py TestJobFreeBuilders).
+    Parquet naive-UTC timestamps are declared timestamp_ntz (files carry
+    no UTC flag; an LTZ declaration would shift values on non-UTC
+    sessions).  Type drift in the files still fails loudly — at first
+    execution instead of at build (Spark's parquet reader refuses
+    mismatched physical types; it does not cast).
+
+    events is NOT declared: its TIMESTAMP(NANOS) column under an explicit
+    long schema comes back in DIFFERENT units (micros, not raw nanos —
+    verified 2026-08-13) than under nanosAsLong inference, which would
+    silently break the epoch arithmetic above."""
+    return ", ".join(
+        f"{col} {typ.replace('timestamp', 'timestamp_ntz')}"
+        for col, typ in EXPECTED_SCHEMAS[name].items()
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -230,10 +230,24 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
 
 
 def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors of vec_id 0 (excluding itself)."""
+    """Exact cosine top-10 neighbors of vec_id 0 (excluding itself).
+
+    The query vector rides the plan as a broadcast one-row cross join
+    (NOT a driver-side .first() baked into literals — builders stay
+    job-free); _dot casts elements to double either way, so the numerics
+    are unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
-    query = _query_vector(spark, sf_dir, 0)
-    scored = cosine_to_query(emb.filter(F.col("vec_id") != 0), query)
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    e = F.col("embedding")
+    q = F.col("qvec")
+    cos = _dot(e, q) / (_norm(e) * _norm(q))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qrow))
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+    )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
 
 

@@ -403,3 +403,37 @@ class TestOpsToolingPlans:
         assert plan.count("BroadcastHashJoin") == 2
         assert "BroadcastNestedLoopJoin" in plan  # the one-row total
         assert "TakeOrderedAndProject" in plan
+
+
+class TestJobFreeBuilders:
+    def test_no_query_builder_runs_a_job(self, spark, sf_dir):
+        """Constructing ANY registered query must not trigger a Spark job
+        (the CLAUDE.md job-free rule): a .count()/.collect()/.first() at
+        build time re-executes on every driver probe and serializes plan
+        construction at scale.  Declared catalog schemas make the parquet
+        reads inference-free, so statusTracker guards all 130+ builders
+        at once.  Exempt: queries reading events (its TIMESTAMP(NANOS)
+        legacy path needs one footer-inference job per load — see
+        catalog._declared_ddl) and the documented set below."""
+        # iterative algorithms materialize rounds at build by design;
+        # q_ann_ivf's centroid PROBE selection needs the query vector on
+        # the driver (it parameterizes which bucket filters exist at all)
+        exempt = {
+            "q_corpus_dedup",
+            "q_dedup_clusters",
+            "q_pagerank",
+            "q_ann_ivf",
+        }
+        tracker = spark.sparkContext._jsc.sc().statusTracker()
+        offenders = []
+        for name, fn in sorted(registry.queries().items()):
+            if name in exempt:
+                continue
+            before = set(tracker.getJobIdsForGroup(None))
+            df = fn(spark, sf_dir)
+            after = set(tracker.getJobIdsForGroup(None))
+            if after != before:
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                if "events.parquet" not in plan:
+                    offenders.append((name, sorted(after - before)))
+        assert not offenders, f"builders ran jobs: {offenders}"
