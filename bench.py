@@ -94,6 +94,8 @@ HEADLINE = [
     "q_incremental_dedup",
     "q_time_rollup",
     "q_basket_lift",
+    "q_revenue_deciles",
+    "q_mutual_info",
 ]
 
 

@@ -1806,3 +1806,81 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(LIFT_TOP)
     )
+
+
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 curve): customers ranked into
+    spend deciles, each decile's share of total revenue — the
+    concentration profile that decides where personalization/retention
+    effort goes.
+
+    Scale shape: per-customer totals aggregate map-side first; ntile and
+    the grand total then run over the CUSTOMER-sized relation (a
+    single-partition window is fine there — it is dim-sized by
+    construction, never fact-sized).  Exact-decimal sums end to end, so
+    decile boundaries (ntile ties broken by custkey) and shares are
+    engine-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    total = F.sum("spend").over(Window.partitionBy(F.lit(1)))
+    return (
+        tiled.withColumn("total", total)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 2).cast("double").alias("revenue"),
+            F.round(
+                (F.sum("spend") / F.max("total")).cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dependence profile: per (lang, source) cell of the
+    documents table, the joint probability, independence lift, and the
+    cell's mutual-information term — feature-selection-style profiling
+    for categorical columns.
+
+    Scale shape: ONE scan builds the joint cell counts; marginals and
+    the total are WINDOW sums over that cell relation (cells = |langs| ×
+    |sources|, trivially small at any corpus size) — re-deriving them as
+    separate aggregates would re-execute the corpus scan per marginal
+    (Spark duplicates unshared lineage; same trap as the Q15 scalar
+    subquery).  Per-cell MI terms are emitted instead of their float sum
+    (a cross-cell float total would depend on addition order across
+    engines)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    n_x = F.sum("n_xy").over(Window.partitionBy("lang"))
+    n_y = F.sum("n_xy").over(Window.partitionBy("source"))
+    n = F.sum("n_xy").over(Window.partitionBy(F.lit(1)))
+    staged = joint.select(
+        "lang",
+        "source",
+        "n_xy",
+        n_x.alias("n_x"),
+        n_y.alias("n_y"),
+        n.alias("n"),
+    )
+    lift = (
+        F.col("n_xy").cast("double") * F.col("n")
+        / (F.col("n_x") * F.col("n_y"))
+    )
+    pxy = F.col("n_xy") / F.col("n")
+    return staged.select(
+        "lang",
+        "source",
+        "n_xy",
+        F.round(pxy, 6).alias("p_xy"),
+        F.round(lift, 6).alias("lift"),
+        F.round(pxy * F.log2(lift), 6).alias("mi_term"),
+    )

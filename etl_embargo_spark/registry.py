@@ -2441,3 +2441,50 @@ register(
     LIMIT {analytics.LIFT_TOP}
     """,
 )
+
+register(
+    "q_revenue_deciles",
+    analytics.q_revenue_deciles,
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT o_custkey, spend,
+               ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile,
+               sum(spend) OVER () AS total
+        FROM per_cust
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(spend), 2) AS DOUBLE) AS revenue,
+           round(CAST(sum(spend) / max(total) AS DOUBLE), 6) AS share
+    FROM tiled GROUP BY decile
+    """,
+)
+
+register(
+    "q_mutual_info",
+    analytics.q_mutual_info,
+    """
+    WITH joint AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+        FROM documents WHERE n_chars > 0 GROUP BY lang, source
+    ),
+    ml AS (SELECT lang, sum(n_xy) AS n_x FROM joint GROUP BY lang),
+    ms AS (SELECT source, sum(n_xy) AS n_y FROM joint GROUP BY source),
+    tot AS (SELECT sum(n_xy) AS n FROM joint)
+    SELECT lang, source, n_xy,
+           round(CAST(n_xy AS DOUBLE) / n, 6) AS p_xy,
+           round(CAST(n_xy AS DOUBLE) * n / (n_x * n_y), 6) AS lift,
+           round((CAST(n_xy AS DOUBLE) / n)
+                 * log2(CAST(n_xy AS DOUBLE) * n / (n_x * n_y)), 6)
+               AS mi_term
+    FROM joint
+    JOIN ml USING (lang)
+    JOIN ms USING (source)
+    CROSS JOIN tot
+    """,
+)

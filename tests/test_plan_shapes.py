@@ -437,3 +437,20 @@ class TestJobFreeBuilders:
                 if "events.parquet" not in plan:
                     offenders.append((name, sorted(after - before)))
         assert not offenders, f"builders ran jobs: {offenders}"
+
+    def test_revenue_deciles_windows_dim_sized(self, spark, sf_dir):
+        """Both windows (ntile, grand total) must consume the per-customer
+        AGGREGATE — the fact table collapses map-side before any
+        single-partition operator."""
+        plan = _plan(spark, sf_dir, "q_revenue_deciles")
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("HashAggregate") >= 2
+
+    def test_mutual_info_marginals_from_joint(self, spark, sf_dir):
+        """Marginals and total must be WINDOW sums over the joint cell
+        relation — ONE documents scan; separate aggregate branches would
+        re-execute the corpus scan per marginal."""
+        plan = _plan(spark, sf_dir, "q_mutual_info")
+        assert plan.count("Scan parquet") == 1
+        assert "Join" not in plan
+        assert plan.count("Window") == 3
