@@ -96,6 +96,8 @@ HEADLINE = [
     "q_basket_lift",
     "q_revenue_deciles",
     "q_mutual_info",
+    "q_label_encode",
+    "q_class_weights",
 ]
 
 

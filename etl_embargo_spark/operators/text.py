@@ -506,3 +506,65 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_TOP)
     )
+
+
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dictionary encoding: a stable integer id per (column,
+    value) for the documents table's categoricals, ordered by descending
+    frequency (id 0 = most common — the layout embedding tables want).
+
+    Scale shape: each dictionary is built from a map-side-combined
+    value-count aggregate (dictionary-sized thereafter); the id is
+    row_number over (count desc, value) — deterministic under any
+    partitioning.  The two dictionaries union AFTER encoding, so each
+    window is tiny and per-column."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    outs = []
+    for col in ("lang", "source"):
+        counts = docs.groupBy(F.col(col).alias("value")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.orderBy(F.desc("n"), "value")
+        outs.append(
+            counts.select(
+                F.lit(col).alias("column"),
+                "value",
+                (F.row_number().over(w) - 1).alias("code"),
+                "n",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights per language — the standard
+    imbalanced-sampling correction (weight = N / (k · n_c), so a
+    uniform draw over weighted classes sees each language equally).
+
+    Scale shape: one aggregate; N and k are window sums over the
+    class-count relation (languages, not rows), exactly the
+    single-scan shared-lineage shape of q_mutual_info."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    w = Window.partitionBy(F.lit(1))
+    staged = counts.select(
+        "lang",
+        "n_c",
+        F.sum("n_c").over(w).alias("n_total"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    return staged.select(
+        "lang",
+        "n_c",
+        F.round(
+            F.col("n_total") / (F.col("k") * F.col("n_c")), 6
+        ).alias("weight"),
+    )

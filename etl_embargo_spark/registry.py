@@ -2488,3 +2488,43 @@ register(
     CROSS JOIN tot
     """,
 )
+
+register(
+    "q_label_encode",
+    text.q_label_encode,
+    """
+    WITH lc AS (
+        SELECT lang AS value, count(*) AS n FROM documents
+        WHERE n_chars > 0 GROUP BY lang
+    ),
+    sc AS (
+        SELECT source AS value, count(*) AS n FROM documents
+        WHERE n_chars > 0 GROUP BY source
+    )
+    SELECT 'lang' AS "column", value,
+           CAST(row_number() OVER (ORDER BY n DESC, value) - 1 AS INT)
+               AS code,
+           CAST(n AS BIGINT) AS n
+    FROM lc
+    UNION ALL
+    SELECT 'source', value,
+           CAST(row_number() OVER (ORDER BY n DESC, value) - 1 AS INT),
+           CAST(n AS BIGINT)
+    FROM sc
+    """,
+)
+
+register(
+    "q_class_weights",
+    text.q_class_weights,
+    """
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_c FROM documents
+        WHERE n_chars > 0 GROUP BY lang
+    )
+    SELECT lang, n_c,
+           round(CAST(sum(n_c) OVER () AS DOUBLE)
+                 / (count(*) OVER () * n_c), 6) AS weight
+    FROM counts
+    """,
+)

@@ -454,3 +454,10 @@ class TestJobFreeBuilders:
         assert plan.count("Scan parquet") == 1
         assert "Join" not in plan
         assert plan.count("Window") == 3
+
+    def test_class_weights_single_scan(self, spark, sf_dir):
+        """N and k must be window sums over the class-count relation —
+        one documents scan, no duplicated lineage."""
+        plan = _plan(spark, sf_dir, "q_class_weights")
+        assert plan.count("Scan parquet") == 1
+        assert "Join" not in plan
