@@ -98,6 +98,7 @@ HEADLINE = [
     "q_mutual_info",
     "q_label_encode",
     "q_class_weights",
+    "q_perplexity",
 ]
 
 

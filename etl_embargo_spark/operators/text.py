@@ -568,3 +568,53 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_total") / (F.col("k") * F.col("n_c")), 6
         ).alias("weight"),
     )
+
+
+PPL_BITS_DECIMALS = 6  # quantize per-token bits before the exact sum
+
+
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document — the classic pretraining
+    quality filter (wiki-LM perplexity gates): documents whose tokens
+    are improbable under the corpus distribution score high and get
+    culled.
+
+    Scale shape: the vocabulary (with its window-summed total) is
+    zipf-bounded and broadcasts onto the exploded token stream; the
+    per-doc reduction is a map-side-combined sum.  Per-token bits
+    (-log2 p) are QUANTIZED to 6 decimals and summed in exact decimal:
+    libm log2 differs in the last ulp across engines, and a float sum of
+    ~100 such terms also depends on addition order — quantize-then-
+    exact-sum removes both without moving perplexity at the reported
+    4 decimals."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy(F.lit(1)))
+    probs = vocab.select(
+        "tok",
+        (-F.log2(F.col("n") / total))
+        .cast(f"decimal(18,{PPL_BITS_DECIMALS})")
+        .alias("bits"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bits").alias("total_bits"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    ppl = F.pow(
+        F.lit(2.0),
+        F.col("total_bits").cast("double") / F.col("n_tokens"),
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", F.round(ppl, 4).alias("perplexity")
+    )

@@ -2528,3 +2528,28 @@ register(
     FROM counts
     """,
 )
+
+register(
+    "q_perplexity",
+    text.q_perplexity,
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents WHERE n_chars > 0
+    ),
+    vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    probs AS (
+        SELECT tok,
+               CAST(-log2(CAST(n AS DOUBLE) / sum(n) OVER ())
+                    AS DECIMAL(18,{text.PPL_BITS_DECIMALS})) AS bits
+        FROM vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(pow(2.0, CAST(sum(bits) AS DOUBLE) / count(*)), 4)
+               AS perplexity
+    FROM toks JOIN probs USING (tok)
+    GROUP BY doc_id
+    """,
+)

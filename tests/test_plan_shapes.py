@@ -461,3 +461,13 @@ class TestJobFreeBuilders:
         plan = _plan(spark, sf_dir, "q_class_weights")
         assert plan.count("Scan parquet") == 1
         assert "Join" not in plan
+
+    def test_perplexity_vocab_broadcasts(self, spark, sf_dir):
+        """The vocabulary (zipf-bounded) must broadcast onto the token
+        stream; the corpus is tokenized twice (vocab pass + probe pass —
+        the standard two-pass LM shape; persist the token stream to make
+        it one at scale), never more."""
+        plan = _plan(spark, sf_dir, "q_perplexity")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Scan parquet") == 2
