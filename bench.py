@@ -99,6 +99,7 @@ HEADLINE = [
     "q_label_encode",
     "q_class_weights",
     "q_perplexity",
+    "q_dp_counts",
 ]
 
 

@@ -1884,3 +1884,43 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lift, 6).alias("lift"),
         F.round(pxy * F.log2(lift), 6).alias("mi_term"),
     )
+
+
+DP_EPSILON = 1.0
+DP_SEED = "dp-release-v1"  # version the seed: re-release = new noise draw
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-event-type counts with
+    seeded Laplace(1/ε) noise — the privacy gate before usage statistics
+    leave the pipeline.  Count queries have L1 sensitivity 1, so noise
+    scale b = 1/ε.
+
+    The noise is DETERMINISTIC given (group, seed): u ∈ (0,1) comes from
+    the md5 of the seeded group key (engine-independent, like every
+    split/sample in this repo — a release must not change when the
+    engine version does), and the draw is the Laplace inverse CDF
+    u - 0.5 → -b·sign(t)·ln(1-2|t|).  Seed versioning makes re-release
+    an explicit decision.  Rounded at 4 decimals (ln differs in the
+    last ulp across libm implementations)."""
+    from etl_embargo_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    u = (
+        hash_bucket(
+            F.concat(F.lit(DP_SEED + ":"), F.col("event_type")),
+            1_000_000_007,
+        )
+        + F.lit(1)
+    ) / F.lit(1_000_000_009.0)
+    t = u - F.lit(0.5)
+    b = 1.0 / DP_EPSILON
+    noise = -F.lit(b) * F.signum(t) * F.log(1 - 2 * F.abs(t))
+    return counts.select(
+        "event_type",
+        "true_count",
+        F.round(F.col("true_count") + noise, 4).alias("dp_count"),
+    )

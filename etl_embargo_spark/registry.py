@@ -2553,3 +2553,26 @@ register(
     GROUP BY doc_id
     """,
 )
+
+register(
+    "q_dp_counts",
+    analytics.q_dp_counts,
+    f"""
+    WITH counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+        FROM events GROUP BY event_type
+    ),
+    noised AS (
+        SELECT event_type, true_count,
+               ((('0x' || substr(md5('{analytics.DP_SEED}:' || event_type),
+                             1, 8))::UBIGINT % 1000000007) + 1)
+                   / 1000000009.0 - 0.5 AS t
+        FROM counts
+    )
+    SELECT event_type, true_count,
+           round(true_count
+                 + (-{1.0 / analytics.DP_EPSILON} * sign(t)
+                    * ln(1 - 2 * abs(t))), 4) AS dp_count
+    FROM noised
+    """,
+)

@@ -279,3 +279,23 @@ class TestPackContexts:
                 assert r.window_id == first
                 assert r.windows_spanned == last - first + 1 >= 1
                 expect_start += r.n_tokens
+
+
+class TestDpCounts:
+    def test_noise_is_laplace_shaped_and_deterministic(self, spark, sf_dir):
+        """The DP release must be reproducible run to run (seeded), the
+        noise must be centered (|noise| small relative to counts at
+        eps=1), and no group's noise may be exactly zero (u=0.5 has
+        measure zero under the md5 uniform)."""
+        from etl_embargo_spark.operators.analytics import q_dp_counts
+
+        a = {r.event_type: r.dp_count for r in q_dp_counts(spark, sf_dir).collect()}
+        b = {r.event_type: r.dp_count for r in q_dp_counts(spark, sf_dir).collect()}
+        assert a == b
+        rows = q_dp_counts(spark, sf_dir).collect()
+        for r in rows:
+            noise = r.dp_count - r.true_count
+            assert noise != 0.0
+            # Laplace(1) tail: P(|x| > 15) < 2e-7 — a violation means the
+            # inverse-CDF arithmetic broke, not bad luck
+            assert abs(noise) < 15.0
