@@ -100,6 +100,7 @@ HEADLINE = [
     "q_class_weights",
     "q_perplexity",
     "q_dp_counts",
+    "q_funnel_steps",
 ]
 
 

@@ -274,3 +274,58 @@ def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.filter(keep).select(
         "event_id", "user_id", "event_type", "value", "gap_us"
     )
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step strict-order funnel: users who signed up, then clicked
+    AFTER the signup, then purchased AFTER that click — per-step reach
+    counts and conversion from the previous step.
+
+    Scale shape: the step anchors are STACKED UNORDERED window minima
+    over the same user partition (min signup ts; min click ts after it;
+    min purchase ts after that), so the whole sequence match costs ONE
+    user_id exchange and no sort — the self-join formulation would
+    shuffle events once per step.  The final reduction is a global
+    conditional aggregate (map-side combined)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1, s2, s3 = FUNNEL_STEPS
+    t1 = F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == s2) & (F.col("ts") > t1), F.col("ts")
+        )
+    ).over(w)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == s3) & (F.col("ts") > t2), F.col("ts")
+        )
+    ).over(w)
+    per_user = (
+        ev.select(
+            "user_id", t1.alias("t1"), t2.alias("t2"), t3.alias("t3")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("t1").isNotNull()).alias("r1"),
+            F.max(F.col("t2").isNotNull()).alias("r2"),
+            F.max(F.col("t3").isNotNull()).alias("r3"),
+        )
+    )
+    n1 = F.sum(F.col("r1").cast("bigint"))
+    n2 = F.sum((F.col("r1") & F.col("r2")).cast("bigint"))
+    n3 = F.sum(
+        (F.col("r1") & F.col("r2") & F.col("r3")).cast("bigint")
+    )
+    return per_user.agg(
+        n1.alias("n_signup"),
+        n2.alias("n_clicked_after"),
+        n3.alias("n_purchased_after"),
+        F.round(n2 / n1, 6).alias("conv_1_2"),
+        F.round(n3 / n2, 6).alias("conv_2_3"),
+    )

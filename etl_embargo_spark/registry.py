@@ -2576,3 +2576,46 @@ register(
     FROM noised
     """,
 )
+
+register(
+    "q_funnel_steps",
+    temporal.q_funnel_steps,
+    """
+    WITH a1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    a2 AS (
+        SELECT user_id, ts, event_type, t1,
+               min(CASE WHEN event_type = 'click' AND ts > t1
+                   THEN ts END) OVER (PARTITION BY user_id) AS t2
+        FROM a1
+    ),
+    anchored2 AS (
+        SELECT user_id, t1, t2,
+               min(CASE WHEN event_type = 'purchase' AND ts > t2
+                   THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM a2
+    ),
+    per_user AS (
+        SELECT user_id,
+               bool_or(t1 IS NOT NULL) AS r1,
+               bool_or(t2 IS NOT NULL) AS r2,
+               bool_or(t3 IS NOT NULL) AS r3
+        FROM anchored2 GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN r1 THEN 1 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN r1 AND r2 THEN 1 END) AS BIGINT)
+               AS n_clicked_after,
+           CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 END) AS BIGINT)
+               AS n_purchased_after,
+           round(CAST(sum(CASE WHEN r1 AND r2 THEN 1 END) AS DOUBLE)
+                 / sum(CASE WHEN r1 THEN 1 END), 6) AS conv_1_2,
+           round(CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 END) AS DOUBLE)
+                 / sum(CASE WHEN r1 AND r2 THEN 1 END), 6) AS conv_2_3
+    FROM per_user
+    """,
+)

@@ -471,3 +471,13 @@ class TestJobFreeBuilders:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert plan.count("Scan parquet") == 2
+
+    def test_funnel_steps_single_exchange(self, spark, sf_dir):
+        """The 3-step sequence match must cost ONE user_id exchange: all
+        three anchor minima stack on the same unordered window (no sort,
+        no per-step self-joins).  Exchanges: the user window + the final
+        one-row aggregate."""
+        plan = _plan(spark, sf_dir, "q_funnel_steps")
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") == 1
+        assert "Sort" not in plan.split("Window")[0]
