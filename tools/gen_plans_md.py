@@ -177,6 +177,28 @@ SHOWCASE: dict[str, str] = {
         "RI audit: four broadcast LEFT ANTI probes — facts scanned, "
         "never shuffled; per-edge counts collapse map-side."
     ),
+    "q_incremental_dedup": (
+        "Cross-run ingest gate: LEFT ANTI on md5 hashes — 32 bytes/row "
+        "across the wire, text never reaches the join."
+    ),
+    "q_mutual_info": (
+        "Categorical MI: marginals and total are WINDOW sums over the "
+        "joint cell relation — one corpus scan (separate aggregate "
+        "branches would re-execute it per marginal)."
+    ),
+    "q_perplexity": (
+        "Unigram-LM quality filter: zipf-bounded vocabulary broadcasts "
+        "onto the token stream; quantize-then-exact-sum keeps the bits "
+        "total engine-deterministic."
+    ),
+    "q_funnel_steps": (
+        "3-step ordered funnel: stacked unordered window minima on one "
+        "user partition — one exchange, no sort, no per-step self-joins."
+    ),
+    "q_basket_lift": (
+        "Association lift: bucket-groupBy pair generation (no self-"
+        "join); part-count and one-row-total relations broadcast."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
