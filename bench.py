@@ -101,6 +101,7 @@ HEADLINE = [
     "q_perplexity",
     "q_dp_counts",
     "q_funnel_steps",
+    "q_zipf_fit",
 ]
 
 

@@ -618,3 +618,43 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id", "n_tokens", F.round(ppl, 4).alias("perplexity")
     )
+
+
+ZIPF_TOP = 1000
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law check: the log-log slope of the vocabulary's
+    rank-frequency curve over the top-1000 terms — natural text sits
+    near slope -1; a corpus that doesn't is machine-generated, boiler-
+    plate-heavy, or mis-tokenized.  Exercises the regression-aggregate
+    surface (regr_slope/intercept/r2).
+
+    Scale shape: the top-1000 head comes from TakeOrderedAndProject
+    (per-partition heaps — a partitionless row_number window would sort
+    the WHOLE vocabulary in one partition: Spark's WindowGroupLimit
+    rewrite doesn't fire without a partition key); the rank window then
+    runs over just those 1000 rows, and the regression aggregates reduce
+    them map-side to constant state.  Rounded at 4 decimals (the moment
+    sums are float and ~1e-12 order-sensitive at this cardinality)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = vocab.orderBy(F.desc("n"), "tok").limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("n"), "tok")
+    head = top.withColumn("rank", F.row_number().over(w))
+    x = F.log2("rank")
+    y = F.log2("n")
+    return head.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+    )

@@ -2619,3 +2619,25 @@ register(
     FROM per_user
     """,
 )
+
+register(
+    "q_zipf_fit",
+    text.q_zipf_fit,
+    rf"""
+    WITH vocab AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents WHERE n_chars > 0
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM vocab GROUP BY tok),
+    head AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+        FROM counts
+        QUALIFY rank <= {text.ZIPF_TOP}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(log2(n), log2(rank)), 4) AS slope,
+           round(regr_intercept(log2(n), log2(rank)), 4) AS intercept,
+           round(regr_r2(log2(n), log2(rank)), 4) AS r2
+    FROM head
+    """,
+)

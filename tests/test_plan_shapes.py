@@ -481,3 +481,11 @@ class TestJobFreeBuilders:
         assert "Join" not in plan
         assert plan.count("Scan parquet") == 1
         assert "Sort" not in plan.split("Window")[0]
+
+    def test_zipf_head_is_heap_based(self, spark, sf_dir):
+        """The top-1000 head must be TakeOrderedAndProject (per-partition
+        heaps); the rank window runs over just those rows — never a full
+        single-partition vocabulary sort (partitionless row_number gets
+        no WindowGroupLimit rewrite)."""
+        plan = _plan(spark, sf_dir, "q_zipf_fit")
+        assert "TakeOrderedAndProject" in plan
