@@ -102,6 +102,7 @@ HEADLINE = [
     "q_dp_counts",
     "q_funnel_steps",
     "q_zipf_fit",
+    "q_growth_accounting",
 ]
 
 

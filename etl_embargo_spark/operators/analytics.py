@@ -1924,3 +1924,53 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         F.round(F.col("true_count") + noise, 4).alias("dp_count"),
     )
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting at weekly grain: each week's active users
+    decomposed into new (first week ever), retained (active the previous
+    week), and resurrected (returning after a gap), plus churned (last
+    week's actives who didn't return) — the canonical active-user bridge
+    (new + retained + resurrected = WAU; churned = prev WAU − retained).
+
+    Scale shape: events collapse to distinct (user, week) FIRST (one
+    fact shuffle, map-side combined); the per-user classification is one
+    lag/min window over that relation; the weekly rollup and the churn
+    lag then run over the WEEK-sized relation.  Weeks are a linear index
+    (days since 2024-01-01, integer-divided by 7), so adjacency is exact
+    and session-timezone invariant (date of an NTZ timestamp)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wi = F.floor(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        / 7
+    ).cast("int")
+    um = ev.select("user_id", wi.alias("wk")).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    wall = Window.partitionBy("user_id")
+    tagged = um.select(
+        "wk",
+        (F.col("wk") == F.min("wk").over(wall)).alias("is_new"),
+        (F.lag("wk").over(w) == F.col("wk") - 1).alias("is_retained"),
+    )
+    weekly = tagged.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("wau"),
+        F.sum(F.col("is_new").cast("bigint")).alias("n_new"),
+        F.sum(
+            F.coalesce(F.col("is_retained"), F.lit(False)).cast("bigint")
+        ).alias("n_retained"),
+    )
+    wm = Window.orderBy("wk")
+    return weekly.select(
+        "wk",
+        "wau",
+        "n_new",
+        "n_retained",
+        (F.col("wau") - F.col("n_new") - F.col("n_retained")).alias(
+            "n_resurrected"
+        ),
+        (F.lag("wau").over(wm) - F.col("n_retained")).alias("n_churned"),
+    )

@@ -2641,3 +2641,35 @@ register(
     FROM head
     """,
 )
+
+register(
+    "q_growth_accounting",
+    analytics.q_growth_accounting,
+    """
+    WITH um AS (
+        SELECT DISTINCT user_id,
+               CAST((ts::DATE - DATE '2024-01-01') // 7 AS INT) AS wk
+        FROM events
+    ),
+    tagged AS (
+        SELECT wk,
+               wk = min(wk) OVER (PARTITION BY user_id) AS is_new,
+               lag(wk) OVER (PARTITION BY user_id ORDER BY wk) = wk - 1
+                   AS is_retained
+        FROM um
+    ),
+    weekly AS (
+        SELECT wk,
+               CAST(count(*) AS BIGINT) AS wau,
+               CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(sum(CASE WHEN coalesce(is_retained, false)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+        FROM tagged GROUP BY wk
+    )
+    SELECT wk, wau, n_new, n_retained,
+           wau - n_new - n_retained AS n_resurrected,
+           lag(wau) OVER (ORDER BY wk) - n_retained AS n_churned
+    FROM weekly
+    """,
+)

@@ -489,3 +489,11 @@ class TestJobFreeBuilders:
         no WindowGroupLimit rewrite)."""
         plan = _plan(spark, sf_dir, "q_zipf_fit")
         assert "TakeOrderedAndProject" in plan
+
+    def test_growth_accounting_collapses_first(self, spark, sf_dir):
+        """Events must collapse to distinct (user, week) before any
+        window — one fact scan, and the classification windows share the
+        user_id exchange."""
+        plan = _plan(spark, sf_dir, "q_growth_accounting")
+        assert plan.count("Scan parquet") == 1
+        assert "Join" not in plan
