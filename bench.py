@@ -6,19 +6,16 @@ JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
 
 Each query is forced end-to-end with a noop-format write (full execution,
 no driver-side collect skew), which is how a real cluster job would be
-costed.  The headline set covers every engine axis: scan+filter+scalar
-(q_filename_parse, q_split_partition), broadcast join (q_whitelist_semi),
-shuffle agg (q_pricing_summary, q_metrics_rollup), window (q_overwrite_merge,
-q_sessionize), event-time (q_events_window), dedup (exact + MinHash LSH +
-blocked edit-distance), similarity (cosine top-k), text analysis
-(q_text_quality, q_tfidf), deterministic sampling (q_hash_sample, and the
-mixture sampler q_corpus_mix), the funnel range-join composition
-(q_funnel), incremental re-aggregation (q_incremental_agg), CDC history
-(q_scd2), basket mining (q_copurchase), cohort retention (q_retention),
-robust outliers (q_anomaly_mad), hopping windows (q_sliding_window),
-interval sweep-lines (q_concurrency), path mining (q_event_paths),
-item-item cosine CF (q_item_cosine), and rolling distinct actives
-(q_rolling_dau).
+costed.  The headline set covers every engine axis: scan+filter+scalar,
+broadcast/semi/anti joins, shuffle aggregation, windows and event-time,
+the TPC-H join shapes (Q3/Q4/Q5/Q8/Q10/Q15/Q17/Q18/Q21), dedup (exact,
+MinHash LSH, blocked edit-distance, cross-run incremental), similarity
+(cosine top-k), text analysis (quality, TF-IDF, BPE pairs, perplexity,
+Zipf fit, packing), deterministic sampling and mixing, temporal ops
+(as-of, range join, funnels, SCD-2, debounce), sketches (HLL merge),
+analytics compositions (retention, growth accounting, attribution,
+skyline, lift, deciles, MI), and ops tooling (skew profile, RI audit,
+DP release).  See QUERIES.md for the full per-query inventory.
 """
 
 from __future__ import annotations
