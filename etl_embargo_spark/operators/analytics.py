@@ -1974,3 +1974,167 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.lag("wau").over(wm) - F.col("n_retained")).alias("n_churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape batch 2 (round 2): outer-join histogram (Q13), share-of-total
+# HAVING (Q11), distinct-count with exclusion (Q16), anti-join + scalar
+# threshold (Q22).
+# ---------------------------------------------------------------------------
+
+IMPORTANT_PART_RATIO = (3, 2)  # Q11-style threshold: value > 1.5× avg part
+IDLE_SINCE = "2000-01-01"  # Q22-style recency horizon
+
+
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped order-count distribution: how many customers
+    placed exactly N orders (including N=0 via the outer join).
+
+    Scale shape: orders collapse to a per-customer count FIRST (one fact
+    shuffle with map-side partials → customer-sized relation); customer
+    then LEFT-joins that aggregate — never customer⋈orders row-level, so
+    the outer join carries O(customers), not O(orders).  The final
+    histogram re-aggregates the customer-sized relation.  (Reference has
+    no outer joins — SURVEY §2.3 'Absent'; this is the Q13 gap shape.)
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        cust.join(
+            per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left"
+        )
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped share-of-total HAVING: parts whose revenue exceeds
+    1.5× the average per-part revenue (the scale-invariant form of Q11's
+    ``value > SUM(value) × fraction`` — the fraction is tied to the part
+    count so the report stays meaningful at any SF).
+
+    Scale shape: one fact pass builds the per-part revenue aggregate
+    (map-side partials; part-sized output); the global total AND part
+    count are an empty window OVER that aggregate, not a scalar subquery
+    — Spark 4 does NOT reuse exchanges for duplicated scalar-subquery
+    subtrees (two full fact scans, verified on q_top_supplier), so
+    sharing must be structural.  The threshold compare is exact
+    (decimal × bigint), immune to float association order.
+    """
+    num, den = IMPORTANT_PART_RATIO
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue_term()).alias("value_exact"))
+    )
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("total_exact", F.sum("value_exact").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("value_exact") * F.col("n_parts") * den
+            > F.col("total_exact") * num
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("value_exact"), 2)
+            .cast("double")
+            .alias("part_value"),
+        )
+    )
+
+
+def q_part_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-count report: distinct suppliers able to
+    ship each (brand, size-band), excluding suppliers with negative
+    account balance (the Q16 'complaints' exclusion).
+
+    Scale shape: the fact collapses to DISTINCT (partkey, suppkey) pairs
+    first — the one fact shuffle, map-side combined, bounded by
+    |part|×|supplier| not |lineitem|.  The part attributes and the
+    excluded-supplier list are both broadcast (LEFT ANTI), so the pair
+    relation never reshuffles until the final brand/size-band
+    count_distinct, which runs over the pair-sized relation.
+    """
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(
+            F.broadcast(excluded),
+            pairs["l_suppkey"] == excluded["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            (F.floor(F.col("p_size") / 10)).cast("int").alias("size_band"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped idle-capital report: per nation, the count and
+    total balance of above-average-balance customers with NO orders since
+    IDLE_SINCE (anti join + global scalar threshold).
+
+    Scale shape: the recency anti-join's right side collapses to DISTINCT
+    recent o_custkey first (map-side combined, ≤|customer| rows) and
+    broadcasts — the fact never shuffles.  The global average-balance
+    threshold is a 1-row aggregate broadcast via crossJoin (a second
+    pass over the customer DIM, not the fact; cheap and
+    explicitly-shared, unlike Spark 4 scalar subqueries which re-execute
+    the subtree).  Exact-cent compare: acctbal is cent-valued, so both
+    sides scale to integer cents ×customer-count to avoid float-division
+    drift between engines.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    cents = (F.col("c_acctbal") * 100).cast("decimal(18,0)")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(cents).alias("sum_cents"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= IDLE_SINCE)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(cents * F.col("n_pos") > F.col("sum_cents"))
+        .join(
+            F.broadcast(recent),
+            cust["c_custkey"] == recent["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

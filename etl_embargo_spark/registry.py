@@ -2673,3 +2673,83 @@ register(
     FROM weekly
     """,
 )
+
+# ---------------------------------------------------------------------------
+# TPC-H shape batch 2 (round 2)
+# ---------------------------------------------------------------------------
+
+register(
+    "q_order_count_dist",
+    analytics.q_order_count_dist,
+    """
+    WITH per_cust AS (
+        SELECT o_custkey, count(*) AS c_count FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(c_count, 0) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    GROUP BY coalesce(c_count, 0)
+    """,
+)
+
+register(
+    "q_important_parts",
+    analytics.q_important_parts,
+    f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS value_exact
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(round(value_exact, 2) AS DOUBLE) AS part_value
+    FROM per_part
+    WHERE value_exact * (SELECT count(*) FROM per_part)
+          * {analytics.IMPORTANT_PART_RATIO[1]}
+          > (SELECT sum(value_exact) FROM per_part)
+          * {analytics.IMPORTANT_PART_RATIO[0]}
+    """,
+)
+
+register(
+    "q_part_supplier_count",
+    analytics.q_part_supplier_count,
+    """
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand,
+           CAST(floor(p_size / 10) AS INT) AS size_band,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, CAST(floor(p_size / 10) AS INT)
+    """,
+)
+
+register(
+    "q_idle_customers",
+    analytics.q_idle_customers,
+    f"""
+    WITH thresh AS (
+        SELECT sum(CAST(c_acctbal * 100 AS DECIMAL(18,0))) AS sum_cents,
+               count(*) AS n_pos
+        FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{analytics.IDLE_SINCE} 00:00:00'
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS totacctbal
+    FROM customer, thresh
+    WHERE CAST(c_acctbal * 100 AS DECIMAL(18,0)) * n_pos > sum_cents
+      AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY c_nationkey
+    """,
+)

@@ -299,3 +299,105 @@ class TestDpCounts:
             # Laplace(1) tail: P(|x| > 15) < 2e-7 — a violation means the
             # inverse-CDF arithmetic broke, not bad luck
             assert abs(noise) < 15.0
+
+
+class TestTpchBatch2Round2:
+    def test_order_count_dist_mass(self, spark, sf_dir):
+        """The histogram's total mass equals the customer count (every
+        customer lands in exactly one bucket, zero included)."""
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import q_order_count_dist
+
+        rows = q_order_count_dist(spark, sf_dir).collect()
+        assert rows
+        n_cust = load_table(spark, sf_dir, "customer").count()
+        assert sum(r.custdist for r in rows) == n_cust
+        assert all(r.c_count >= 0 for r in rows)
+
+    def test_important_parts_threshold(self, spark, sf_dir):
+        """Every returned part clears 1.5× the independently recomputed
+        average per-part revenue, and at least one part qualifies."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import q_important_parts
+
+        rows = q_important_parts(spark, sf_dir).collect()
+        assert rows
+        per_part = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("v")
+            )
+            .collect()
+        )
+        avg = sum(r.v for r in per_part) / len(per_part)
+        got = {r.l_partkey for r in rows}
+        expect = {r.l_partkey for r in per_part if r.v > 1.5 * avg}
+        assert got == expect
+
+    def test_part_supplier_count_excludes(self, spark, sf_dir):
+        """Negative-balance suppliers never contribute to any band count
+        (recomputed per-band from the raw pair relation)."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            q_part_supplier_count,
+        )
+
+        rows = q_part_supplier_count(spark, sf_dir).collect()
+        assert rows
+        bad = {
+            r.s_suppkey
+            for r in load_table(spark, sf_dir, "supplier")
+            .filter(F.col("s_acctbal") < 0)
+            .collect()
+        }
+        pairs = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_partkey", "l_suppkey")
+            .distinct()
+            .collect()
+        )
+        part = {
+            r.p_partkey: (r.p_brand, r.p_size // 10)
+            for r in load_table(spark, sf_dir, "part").collect()
+        }
+        expect: dict[tuple, set] = {}
+        for r in pairs:
+            if r.l_suppkey in bad:
+                continue
+            expect.setdefault(part[r.l_partkey], set()).add(r.l_suppkey)
+        got = {(r.p_brand, r.size_band): r.supplier_cnt for r in rows}
+        assert got == {k: len(v) for k, v in expect.items()}
+
+    def test_idle_customers_anti(self, spark, sf_dir):
+        """No reported nation bucket can contain a customer with a recent
+        order; totals are consistent with a driver-side recompute."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            IDLE_SINCE,
+            q_idle_customers,
+        )
+
+        rows = q_idle_customers(spark, sf_dir).collect()
+        cust = load_table(spark, sf_dir, "customer").collect()
+        recent = {
+            r.o_custkey
+            for r in load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") >= IDLE_SINCE)
+            .collect()
+        }
+        pos = [c.c_acctbal for c in cust if c.c_acctbal > 0]
+        avg = sum(round(b * 100) for b in pos) / 100 / len(pos)
+        expect: dict[int, int] = {}
+        for c in cust:
+            if c.c_acctbal > avg and c.c_custkey not in recent:
+                expect[c.c_nationkey] = expect.get(c.c_nationkey, 0) + 1
+        assert {r.c_nationkey: r.numcust for r in rows} == expect
