@@ -2138,3 +2138,192 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+TRADE_REGION = "EUROPE"  # Q7-style scope: supplier nations of one region
+EXCESS_QTY = 45.0  # Q20-style single-part-year shipment threshold
+EXCESS_YEAR = ("1997-01-01", "1998-01-01")
+
+
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-border trade matrix: yearly revenue shipped
+    between every (supplier nation, customer nation) pair where the
+    supplier sits in TRADE_REGION and the two nations differ (Q7's
+    bilateral pair generalized to the full matrix so the report is
+    non-degenerate at every SF).
+
+    Scale shape: the only shuffle is lineitem⋈orders co-partitioned on
+    orderkey; the supplier→nation leg broadcasts pre-filtered to the
+    region's nations, and the customer→nation leg broadcasts whole (a
+    dim).  The direction predicate (s_nat ≠ c_nat) is a post-broadcast
+    filter — no theta join materializes — and the final
+    (nation, nation, year) aggregate rides map-side partials.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == TRADE_REGION
+    )
+    snat = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(snat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        F.year("l_shipdate").alias("l_year"),
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(F.sum(_revenue_term()), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join: revenue from lineitems matching
+    an OR of three (brand, size-range, quantity-range) conjunctions — the
+    classic test that a disjunction of join-and-scan predicates stays in
+    ONE whole-stage-codegen pass instead of three union'd scans.
+
+    Scale shape: part is broadcast; the brand/size terms prune the
+    broadcast rows and the quantity terms are evaluated post-join inside
+    the same codegen stage; the fact is scanned exactly once.  Output is
+    one row per matched brand (aggregate over the disjunction).
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    q = F.col("l_quantity")
+    b, s = F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#12") & s.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#23") & s.between(11, 30) & q.between(10, 35))
+        | ((b == "Brand#4") & s.between(21, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disj)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(_revenue_term()), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested semi-join chain: suppliers who shipped more
+    than EXCESS_QTY units of any single red part during EXCESS_YEAR,
+    tagged with their nation — the 'who is overstocked on red parts'
+    report (Q20's partsupp availability gate re-expressed over shipments,
+    since the synthetic schema has no partsupp).
+
+    Scale shape: red parts prune and broadcast into the fact scan (the
+    year filter is pushed to the parquet scan); the (suppkey, partkey)
+    aggregate is the one fact shuffle; the qualifying-supplier key set
+    (≤|supplier|) broadcasts back as a LEFT SEMI against the supplier
+    dim, and nation broadcasts for the name.  The fact is scanned once.
+    """
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red "))
+        .select("p_partkey")
+    )
+    lo, hi = EXCESS_YEAR
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    heavy = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > EXCESS_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        supp.join(
+            F.broadcast(heavy),
+            supp["s_suppkey"] == heavy["l_suppkey"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min: for every part, the supplier with
+    the LOWEST total shipped cost (Q2's min-supplycost correlated
+    subquery, decorrelated into a window over the aggregate).
+
+    Scale shape: one fact pass builds the (partkey, suppkey) cost
+    aggregate; the per-part minimum is row_number over that part-sized
+    relation (never a rejoin against a scalar subquery — Spark 4 would
+    re-execute the whole subtree).  Cost is exact decimal, so the
+    (cost, suppkey) ordering — and therefore the winner — is identical
+    across engines; ties break to the smallest supplier key.
+    """
+    costs = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_revenue_term()).alias("cost_exact"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("cost_exact").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("l_suppkey").alias("best_suppkey"),
+            F.round(F.col("cost_exact"), 2)
+            .cast("double")
+            .alias("best_cost"),
+        )
+    )

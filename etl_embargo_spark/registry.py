@@ -2753,3 +2753,86 @@ register(
     GROUP BY c_nationkey
     """,
 )
+
+register(
+    "q_nation_trade",
+    analytics.q_nation_trade,
+    f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region ON sn.n_regionkey = r_regionkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE r_name = '{analytics.TRADE_REGION}'
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+
+register(
+    "q_disjunctive_join",
+    analytics.q_disjunctive_join,
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 11 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 21 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    GROUP BY p_brand
+    """,
+)
+
+register(
+    "q_excess_shippers",
+    analytics.q_excess_shippers,
+    f"""
+    WITH heavy AS (
+        SELECT DISTINCT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red %'
+          AND l_shipdate >= TIMESTAMP '{analytics.EXCESS_YEAR[0]} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{analytics.EXCESS_YEAR[1]} 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > {analytics.EXCESS_QTY}
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+)
+
+register(
+    "q_min_cost_supplier",
+    analytics.q_min_cost_supplier,
+    """
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS cost_exact
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY cost_exact ASC, l_suppkey ASC) AS rn
+        FROM costs
+    )
+    SELECT l_partkey,
+           l_suppkey AS best_suppkey,
+           CAST(round(cost_exact, 2) AS DOUBLE) AS best_cost
+    FROM ranked WHERE rn = 1
+    """,
+)

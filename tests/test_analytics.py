@@ -401,3 +401,122 @@ class TestTpchBatch2Round2:
             if c.c_acctbal > avg and c.c_custkey not in recent:
                 expect[c.c_nationkey] = expect.get(c.c_nationkey, 0) + 1
         assert {r.c_nationkey: r.numcust for r in rows} == expect
+
+
+class TestTpchBatch3Round2:
+    def test_nation_trade_directions(self, spark, sf_dir):
+        """Supplier nations all sit in the configured region, same-nation
+        rows never appear, and revenue is positive."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            TRADE_REGION,
+            q_nation_trade,
+        )
+
+        rows = q_nation_trade(spark, sf_dir).collect()
+        assert rows
+        region_nations = {
+            r.n_name
+            for r in load_table(spark, sf_dir, "nation")
+            .join(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == TRADE_REGION
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .collect()
+        }
+        for r in rows:
+            assert r.supp_nation in region_nations
+            assert r.supp_nation != r.cust_nation
+            assert r.revenue > 0
+
+    def test_disjunctive_join_brands(self, spark, sf_dir):
+        """Every returned brand is one of the three disjunction arms and
+        its line count matches a driver-side recompute."""
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import q_disjunctive_join
+
+        rows = q_disjunctive_join(spark, sf_dir).collect()
+        assert rows
+        part = {
+            r.p_partkey: (r.p_brand, r.p_size)
+            for r in load_table(spark, sf_dir, "part").collect()
+        }
+        arms = {
+            "Brand#12": ((1, 10), (1, 20)),
+            "Brand#23": ((11, 30), (10, 35)),
+            "Brand#4": ((21, 50), (20, 50)),
+        }
+        expect: dict[str, int] = {}
+        for r in (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_partkey", "l_quantity")
+            .collect()
+        ):
+            brand, size = part[r.l_partkey]
+            arm = arms.get(brand)
+            if arm is None:
+                continue
+            (slo, shi), (qlo, qhi) = arm
+            if slo <= size <= shi and qlo <= r.l_quantity <= qhi:
+                expect[brand] = expect.get(brand, 0) + 1
+        assert {r.p_brand: r.n_lines for r in rows} == expect
+
+    def test_excess_shippers_membership(self, spark, sf_dir):
+        """Exactly the suppliers crossing the per-part-year quantity
+        threshold on red parts are reported."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            EXCESS_QTY,
+            EXCESS_YEAR,
+            q_excess_shippers,
+        )
+
+        rows = q_excess_shippers(spark, sf_dir).collect()
+        red = {
+            r.p_partkey
+            for r in load_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").startswith("red "))
+            .collect()
+        }
+        acc: dict[tuple, float] = {}
+        for r in (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= EXCESS_YEAR[0])
+                & (F.col("l_shipdate") < EXCESS_YEAR[1])
+            )
+            .collect()
+        ):
+            if r.l_partkey in red:
+                k = (r.l_suppkey, r.l_partkey)
+                acc[k] = acc.get(k, 0.0) + r.l_quantity
+        expect = {s for (s, _), q in acc.items() if q > EXCESS_QTY}
+        assert {r.s_suppkey for r in rows} == expect
+
+    def test_min_cost_supplier_is_min(self, spark, sf_dir):
+        """One row per part; the chosen supplier's cost is the true
+        minimum with smallest-key tie-break."""
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            q_min_cost_supplier,
+        )
+
+        rows = q_min_cost_supplier(spark, sf_dir).collect()
+        costs: dict[int, dict[int, float]] = {}
+        for r in load_table(spark, sf_dir, "lineitem").collect():
+            c = round(r.l_extendedprice * (1 - r.l_discount), 4)
+            costs.setdefault(r.l_partkey, {})
+            costs[r.l_partkey][r.l_suppkey] = (
+                costs[r.l_partkey].get(r.l_suppkey, 0.0) + c
+            )
+        assert len(rows) == len(costs)
+        for r in rows:
+            per = costs[r.l_partkey]
+            best = min(per.items(), key=lambda kv: (round(kv[1], 4), kv[0]))
+            assert r.best_suppkey == best[0], r.l_partkey
