@@ -1,0 +1,245 @@
+"""Embedding clustering (north-star extension): distributed Lloyd's
+k-means and SemDeDup-style cluster-then-prune semantic deduplication.
+
+The reference has nothing vector-shaped; this is the training-data
+pipeline surface (semantic dedup over an embedding column) built the way
+it scales:
+
+* assignment is one Arrow-batched GEMM per batch against the broadcast
+  centroid matrix (same kernel shape as ``similarity.ivf_assign`` — a
+  centroid dictionary is always broadcast-sized; K×dim doubles);
+* the update step ships only per-batch partial sums to the driver
+  (K × n_batches tiny rows — the treeAggregate shape), never the vectors;
+* centroids are quantized to 1e-6 each round so float addition order
+  (partitioning, engine) cannot leak into the assignment — the result is
+  bit-stable across cluster layouts, which is what makes the pytest
+  numpy oracle exact;
+* SemDeDup then prunes within clusters only: the quadratic cosine check
+  runs per cluster via applyInPandas (its own shuffle sets parallelism),
+  so the global all-pairs problem is never materialized — the SemDeDup
+  paper's exact trick (Abbas et al., 2023).
+
+Iterative jobs at build time follow the ``graph.pagerank`` precedent
+(rows-only queries may run bounded driver-side rounds; each round is one
+distributed pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from etl_embargo_spark.catalog import load_table
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+CENTROID_QUANTUM = 6  # decimals kept after each update step
+SEMDEDUP_TAU = 0.35  # calibrated to the synthetic table's ~0.5 cosine ceiling
+# (real embedding corpora use ~0.95+; the knob is data-dependent, the plan is not)
+
+
+def _quantize(arr, decimals: int = CENTROID_QUANTUM):
+    import numpy as np
+
+    return np.round(np.asarray(arr, dtype=np.float64), decimals)
+
+
+def init_centroids(emb: DataFrame, k: int = KMEANS_K):
+    """Deterministic seeding: the k vectors with the smallest vec_id
+    (engine-independent, no RNG to disagree on).  One tiny top-k job."""
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").limit(k).collect()
+    return _quantize(np.vstack([np.asarray(r.embedding) for r in rows]))
+
+
+def _assign_schema() -> StructType:
+    return StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cluster_id", IntegerType()),
+            StructField("sq_dist", DoubleType()),
+        ]
+    )
+
+
+def _make_assigner(cm):
+    # nested factory: closure ships by value (cloudpickle), so the kernel
+    # works when the repo is not importable on executors
+    def _assign(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            # ||x-c||^2 = ||x||^2 - 2x·c + ||c||^2 ; argmin ignores ||x||^2
+            d = (cm * cm).sum(axis=1)[None, :] - 2.0 * (e @ cm.T)
+            cl = d.argmin(axis=1)
+            sq = d[_np.arange(len(e)), cl] + (e * e).sum(axis=1)
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster_id": cl.astype("int32"),
+                    "sq_dist": _np.maximum(sq, 0.0),
+                }
+            )
+
+    return _assign
+
+
+def assign_clusters(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, cluster_id, sq_dist) for a fixed centroid matrix — one
+    GEMM per Arrow batch, single scan, no shuffle."""
+    return emb.mapInPandas(_make_assigner(centroids), schema=_assign_schema())
+
+
+def _partial_sums(emb: DataFrame, cm) -> DataFrame:
+    k, dim = cm.shape
+
+    def _make(cmat, kk, dd):
+        def _sums(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                e = _np.vstack(pdf["embedding"].to_numpy()).astype(
+                    _np.float64
+                )
+                d = (cmat * cmat).sum(axis=1)[None, :] - 2.0 * (e @ cmat.T)
+                cl = d.argmin(axis=1)
+                out = []
+                for c in _np.unique(cl):
+                    sel = e[cl == c]
+                    out.append(
+                        (int(c), int(sel.shape[0]), sel.sum(axis=0).tolist())
+                    )
+                yield _pd.DataFrame(
+                    out, columns=["cluster_id", "n", "vec_sum"]
+                )
+
+        return _sums
+
+    schema = StructType(
+        [
+            StructField("cluster_id", IntegerType()),
+            StructField("n", LongType()),
+            StructField("vec_sum", ArrayType(DoubleType())),
+        ]
+    )
+    return emb.mapInPandas(_make(cm, k, dim), schema=schema)
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = KMEANS_K, n_iters: int = KMEANS_ITERS
+):
+    """Lloyd's iterations; returns the final quantized centroid matrix.
+
+    Each round is ONE distributed pass emitting K×n_batches partial-sum
+    rows; the driver reduces them in numpy (a few KB).  Quantizing the
+    centroids after every update makes the fit independent of partition
+    layout and addition order — no cross-engine ulp drift can change an
+    assignment."""
+    import numpy as np
+
+    cm = init_centroids(emb, k)
+    for _ in range(n_iters):
+        parts = _partial_sums(emb, cm).collect()
+        sums = np.zeros_like(cm)
+        counts = np.zeros(cm.shape[0], dtype=np.int64)
+        for r in parts:
+            sums[r.cluster_id] += np.asarray(r.vec_sum)
+            counts[r.cluster_id] += r.n
+        new = cm.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        cm = _quantize(new)
+    return cm
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (iterative — not SQL-expressible): final k-means
+    assignment of every embedding after KMEANS_ITERS Lloyd's rounds with
+    deterministic smallest-vec_id seeding.  Pytest replays the identical
+    algorithm in numpy on the collected table and checks every
+    assignment (tests/test_extensions.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cm = kmeans_fit(emb)
+    out = assign_clusters(emb, cm)
+    return out.select(
+        "vec_id", "cluster_id", F.round("sq_dist", 6).alias("sq_dist")
+    )
+
+
+def semdedup(emb: DataFrame, centroids, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup pruning: within each k-means cluster, greedily keep the
+    smallest-vec_id representative of every cosine-≥-tau neighborhood and
+    drop the rest.
+
+    The pairwise pass is strictly per-cluster (applyInPandas — its own
+    shuffle sets the parallelism; groups are |N|/K on average), so cost
+    is Σ|cluster|² not |N|²; the paper's observation is that semantic
+    duplicates co-locate in embedding-cluster space, so cross-cluster
+    pairs can be skipped entirely."""
+    assigned = assign_clusters(emb, centroids).select("vec_id", "cluster_id")
+    joined = emb.join(assigned, "vec_id").select(
+        "vec_id", "cluster_id", "embedding"
+    )
+
+    def _make_pruner(t):
+        def _prune(pdf):
+            import numpy as _np
+
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            norms = _np.linalg.norm(e, axis=1)
+            norms[norms == 0.0] = 1.0
+            u = e / norms[:, None]
+            n = len(pdf)
+            keep = _np.ones(n, dtype=bool)
+            max_cos = _np.full(n, -1.0)
+            for i in range(1, n):
+                kept_idx = _np.flatnonzero(keep[:i])
+                if kept_idx.size == 0:
+                    continue
+                cos = u[kept_idx] @ u[i]
+                m = float(cos.max())
+                max_cos[i] = m
+                if m >= t:
+                    keep[i] = False
+            return pdf.assign(
+                keep=keep, max_kept_cos=_np.round(max_cos, 6)
+            )[["vec_id", "cluster_id", "keep", "max_kept_cos"]]
+
+        return _prune
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cluster_id", IntegerType()),
+            StructField("keep", BooleanType()),
+            StructField("max_kept_cos", DoubleType()),
+        ]
+    )
+    return joined.groupBy("cluster_id").applyInPandas(
+        _make_pruner(tau), schema=schema
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (iterative + quadratic-in-cluster — not SQL-expressible):
+    SemDeDup keep/drop decision for every embedding (pytest replays the
+    greedy prune in numpy per cluster and checks both the decisions and
+    the representative invariants)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cm = kmeans_fit(emb)
+    return semdedup(emb, cm)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_embargo_spark.operators import (
     aggregates,
+    clustering,
     graph,
     analytics,
     archive_queries,
@@ -2836,3 +2837,6 @@ register(
     FROM ranked WHERE rn = 1
     """,
 )
+
+register("q_kmeans", clustering.q_kmeans, None)
+register("q_semdedup", clustering.q_semdedup, None)

@@ -761,3 +761,112 @@ class TestDecontaminate:
                 continue
             hit = len(g & eval_grams)
             assert got[doc_id] == (len(g), hit, hit > 0)
+
+
+class TestKMeans:
+    @staticmethod
+    def _numpy_fit(vecs, ids, k, n_iters):
+        """Reference Lloyd's matching clustering.py exactly: smallest-id
+        seeding, quantized centroids each round, empty keeps old."""
+        import numpy as np
+
+        order = np.argsort(ids)
+        seed = vecs[order[:k]]
+        cm = np.round(seed.astype(np.float64), 6)
+        for _ in range(n_iters):
+            d = (cm * cm).sum(axis=1)[None, :] - 2.0 * (vecs @ cm.T)
+            cl = d.argmin(axis=1)
+            new = cm.copy()
+            for c in range(k):
+                sel = vecs[cl == c]
+                if len(sel):
+                    new[c] = sel.sum(axis=0) / len(sel)
+            cm = np.round(new, 6)
+        d = (cm * cm).sum(axis=1)[None, :] - 2.0 * (vecs @ cm.T)
+        return cm, d.argmin(axis=1)
+
+    def test_assignments_match_numpy_lloyds(self, spark, sf_dir):
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.clustering import (
+            KMEANS_ITERS,
+            KMEANS_K,
+            q_kmeans,
+        )
+
+        rows = q_kmeans(spark, sf_dir).collect()
+        raw = load_table(spark, sf_dir, "embeddings").collect()
+        ids = np.array([r.vec_id for r in raw])
+        vecs = np.vstack([np.asarray(r.embedding) for r in raw]).astype(
+            np.float64
+        )
+        _, expect = self._numpy_fit(vecs, ids, KMEANS_K, KMEANS_ITERS)
+        got = {r.vec_id: r.cluster_id for r in rows}
+        want = {int(i): int(c) for i, c in zip(ids, expect)}
+        assert got == want
+        assert len(set(got.values())) > 1  # non-degenerate clustering
+
+    def test_sq_dist_is_true_distance(self, spark, sf_dir):
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.clustering import (
+            kmeans_fit,
+            q_kmeans,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cm = kmeans_fit(emb)
+        by_id = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()
+        }
+        for r in q_kmeans(spark, sf_dir).collect()[:50]:
+            true = ((by_id[r.vec_id] - cm[r.cluster_id]) ** 2).sum()
+            assert abs(r.sq_dist - true) < 1e-4, r.vec_id
+
+
+class TestSemDeDup:
+    def test_greedy_prune_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.clustering import (
+            SEMDEDUP_TAU,
+            q_kmeans,
+            q_semdedup,
+        )
+
+        sd = {r.vec_id: r for r in q_semdedup(spark, sf_dir).collect()}
+        cl = {r.vec_id: r.cluster_id for r in q_kmeans(spark, sf_dir).collect()}
+        raw = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        }
+        assert set(sd) == set(raw)
+        # replay the greedy prune per cluster
+        clusters: dict[int, list[int]] = {}
+        for vid, c in cl.items():
+            clusters.setdefault(c, []).append(vid)
+        dropped = 0
+        for c, vids in clusters.items():
+            vids.sort()
+            kept: list[int] = []
+            for v in vids:
+                u = raw[v] / (np.linalg.norm(raw[v]) or 1.0)
+                cos = [
+                    float(
+                        u @ (raw[k] / (np.linalg.norm(raw[k]) or 1.0))
+                    )
+                    for k in kept
+                ]
+                m = max(cos) if cos else -1.0
+                expect_keep = m < SEMDEDUP_TAU
+                assert sd[v].keep == expect_keep, (v, m)
+                assert sd[v].cluster_id == c
+                if expect_keep:
+                    kept.append(v)
+                else:
+                    dropped += 1
+        assert dropped > 0  # tau is calibrated to actually prune
