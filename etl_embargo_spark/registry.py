@@ -2840,3 +2840,50 @@ register(
 
 register("q_kmeans", clustering.q_kmeans, None)
 register("q_semdedup", clustering.q_semdedup, None)
+
+register(
+    "q_triangles",
+    graph.q_triangles,
+    f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair_inst AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+        SELECT a, b FROM pair_inst GROUP BY a, b
+        HAVING count(*) >= {graph.TRIANGLE_MIN_SUPPORT}
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM edges
+              UNION ALL SELECT b AS node FROM edges)
+        GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+                    THEN a ELSE b END AS u,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+                    THEN b ELSE a END AS v,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND a < b)
+                    THEN db.d ELSE da.d END AS dv
+        FROM edges JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.u = e2.u
+         AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+        JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    stats AS (
+        SELECT CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+               CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT n_edges, n_wedges, n_triangles,
+           round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+    FROM stats, tri
+    """,
+)

@@ -870,3 +870,41 @@ class TestSemDeDup:
                 else:
                     dropped += 1
         assert dropped > 0  # tau is calibrated to actually prune
+
+
+class TestTriangles:
+    def test_census_matches_networkless_python(self, spark, sf_dir):
+        """Exact triangle census vs a driver-side adjacency-set count on
+        the identical supported edge list."""
+        from itertools import combinations
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.graph import (
+            q_triangles,
+            support_edges,
+        )
+
+        row = q_triangles(spark, sf_dir).collect()[0]
+        edges = {
+            (r.a, r.b)
+            for r in support_edges(
+                load_table(spark, sf_dir, "lineitem")
+            ).collect()
+        }
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        n_wedges = sum(
+            len(v) * (len(v) - 1) // 2 for v in adj.values()
+        )
+        n_tri = sum(
+            1
+            for a in adj
+            for b, c in combinations(sorted(adj[a]), 2)
+            if a < b and c in adj[b]
+        )
+        assert row.n_edges == len(edges)
+        assert row.n_wedges == n_wedges
+        assert row.n_triangles == n_tri
+        assert n_tri > 0
