@@ -658,3 +658,78 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
         F.round(F.regr_r2(y, x), 4).alias("r2"),
     )
+
+
+REP_TOP_UNIGRAM_DEN = 10  # keep iff top unigram ≤ 1/10 of tokens
+REP_DUP_BIGRAM_DEN = 10  # keep iff duplicated-bigram mass ≤ 1/10 of bigrams
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition gate: per document the
+    top-unigram fraction, duplicate-unigram mass, duplicate-bigram mass,
+    and the keep decision (top unigram ≤ 1/10 of tokens AND duplicated
+    bigrams ≤ 1/10 of bigrams) — the repetition signals of Rae et al.
+    2021 §A1.1, which catch boilerplate and looping text that
+    length/punctuation filters miss.
+
+    Scale shape: two explode→groupBy passes (unigrams, then array-built
+    adjacent bigrams — no position self-join), each re-aggregated to one
+    row per document with map-side partials; the doc-sized relations then
+    join on doc_id.  The keep decision is exact integer arithmetic
+    (cnt×10 ≤ total), so no float-boundary drift between engines; the
+    reported fractions are rounded for display only.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    uni = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_uni"
+            ),
+        )
+    )
+    arr = docs.select("doc_id", _tokens().alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = (
+        arr.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> concat(t[i], ' ', t[i+1]))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bi"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_bi"
+            ),
+        )
+    )
+    return uni.join(bi, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("top_cnt") / F.col("n_tokens"), 6).alias(
+            "top_unigram_frac"
+        ),
+        F.round(F.col("dup_uni") / F.col("n_tokens"), 6).alias(
+            "dup_unigram_frac"
+        ),
+        F.round(F.col("dup_bi") / F.col("n_bi"), 6).alias(
+            "dup_bigram_frac"
+        ),
+        (
+            (F.col("top_cnt") * REP_TOP_UNIGRAM_DEN <= F.col("n_tokens"))
+            & (F.col("dup_bi") * REP_DUP_BIGRAM_DEN <= F.col("n_bi"))
+        ).alias("keep"),
+    )

@@ -2887,3 +2887,49 @@ register(
     FROM stats, tri
     """,
 )
+
+register(
+    "q_repetition_filter",
+    text.q_repetition_filter,
+    rf"""
+    WITH uni AS (
+        SELECT doc_id, tok, count(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS tok
+            FROM documents WHERE n_chars > 0)
+        GROUP BY doc_id, tok
+    ),
+    udoc AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               max(cnt) AS top_cnt,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_uni
+        FROM uni GROUP BY doc_id
+    ),
+    arr AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE n_chars > 0
+    ),
+    bi AS (
+        SELECT doc_id, bg, count(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM arr WHERE len(t) >= 2)
+        GROUP BY doc_id, bg
+    ),
+    bdoc AS (
+        SELECT doc_id, sum(cnt) AS n_bi,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_bi
+        FROM bi GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(top_cnt * 1.0 / n_tokens, 6) AS top_unigram_frac,
+           round(dup_uni * 1.0 / n_tokens, 6) AS dup_unigram_frac,
+           round(dup_bi * 1.0 / n_bi, 6) AS dup_bigram_frac,
+           (top_cnt * {text.REP_TOP_UNIGRAM_DEN} <= n_tokens
+            AND dup_bi * {text.REP_DUP_BIGRAM_DEN} <= n_bi) AS keep
+    FROM udoc JOIN bdoc USING (doc_id)
+    """,
+)

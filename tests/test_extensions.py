@@ -908,3 +908,49 @@ class TestTriangles:
         assert row.n_wedges == n_wedges
         assert row.n_triangles == n_tri
         assert n_tri > 0
+
+
+class TestRepetitionFilter:
+    def test_metrics_match_python_recount(self, spark, sf_dir):
+        import re
+        from collections import Counter
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.text import (
+            REP_DUP_BIGRAM_DEN,
+            REP_TOP_UNIGRAM_DEN,
+            q_repetition_filter,
+        )
+
+        rows = {
+            r.doc_id: r for r in q_repetition_filter(spark, sf_dir).collect()
+        }
+        docs = load_table(spark, sf_dir, "documents").collect()
+        kept = dropped = 0
+        for d in docs:
+            if d.n_chars <= 0:
+                continue
+            toks = re.split(r"\s+", d.text.strip().lower())
+            if len(toks) < 2:
+                continue
+            r = rows[d.doc_id]
+            uni = Counter(toks)
+            bi = Counter(zip(toks, toks[1:]))
+            n, nb = len(toks), len(toks) - 1
+            top = max(uni.values())
+            dup_bi = sum(c for c in bi.values() if c > 1)
+            assert r.n_tokens == n, d.doc_id
+            assert abs(r.top_unigram_frac - round(top / n, 6)) < 1e-9
+            assert abs(
+                r.dup_unigram_frac
+                - round(sum(c for c in uni.values() if c > 1) / n, 6)
+            ) < 1e-9
+            assert abs(r.dup_bigram_frac - round(dup_bi / nb, 6)) < 1e-9
+            expect_keep = (
+                top * REP_TOP_UNIGRAM_DEN <= n
+                and dup_bi * REP_DUP_BIGRAM_DEN <= nb
+            )
+            assert r.keep == expect_keep, d.doc_id
+            kept += expect_keep
+            dropped += not expect_keep
+        assert kept and dropped  # gate is non-degenerate both ways
