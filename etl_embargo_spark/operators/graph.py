@@ -137,7 +137,13 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced exactly once: u→v, u→w, v→w with v<w in orientation order).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    edges = support_edges(li)
+    # the edge list feeds SIX consumers (deg, both orientation legs, the
+    # wedge self-pair, the closing probe, the stats agg) — without a
+    # lineage break every consumer would re-run the pair expansion from
+    # the raw fact (the _bucket_pairs "lineage executes twice" pitfall,
+    # ×6).  Lazy localCheckpoint = persist + lineage truncation with NO
+    # job at build time (builders must stay job-free).
+    edges = support_edges(li).localCheckpoint(eager=False)
     nodes = edges.select(F.col("a").alias("node")).unionAll(
         edges.select(F.col("b").alias("node"))
     )
@@ -155,6 +161,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(lower, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
+        .localCheckpoint(eager=False)  # consumed 3× (e1, e2, closing)
     )
     # wedge endpoints must be compared in ORIENTATION order ((deg, id),
     # not raw id): the closing edge between v1 and v2 is itself oriented

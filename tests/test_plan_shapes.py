@@ -497,3 +497,67 @@ class TestJobFreeBuilders:
         plan = _plan(spark, sf_dir, "q_growth_accounting")
         assert plan.count("Scan parquet") == 1
         assert "Join" not in plan
+
+
+class TestRound2Plans:
+    def test_order_count_dist_joins_the_aggregate(self, spark, sf_dir):
+        """The outer join's order side must already be aggregated to one
+        row per customer — the join never sees raw order rows (the
+        HashAggregate sits below the join in the executed plan)."""
+        plan = _plan(spark, sf_dir, "q_order_count_dist")
+        join_pos = min(
+            p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+            if p >= 0
+        )
+        below_join = plan[join_pos:]
+        assert "HashAggregate" in below_join
+
+    def test_important_parts_single_scan(self, spark, sf_dir):
+        """Total + count come from a window OVER the part aggregate —
+        never a scalar subquery re-scanning the fact (Spark 4 does not
+        reuse exchanges for duplicated subquery subtrees)."""
+        plan = _plan(spark, sf_dir, "q_important_parts")
+        assert plan.count("Scan parquet") == 1
+        assert "Subquery" not in plan
+
+    def test_part_supplier_count_broadcasts_dims(self, spark, sf_dir):
+        """Both the part attributes and the exclusion list broadcast; the
+        only shuffles belong to the pair-distinct and the final
+        count_distinct."""
+        plan = _plan(spark, sf_dir, "q_part_supplier_count")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Scan parquet") == 3
+
+    def test_excess_shippers_single_fact_scan(self, spark, sf_dir):
+        """The Q20 chain reads lineitem exactly once; both semi legs are
+        broadcast."""
+        plan = _plan(spark, sf_dir, "q_excess_shippers")
+        assert plan.count("Scan parquet") == 4  # li + part + supp + nation
+        assert "SortMergeJoin" not in plan
+
+    def test_min_cost_supplier_no_rejoin(self, spark, sf_dir):
+        """Decorrelated min: one fact scan, no join back onto the
+        aggregate lineage."""
+        plan = _plan(spark, sf_dir, "q_min_cost_supplier")
+        assert plan.count("Scan parquet") == 1
+        assert "Join" not in plan
+
+    def test_triangles_hash_joins_and_reuse(self, spark, sf_dir):
+        """The wedge/closing joins must be hash joins (a cartesian means
+        the orientation trick got lost; the ONE nested-loop allowed is
+        the deliberate 1-row × 1-row stats⨯tri combine), and the edge
+        list must be lineage-broken — without the checkpoint the pair
+        expansion re-runs from the raw fact for all six consumers."""
+        plan = _plan(spark, sf_dir, "q_triangles")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+        assert "Scan ExistingRDD" in plan  # the localCheckpoint boundary
+        assert plan.count("Scan parquet") == 0  # everything above it
+
+    def test_repetition_filter_two_explodes(self, spark, sf_dir):
+        """Unigram and bigram passes each explode once (Generate) and
+        re-aggregate; no position self-join."""
+        plan = _plan(spark, sf_dir, "q_repetition_filter")
+        assert plan.count("Generate") == 2
+        assert "CartesianProduct" not in plan
