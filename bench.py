@@ -100,6 +100,18 @@ HEADLINE = [
     "q_funnel_steps",
     "q_zipf_fit",
     "q_growth_accounting",
+    "q_order_count_dist",
+    "q_important_parts",
+    "q_part_supplier_count",
+    "q_idle_customers",
+    "q_nation_trade",
+    "q_disjunctive_join",
+    "q_excess_shippers",
+    "q_min_cost_supplier",
+    "q_triangles",
+    "q_kmeans",
+    "q_semdedup",
+    "q_repetition_filter",
 ]
 
 

@@ -199,6 +199,35 @@ SHOWCASE: dict[str, str] = {
         "Association lift: bucket-groupBy pair generation (no self-"
         "join); part-count and one-row-total relations broadcast."
     ),
+    "q_order_count_dist": (
+        "Q13 outer-join histogram: orders pre-aggregate to one row per "
+        "customer BELOW the join — the outer join carries O(customers), "
+        "never raw order rows."
+    ),
+    "q_important_parts": (
+        "Q11 share-of-total HAVING: global total+count via empty window "
+        "OVER the part aggregate — one fact scan, no scalar subquery "
+        "(Spark 4 re-executes duplicated subquery subtrees)."
+    ),
+    "q_excess_shippers": (
+        "Q20 nested semi chain: red-part dim broadcast into the "
+        "year-pruned fact, qualifying supplier keys broadcast back as "
+        "LEFT SEMI — the fact is scanned once, nothing sort-merges."
+    ),
+    "q_min_cost_supplier": (
+        "Q2 correlated-min decorrelated: row_number over the (part, "
+        "supp) cost aggregate — single fact scan, no rejoin, "
+        "exact-decimal ordering."
+    ),
+    "q_triangles": (
+        "Triangle census: degree-orientation caps wedge fan-out at "
+        "O(m^1.5); edge list localCheckpoint'ed (Scan ExistingRDD) so "
+        "six consumers share one pair expansion."
+    ),
+    "q_repetition_filter": (
+        "Gopher repetition gate: two explode->agg passes (Generate x2), "
+        "map-side partials, doc-sized join — no position self-join."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
