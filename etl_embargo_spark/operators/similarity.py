@@ -285,3 +285,48 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(x2), 6).alias("l2_norm"),
         F.round(xsum, 6).alias("comp_sum"),
     )
+
+
+QUANT_LEVELS = 255  # int8-style affine quantization grid
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization calibration: for every
+    embedding dimension its min, max, scale ((max-min)/255) and the mean
+    absolute reconstruction error of round-trip quantization — the
+    calibration table a vector store computes before switching a 100 TB
+    embedding corpus to 4×-smaller int8 storage.
+
+    Scale shape: posexplode → per-dimension min/max aggregate (64 rows),
+    broadcast back into a second scan for the error pass (two scans by
+    design: the error needs the finished stats; a dim-partitioned window
+    would funnel the whole corpus through 64 hot partitions).  The
+    quantizer is floor(x/scale + 0.5) — floor is exact where round()'s
+    half-to-even vs half-away conventions could disagree across engines —
+    and the error terms sum as decimals so addition order cannot move
+    the mean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+    stats = flat.groupBy("dim").agg(
+        F.min("x").alias("dmin"), F.max("x").alias("dmax")
+    )
+    scale = (F.col("dmax") - F.col("dmin")) / QUANT_LEVELS
+    q = F.floor((F.col("x") - F.col("dmin")) / F.col("scale") + 0.5)
+    deq = F.col("dmin") + q * F.col("scale")
+    return (
+        flat.join(
+            F.broadcast(stats.withColumn("scale", scale)), "dim"
+        )
+        .withColumn(
+            "abs_err",
+            F.abs(F.col("x") - deq).cast("decimal(18,12)"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.round(F.min("x"), 6).alias("dmin_r"),
+            F.round(F.max("x"), 6).alias("dmax_r"),
+            F.round(F.avg("abs_err"), 9).cast("double").alias("mean_abs_err"),
+        )
+    )

@@ -733,3 +733,137 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_bi") * REP_DUP_BIGRAM_DEN <= F.col("n_bi"))
         ).alias("keep"),
     )
+
+
+FEATURE_HASH_DIM = 64  # hashing-trick bucket count
+BPE_MERGES = 8  # q_bpe_train rounds
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index construction: per token its document frequency,
+    collection frequency, and the full sorted posting list (comma-joined
+    string so the value-hash is array-layout independent).
+
+    Scale shape: two-level aggregate — (token, doc_id) occurrence counts
+    first (map-side combined, so the token shuffle carries one row per
+    posting, not per occurrence), then the token rollup builds the list
+    via collect_list + array_sort over the already-distinct relation
+    (numeric sort on both engines).  At 100 TB the per-token list is the
+    classic skew point — the natural extension is range-bucketed
+    postings (token, shard) — but this is the building block either
+    way."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    td = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return td.groupBy("token").agg(
+        F.sum("c").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda d: d.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer: per document, token counts folded into
+    FEATURE_HASH_DIM buckets by the engine-portable md5 bucket (the
+    sampling.hash_bucket idiom) — the fixed-width sparse feature map used
+    when a vocabulary is unbounded or training is online.
+
+    Scale shape: explode → two-level aggregate (doc × bucket), all
+    map-side combined; the dictionary-free property is the point — no
+    vocab build, no broadcast, stateless and embarrassingly parallel."""
+    from etl_embargo_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    return (
+        toks.withColumn(
+            "bucket", hash_bucket(F.col("token"), FEATURE_HASH_DIM)
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (iterative): BPE_MERGES rounds of byte-pair-encoding
+    training over the word-frequency vocabulary; returns the learned
+    merge table (step, left, right, merged, weight).
+
+    Scale shape: the corpus collapses ONCE to (word, count) — the
+    zipf-bounded vocabulary — and every round after that runs over the
+    vocabulary relation only: adjacent symbol-pair counts are a map-side
+    combined aggregate, the argmax is a 1-row TakeOrdered, and the merge
+    applies as a single codegen regexp-free string replace on the
+    space-joined symbol form (left-to-right non-overlapping — exactly
+    BPE's greedy application).  The vocab relation is lazily
+    localCheckpoint'ed per round so the replace chain never re-executes.
+    Pytest replays the identical algorithm in pure Python
+    (tests/test_extensions.py::TestBpeTrain)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    words = docs.select(F.explode(_tokens()).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wc = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # symbols joined by spaces, with sentinel spaces at both ends so
+        # a merge is always the literal replace of ' a b ' by ' ab '
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.concat_ws(" ", F.split(F.col("w"), "(?!^)")),
+                F.lit(" "),
+            ).alias("sym"),
+            "cnt",
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(BPE_MERGES):
+        syms = F.split(F.trim(F.col("sym")), " ")
+        pairs = wc.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(syms) - 2),
+                    lambda i: F.struct(
+                        F.element_at(syms, i + 1).alias("l"),
+                        F.element_at(syms, i + 2).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, weight = top[0].p.l, top[0].p.r, top[0].n
+        merges.append((step, left, right, left + right, int(weight)))
+        # lookarounds keep the boundary spaces unconsumed — a literal
+        # ' a b ' replace would eat the space shared with the NEXT
+        # occurrence and merge only every other one; \Q..\E quotes the
+        # learned symbols so regex metacharacters in real corpora are
+        # inert
+        pat = f"(?<= )\\Q{left}\\E \\Q{right}\\E(?= )"
+        wc = wc.select(
+            F.regexp_replace(
+                F.col("sym"), pat, f"{left}{right}"
+            ).alias("sym"),
+            "cnt",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, weight bigint"
+    )

@@ -2933,3 +2933,66 @@ register(
     FROM udoc JOIN bdoc USING (doc_id)
     """,
 )
+
+register(
+    "q_inverted_index",
+    text.q_inverted_index,
+    r"""
+    WITH td AS (
+        SELECT token, doc_id, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS token
+              FROM documents WHERE n_chars > 0)
+        GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(sum(c) AS BIGINT) AS cf,
+           CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+    FROM td GROUP BY token
+    """,
+)
+
+register(
+    "q_feature_hash",
+    text.q_feature_hash,
+    rf"""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT
+                % {text.FEATURE_HASH_DIM} AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          FROM documents WHERE n_chars > 0)
+    GROUP BY doc_id, bucket
+    """,
+)
+
+register(
+    "q_embed_quantize",
+    similarity.q_embed_quantize,
+    f"""
+    WITH flat AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT dim, min(x) AS dmin, max(x) AS dmax,
+               (max(x) - min(x)) / {similarity.QUANT_LEVELS} AS scale
+        FROM flat GROUP BY dim
+    )
+    SELECT dim,
+           round(dmin, 6) AS dmin_r,
+           round(dmax, 6) AS dmax_r,
+           CAST(round(avg(CAST(abs(x - (dmin + floor((x - dmin) / scale + 0.5)
+                                        * scale)) AS DECIMAL(18,12))), 9)
+                AS DOUBLE) AS mean_abs_err
+    FROM flat JOIN stats USING (dim)
+    GROUP BY dim, dmin, dmax
+    """,
+)
+
+register("q_bpe_train", text.q_bpe_train, None)

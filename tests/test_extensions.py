@@ -954,3 +954,118 @@ class TestRepetitionFilter:
             kept += expect_keep
             dropped += not expect_keep
         assert kept and dropped  # gate is non-degenerate both ways
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _python_bpe(word_counts, n_merges):
+        """Reference BPE trainer on a word-count dict (chars as initial
+        symbols; greedy left-to-right merge application)."""
+        vocab = {tuple(w): c for w, c in word_counts.items()}
+        merges = []
+        for step in range(n_merges):
+            pairs: dict[tuple, int] = {}
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pairs[p] = pairs.get(p, 0) + c
+            if not pairs:
+                break
+            (l, r), n = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((step, l, r, l + r, n))
+            new_vocab: dict[tuple, int] = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                k = tuple(out)
+                new_vocab[k] = new_vocab.get(k, 0) + c
+            vocab = new_vocab
+        return merges
+
+    def test_merge_table_matches_python(self, spark, sf_dir):
+        import re
+        from collections import Counter
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.text import BPE_MERGES, q_bpe_train
+
+        got = [
+            (r.step, r.left, r.right, r.merged, r.weight)
+            for r in q_bpe_train(spark, sf_dir)
+            .orderBy("step")
+            .collect()
+        ]
+        wc: Counter = Counter()
+        for d in load_table(spark, sf_dir, "documents").collect():
+            if d.n_chars <= 0:
+                continue
+            for w in re.split(r"\s+", d.text.strip().lower()):
+                if len(w) >= 2:
+                    wc[w] += 1
+        expect = self._python_bpe(wc, BPE_MERGES)
+        assert got == expect
+        assert len(got) == BPE_MERGES
+
+
+class TestFeatureHashAndIndex:
+    def test_feature_hash_mass_and_range(self, spark, sf_dir):
+        """Bucket counts conserve total token mass; buckets stay in
+        [0, D)."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.text import (
+            FEATURE_HASH_DIM,
+            q_feature_hash,
+        )
+
+        rows = q_feature_hash(spark, sf_dir).collect()
+        assert all(0 <= r.bucket < FEATURE_HASH_DIM for r in rows)
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("n_chars") > 0
+        )
+        total = docs.select(
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+        assert sum(r.cnt for r in rows) == total
+
+    def test_inverted_index_postings_sorted_consistent(self, spark, sf_dir):
+        rows = None
+        from etl_embargo_spark.operators.text import q_inverted_index
+
+        rows = q_inverted_index(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            ids = [int(x) for x in r.postings.split(",")]
+            assert ids == sorted(ids)
+            assert len(ids) == r.df
+            assert r.cf >= r.df
+
+
+class TestEmbedQuantize:
+    def test_error_bounded_by_half_step(self, spark, sf_dir):
+        """Affine round-trip error can never exceed scale/2 per element,
+        so the mean must respect it too; dims are complete."""
+        from etl_embargo_spark.operators.similarity import (
+            QUANT_LEVELS,
+            q_embed_quantize,
+        )
+
+        rows = q_embed_quantize(spark, sf_dir).collect()
+        assert len(rows) == 64
+        for r in rows:
+            scale = (r.dmax_r - r.dmin_r) / QUANT_LEVELS
+            assert r.mean_abs_err <= scale / 2 + 1e-6, r.dim
+            assert r.mean_abs_err >= 0
