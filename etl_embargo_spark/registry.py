@@ -28,6 +28,7 @@ from etl_embargo_spark.operators import (
     multimodal,
     sampling,
     setops,
+    sketches,
     similarity,
     skew,
     temporal,
@@ -2996,3 +2997,5 @@ register(
 )
 
 register("q_bpe_train", text.q_bpe_train, None)
+
+register("q_cms_topk", sketches.q_cms_topk, None)

@@ -1069,3 +1069,49 @@ class TestEmbedQuantize:
             scale = (r.dmax_r - r.dmin_r) / QUANT_LEVELS
             assert r.mean_abs_err <= scale / 2 + 1e-6, r.dim
             assert r.mean_abs_err >= 0
+
+
+class TestCmsTopk:
+    def test_one_sided_error_and_top_set(self, spark, sf_dir):
+        """CMS never underestimates; on this vocabulary (tiny vs the
+        sketch width) the top set equals the exact top set."""
+        import re
+        from collections import Counter
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.sketches import (
+            CMS_TOPK,
+            q_cms_topk,
+        )
+
+        rows = q_cms_topk(spark, sf_dir).collect()
+        assert len(rows) == CMS_TOPK
+        exact: Counter = Counter()
+        for d in load_table(spark, sf_dir, "documents").collect():
+            if d.n_chars <= 0:
+                continue
+            exact.update(re.split(r"\s+", d.text.strip().lower()))
+        for r in rows:
+            assert r.est >= exact[r.token], r.token
+        expect_top = {
+            t
+            for t, _ in sorted(
+                exact.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:CMS_TOPK]
+        }
+        got_top = {r.token for r in rows}
+        # small vocab + 4x512 sketch => collisions cannot reorder the head
+        assert got_top == expect_top
+
+    def test_invariant_under_repartition(self, spark, sf_dir):
+        """The merged sketch (sum of per-partition partials) must not
+        depend on the partition layout."""
+        from etl_embargo_spark.operators.sketches import q_cms_topk
+
+        a = [(r.rank, r.token, r.est) for r in q_cms_topk(spark, sf_dir).collect()]
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        try:
+            b = [(r.rank, r.token, r.est) for r in q_cms_topk(spark, sf_dir).collect()]
+        finally:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        assert a == b
