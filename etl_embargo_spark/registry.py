@@ -2999,3 +2999,70 @@ register(
 register("q_bpe_train", text.q_bpe_train, None)
 
 register("q_cms_topk", sketches.q_cms_topk, None)
+
+register(
+    "q_ks_test",
+    analytics.q_ks_test,
+    f"""
+    WITH vc AS (
+        SELECT c_acctbal,
+               sum(CASE WHEN c_mktsegment = '{analytics.KS_SEGMENTS[0]}'
+                        THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN c_mktsegment = '{analytics.KS_SEGMENTS[1]}'
+                        THEN 1 ELSE 0 END) AS c2
+        FROM customer
+        WHERE c_mktsegment IN ('{analytics.KS_SEGMENTS[0]}',
+                               '{analytics.KS_SEGMENTS[1]}')
+        GROUP BY c_acctbal
+    ),
+    cum AS (
+        SELECT sum(c1) OVER (ORDER BY c_acctbal) AS f1,
+               sum(c2) OVER (ORDER BY c_acctbal) AS f2,
+               sum(c1) OVER () AS n1,
+               sum(c2) OVER () AS n2
+        FROM vc
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(max(abs(f1 * n2 - f2 * n1)) * 1.0 / (n1 * n2), 6)
+               AS ks_stat
+    FROM cum GROUP BY n1, n2
+    """,
+)
+
+register(
+    "q_ab_test",
+    analytics.q_ab_test,
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type =
+                                  '{analytics.AB_SUCCESS[0]}'
+                             THEN 1 ELSE 0 END)
+                       > sum(CASE WHEN event_type =
+                                  '{analytics.AB_SUCCESS[1]}'
+                             THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    per_var AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant,
+               count(*) AS n, sum(converted) AS conv
+        FROM per_user GROUP BY 1
+    ),
+    wide AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN variant = 0 THEN conv END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN variant = 1 THEN conv END) AS BIGINT) AS c1
+        FROM per_var
+    )
+    SELECT n0, c0, n1, c1,
+           round(c0 * 1.0 / n0, 6) AS rate0,
+           round(c1 * 1.0 / n1, 6) AS rate1,
+           round((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+                 / sqrt((c0 + c1) * 1.0 / (n0 + n1)
+                        * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+    FROM wide
+    """,
+)

@@ -520,3 +520,54 @@ class TestTpchBatch3Round2:
             per = costs[r.l_partkey]
             best = min(per.items(), key=lambda kv: (round(kv[1], 4), kv[0]))
             assert r.best_suppkey == best[0], r.l_partkey
+
+
+class TestStatTests:
+    def test_ks_matches_scipy_style_recompute(self, spark, sf_dir):
+        """KS statistic equals a driver-side empirical-CDF sup-diff."""
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            KS_SEGMENTS,
+            q_ks_test,
+        )
+
+        row = q_ks_test(spark, sf_dir).collect()[0]
+        a, b = KS_SEGMENTS
+        s1, s2 = [], []
+        for c in load_table(spark, sf_dir, "customer").collect():
+            if c.c_mktsegment == a:
+                s1.append(c.c_acctbal)
+            elif c.c_mktsegment == b:
+                s2.append(c.c_acctbal)
+        assert (row.n1, row.n2) == (len(s1), len(s2))
+        pooled = sorted(set(s1) | set(s2))
+        ks = 0.0
+        for v in pooled:
+            f1 = sum(1 for x in s1 if x <= v) / len(s1)
+            f2 = sum(1 for x in s2 if x <= v) / len(s2)
+            ks = max(ks, abs(f1 - f2))
+        assert abs(row.ks_stat - round(ks, 6)) < 1e-6
+        assert 0 < row.ks_stat < 1
+
+    def test_ab_counts_match_recompute(self, spark, sf_dir):
+        from collections import Counter
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            AB_SUCCESS,
+            q_ab_test,
+        )
+
+        row = q_ab_test(spark, sf_dir).collect()[0]
+        good, bad = AB_SUCCESS
+        per_user: dict[int, Counter] = {}
+        for e in load_table(spark, sf_dir, "events").collect():
+            per_user.setdefault(e.user_id, Counter())[e.event_type] += 1
+        n = [0, 0]
+        c = [0, 0]
+        for uid, cnt in per_user.items():
+            v = uid % 2
+            n[v] += 1
+            c[v] += cnt[good] > cnt[bad]
+        assert (row.n0, row.c0, row.n1, row.c1) == (n[0], c[0], n[1], c[1])
+        assert 0 < row.rate0 < 1 and 0 < row.rate1 < 1
