@@ -112,6 +112,13 @@ HEADLINE = [
     "q_kmeans",
     "q_semdedup",
     "q_repetition_filter",
+    "q_inverted_index",
+    "q_feature_hash",
+    "q_embed_quantize",
+    "q_cms_topk",
+    "q_bpe_train",
+    "q_ks_test",
+    "q_ab_test",
 ]
 
 
