@@ -119,6 +119,9 @@ HEADLINE = [
     "q_bpe_train",
     "q_ks_test",
     "q_ab_test",
+    "q_revenue_forecast",
+    "q_product_profit",
+    "q_promo_share",
 ]
 
 

@@ -2438,3 +2438,137 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate1"),
         F.round((p1 - p0) / se, 6).alias("z_score"),
     )
+
+
+FORECAST_YEAR = ("1996-01-01", "1997-01-01")  # Q6 window
+PROFIT_PART_WORD = "widget"  # Q9 part-name filter
+PROFIT_COST_FRAC = (1, 2)  # emulated supply cost = retailprice/2
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped what-if: revenue increase from dropping discounts
+    in a band — SUM(extendedprice·discount) over a one-year, discount-
+    band, low-quantity slice.  One row out.
+
+    Scale shape: pure scan-side work — all three predicates push to the
+    parquet scan (date + discount range + quantity), the aggregate is a
+    map-side partial sum, and the exchange carries ONE row per task.
+    The simplest query in the suite and the purest pushdown test: if
+    PushedFilters loses any of the three, the scan reads 100 TB to
+    discard most of it."""
+    lo, hi = FORECAST_YEAR
+    li = load_table(spark, sf_dir, "lineitem")
+    sliced = li.filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sliced.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit attribution: per (supplier nation, order
+    year), the profit on one part family — revenue minus an emulated
+    supply cost (retailprice/2 per unit; the synthetic schema has no
+    partsupp).
+
+    Scale shape: the widest join tree in the suite — part (name-filtered)
+    and the supplier→nation chain broadcast into the fact scan, orders
+    co-partitions with lineitem on orderkey (the ONE fact-fact
+    exchange), and the (nation, year) rollup rides map-side partials.
+    Both profit terms are cent-exact decimals, so the aggregate is
+    order-insensitive."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(PROFIT_PART_WORD))
+        .select("p_partkey", "p_retailprice")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    num, den = PROFIT_COST_FRAC
+    cost = (
+        F.col("p_retailprice") * F.col("l_quantity") * num / den
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.round(F.sum(_revenue_term() - cost), 2)
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+PROMO_MONTH = ("1996-03-01", "1996-04-01")  # Q14 window
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion share: the percentage of one month's
+    revenue from PROMO-type parts — numerator and denominator from ONE
+    fact pass via conditional aggregation (never two scans or a
+    self-union).
+
+    Scale shape: part broadcasts; the month filter pushes to the scan;
+    the two sums are map-side partials of the same aggregate.  The final
+    percentage is one IEEE division of two exact decimals, rounded."""
+    lo, hi = PROMO_MONTH
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    promo = F.when(
+        F.col("p_type") == "PROMO", _revenue_term()
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+            F.round(F.sum(_revenue_term()), 2)
+            .cast("double")
+            .alias("total_revenue"),
+            F.round(
+                100
+                * F.sum(promo).cast("double")
+                / F.sum(_revenue_term()).cast("double"),
+                6,
+            ).alias("promo_pct"),
+        )
+    )

