@@ -69,10 +69,12 @@ def cms_partials(tokens: DataFrame) -> DataFrame:
                 )
 
             for pdf in batches:
-                for tok in pdf["token"]:
-                    counts[tok] = counts.get(tok, 0) + 1
+                # per-UNIQUE-token work, not per-occurrence: value_counts
+                # collapses the batch first, hashing cost is O(types)
+                for tok, c in pdf["token"].value_counts().items():
+                    counts[tok] = counts.get(tok, 0) + int(c)
                     for r in range(depth):
-                        mat[r, _h(tok, r)] += 1
+                        mat[r, _h(tok, r)] += int(c)
             cands = sorted(
                 counts.items(), key=lambda kv: (-kv[1], kv[0])
             )[:n_cand]
