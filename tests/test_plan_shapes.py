@@ -423,6 +423,12 @@ class TestJobFreeBuilders:
             "q_dedup_clusters",
             "q_pagerank",
             "q_ann_ivf",
+            # iterative / driver-merged by design:
+            "q_bpe_train",   # N merge rounds, each materializes pair counts
+            "q_cms_topk",    # per-partition CMS partials merged on the driver
+            "q_kmeans",      # Lloyd's iterations collect centroids per round
+            "q_semdedup",    # k-means subroutine + per-cluster prune rounds
+            "q_triangles",   # edge list deliberately lineage-broken (persist)
         }
         tracker = spark.sparkContext._jsc.sc().statusTracker()
         offenders = []
