@@ -122,6 +122,16 @@ HEADLINE = [
     "q_revenue_forecast",
     "q_product_profit",
     "q_promo_share",
+    "q_ols",
+    "q_autocorr",
+    "q_cusum",
+    "q_winsorize",
+    "q_survival",
+    "q_benford",
+    "q_pmi",
+    "q_weighted_sample",
+    "q_ewma",
+    "q_rare_collapse",
 ]
 
 

@@ -2572,3 +2572,384 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_pct"),
         )
     )
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of l_extendedprice — the standard
+    forensic data-quality scan for fabricated or truncated numeric
+    columns (synthetic uniform-ish prices will NOT follow Benford; the
+    per-digit chi-square terms quantify exactly how far off).
+
+    Scale shape: ONE fact scan collapses map-side to 9 digit cells;
+    every window/ratio after that runs over the 9-row relation.  The
+    observed counts are integers; expected shares come from a single
+    log10 of a small rational, so round(·, 6) is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    per = li.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    staged = per.withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    expected = F.log10(1 + 1.0 / F.col("digit"))
+    e_count = F.col("total") * expected
+    return staged.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        F.round(expected, 6).alias("benford"),
+        F.round(
+            (F.col("n") - e_count) * (F.col("n") - e_count) / e_count, 6
+        ).alias("chi2_term"),
+    )
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily order-revenue series — the
+    first time-series diagnostic (is today predictive of tomorrow?)
+    behind seasonality and forecast-model choice.
+
+    Scale shape: the fact table collapses to exact-decimal DAILY totals
+    first (map-side combined, day-sized relation); the lag pairing is
+    one window over that ~1.1k-row series.  Pearson r is then computed
+    from EXACT decimal co-moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — not
+    the streaming corr() aggregate, whose partition-merge order makes
+    the last ulps nondeterministic run to run — so the final doubles
+    are bit-identical across engines and runs."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        F.col("rev").alias("x"),
+        F.lag("rev").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return mom.select(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("lag1_corr"),
+    )
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative deviation of daily counts from the type's mean rate
+    peaks — the standard drift locator for monitoring pipelines.
+
+    Scale shape: the event log collapses to (type, day) counts in one
+    map-side-combined shuffle; both windows (running sum, per-type
+    totals) run over that tiny relation, partitioned on the same key
+    (one exchange).  The deviation is kept INTEGER-exact by scaling:
+    n_days·cum_t − t·total equals n_days·Σ(cᵢ − mean) without ever
+    materializing the fractional mean."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    staged = daily.select(
+        "event_type",
+        "day",
+        (
+            F.count(F.lit(1)).over(w_all) * F.sum("c").over(w_ord)
+            - F.row_number().over(w_seq) * F.sum("c").over(w_all)
+        ).alias("scaled_dev"),
+        F.count(F.lit(1)).over(w_all).cast("int").alias("n_days"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("scaled_dev")).desc(), "day"
+    )
+    return (
+        staged.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            "scaled_dev",
+            "n_days",
+            "total",
+        )
+    )
+
+
+WINSOR_LO = 5  # clip percentiles, in percent
+WINSOR_HI = 95
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report per customer segment: p05/p95 clipping of
+    account balances, with raw vs clipped means and clip counts — the
+    robust-feature-engineering pass that tames heavy tails before
+    model training.
+
+    Scale shape: the percentile boundaries are DISCRETE order
+    statistics picked by integer rank arithmetic (rank = ⌊(n−1)·p⌋+1
+    over an exact integer expression) — no float interpolation, so
+    both engines select the identical element; the tiny boundary
+    relation broadcasts back onto the scan and the clipped sums are
+    exact decimals.  At 100 TB you'd swap the rank window for
+    approx_percentile partials — same two-phase shape, sketched
+    boundaries."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("c_mktsegment")
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    lo_rank = ((F.col("n") - 1) * WINSOR_LO - ((F.col("n") - 1) * WINSOR_LO) % 100) / 100 + 1
+    hi_rank = ((F.col("n") - 1) * WINSOR_HI - ((F.col("n") - 1) * WINSOR_HI) % 100) / 100 + 1
+    bounds = ranked.groupBy("c_mktsegment").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("c_acctbal"))).alias("p_lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("c_acctbal"))).alias("p_hi"),
+    )
+    joined = cust.join(F.broadcast(bounds), "c_mktsegment")
+    clipped = F.greatest(
+        F.col("p_lo"), F.least(F.col("p_hi"), F.col("c_acctbal"))
+    ).cast("decimal(18,2)")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("p_lo").alias("p_lo"),
+        F.max("p_hi").alias("p_hi"),
+        F.sum((F.col("c_acctbal") < F.col("p_lo")).cast("int")).alias(
+            "n_clip_lo"
+        ),
+        F.sum((F.col("c_acctbal") > F.col("p_hi")).cast("int")).alias(
+            "n_clip_hi"
+        ),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(clipped).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_winsor"),
+    )
+
+
+def q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form distributed OLS per return flag: extendedprice
+    regressed on (quantity, discount) with intercept, coefficients by
+    Cramer's rule over the 3×3 normal equations plus R² — multivariate
+    regression as ONE mergeable aggregation pass, the shape that scales
+    to any row count because only 10 co-moment sums cross the wire.
+
+    Exactness: every co-moment term is cast to decimal BEFORE summing
+    (addition-order-proof); the determinant algebra then runs on the
+    resulting doubles with an expression tree mirrored verbatim in the
+    oracle, so the IEEE evaluation is bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,8)")).cast("double")
+
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x1).alias("sx1"),
+        dsum(x2).alias("sx2"),
+        dsum(y).alias("sy"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(x1 * y).alias("s1y"),
+        dsum(x2 * y).alias("s2y"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sy, s11, s12 = F.col("sy"), F.col("s11"), F.col("s12")
+    s22, s1y, s2y, syy = F.col("s22"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s12 - s11 * sx2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - sx1 * (s1y * s22 - s12 * s2y)
+        + sx2 * (s1y * s12 - s11 * s2y)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s2y - s1y * sx2)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - sx1 * (sx1 * s2y - s1y * sx2)
+        + sy * (sx1 * s12 - s11 * sx2)
+    ) / det
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    return mom.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(b0, 6).alias("b_intercept"),
+        F.round(b1, 6).alias("b_quantity"),
+        F.round(b2, 6).alias("b_discount"),
+        F.round(1 - sse / sst, 6).alias("r2"),
+    )
+
+
+SURVIVAL_EVENT = "purchase"  # the "death" event: first conversion
+
+
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style time-to-conversion table: per death-time t
+    (days from a user's first activity to their first purchase), the
+    conversions, the at-risk count, the discrete hazard d/n and the
+    Nelson-Aalen cumulative hazard.  Users who never purchase are
+    right-censored at their last observed day — the survival-analysis
+    treatment of funnels that a naive conversion rate gets wrong
+    (censored users are at-risk while observed, not failures).
+
+    Scale shape: the log collapses to per-user (t, censored) first —
+    one map-side-combined shuffle bounded by |users|; everything after
+    runs over the ≤|distinct t| relation.  Hazards are single exact
+    IEEE divisions of integers and the cumulative sum runs in fixed
+    t-order, so round(·, 6) is engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.max(day).alias("last_day"),
+        F.min(
+            F.when(F.col("event_type") == SURVIVAL_EVENT, day)
+        ).alias("conv_day"),
+    )
+    flagged = per_user.select(
+        F.coalesce(
+            F.col("conv_day") - F.col("first_day"),
+            F.col("last_day") - F.col("first_day"),
+        ).alias("t"),
+        F.col("conv_day").isNull().cast("int").alias("censored"),
+    )
+    per_t = flagged.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    ).withColumn(
+        "n_users", F.sum("leaving").over(Window.partitionBy())
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = per_t.select(
+        "t",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return at_risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(F.col("d") / F.col("n_risk"), 6).alias("hazard"),
+        F.round(
+            F.sum(F.col("d") / F.col("n_risk")).over(w_cum), 6
+        ).alias("cum_hazard"),
+    )
+
+
+EWMA_DECAY = 0.7  # (1 - alpha): weight on history per day of distance
+EWMA_SPIKE = 1.5  # today / yesterday's smoothed rate => spike
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event counts per
+    type, with a spike flag (today ≥ EWMA_SPIKE× yesterday's smoothed
+    rate) — the standard low-lag monitoring smoother.
+
+    The recursive definition s_t = αx_t + (1−α)s_{t−1} is not a window
+    aggregate, but its closed form is: s_t = Σᵢ(1−α)^{Δdays}xᵢ / Σᵢ
+    (1−α)^{Δdays}, and factoring the numerator as (1−α)^{d_t} ·
+    Σ xᵢ·(1−α)^{−dᵢ} turns both sums into plain CUMULATIVE window sums
+    over the day-ordered series — one window, no recursion, gap-aware
+    (weights decay by calendar distance, not row index).
+
+    Scale shape: the log collapses to (type, day) counts first; all
+    windows run over that ~|types|·|days| relation.  The scaled terms
+    stay within double range because the series is bounded (30 days →
+    (1−α)^{−30} ≈ 4e4); a production run over years would restart the
+    scaling per window block — same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    inv = F.pow(F.lit(1.0 / EWMA_DECAY), F.col("day"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    decay_t = F.pow(F.lit(EWMA_DECAY), F.col("day"))
+    staged = daily.select(
+        "event_type",
+        "day",
+        "c",
+        (
+            decay_t * F.sum(F.col("c") * inv).over(w)
+            / (decay_t * F.sum(inv).over(w))
+        ).alias("ewma"),
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("day")
+    lagged = staged.withColumn("prev", F.lag("ewma").over(w_lag)).filter(
+        F.col("prev").isNotNull()
+    )
+    return lagged.select(
+        "event_type",
+        "day",
+        "c",
+        F.round("ewma", 6).alias("ewma"),
+        F.round(F.col("c") / F.col("prev"), 6).alias("vs_smoothed"),
+        (F.col("c") / F.col("prev") >= EWMA_SPIKE).cast("int").alias("spike"),
+    )

@@ -187,3 +187,45 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= GROUP_SAMPLE_K)
     )
+
+
+WEIGHTED_K = 10  # systematic picks per source
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample: WEIGHTED_K documents per source with
+    inclusion probability proportional to n_chars — the corpus-mixing
+    primitive when longer documents should be seen more often.
+
+    Design: systematic PPS sampling over an md5-shuffled order.  Each
+    source's documents are laid along their cumulative-weight axis
+    (prefix sum in deterministic md5 order) and a row is selected when
+    its weight span crosses one of the K equi-spaced thresholds —
+    ⌊cum_hi·K/W⌋ > ⌊cum_lo·K/W⌋, ALL integer arithmetic, so the same
+    rows are picked on every engine, layout, and rerun.  Unlike
+    Efraimidis-Spirakis (-ln(u)/w keys) there is no transcendental in
+    the selection path to drift across libms.
+
+    Scale shape: one shuffle partitioned by source for the prefix sum;
+    at fact scale you'd two-phase it (per-partition subtotals + offset
+    join) — same integer selection rule either way."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("source")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w).cast("bigint").alias("cum_hi"),
+        F.sum("n_chars").over(wp).cast("bigint").alias("w_total"),
+    )
+    k = F.lit(WEIGHTED_K).cast("bigint")
+    hi_bucket = F.floor(F.col("cum_hi") * k / F.col("w_total"))
+    lo_bucket = F.floor(
+        (F.col("cum_hi") - F.col("n_chars")) * k / F.col("w_total")
+    )
+    return staged.filter(hi_bucket > lo_bucket).select(
+        "doc_id", "source", "n_chars", hi_bucket.cast("int").alias("bucket")
+    )

@@ -6,7 +6,7 @@ Arrow-batched kernel.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_embargo_spark.catalog import load_table, spread_for_cpu
@@ -866,4 +866,100 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, weight bigint"
+    )
+
+
+PMI_MIN_COUNT = 5  # collocation support floor
+
+
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: every adjacent token
+    pair with support ≥ PMI_MIN_COUNT, scored by PMI — the classic
+    collocation detector (NSP / word2vec-era association measure) that
+    separates structural phrases from chance co-occurrence.
+
+    Scale shape: two corpus scans collapse to the vocabulary-sized
+    unigram and bigram count relations (map-side combined); the totals
+    are empty-window sums over those tiny relations and the unigram
+    marginals broadcast onto the bigram table twice.  PMI is a single
+    log2 of a ratio of exact integer counts — engine-stable under
+    round(·, 6).  The support floor is the scale valve: it bounds the
+    output by the true collocation set, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    uni = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .withColumn("n_uni", F.sum("n_tok").over(Window.partitionBy()))
+    )
+    toks = docs.select(_tokens().alias("t")).filter(F.size("t") >= 2)
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> struct(t[i] as w1, t[i+1] as w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .withColumn("n_bi", F.sum("n_xy").over(Window.partitionBy()))
+        .filter(F.col("n_xy") >= PMI_MIN_COUNT)
+    )
+    left = uni.select(
+        F.col("token").alias("w1"),
+        F.col("n_tok").alias("n_x"),
+        "n_uni",
+    )
+    right = uni.select(
+        F.col("token").alias("w2"), F.col("n_tok").alias("n_y")
+    )
+    joined = bi.join(F.broadcast(left), "w1").join(F.broadcast(right), "w2")
+    pmi = F.log2(
+        (F.col("n_xy") / F.col("n_bi"))
+        / (
+            (F.col("n_x") / F.col("n_uni"))
+            * (F.col("n_y") / F.col("n_uni"))
+        )
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        "n_xy",
+        "n_x",
+        "n_y",
+        F.round(pmi, 6).alias("pmi"),
+    )
+
+
+RARE_MIN_COUNT = 5  # cells below this collapse into __other__
+
+
+def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail category collapsing: (lang, source) cells with fewer
+    than RARE_MIN_COUNT documents are recoded to '__other__' — the
+    cardinality-capping featurizer that keeps one-hot/embedding tables
+    bounded no matter how many raw categories the corpus grows.
+
+    Scale shape: the corpus collapses to cell counts in one map-side-
+    combined shuffle; the recode and re-aggregation run over the
+    cell relation (categories, not rows).  In a pipeline the recode
+    dictionary (tiny) broadcasts back onto the corpus scan — the same
+    broadcast-dim shape as q_winsorize's bounds."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    recoded = cells.select(
+        "lang",
+        F.when(F.col("n_cell") >= RARE_MIN_COUNT, F.col("source"))
+        .otherwise(F.lit("__other__"))
+        .alias("source_code"),
+        "n_cell",
+    )
+    return recoded.groupBy("lang", "source_code").agg(
+        F.sum("n_cell").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_merged_cells"),
     )

@@ -3128,3 +3128,353 @@ register(
     FROM sliced
     """,
 )
+
+register(
+    "q_benford",
+    analytics.q_benford,
+    """
+    WITH per AS (
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1
+    ),
+    staged AS (SELECT digit, n, sum(n) OVER () AS total FROM per)
+    SELECT digit, n,
+           round(n / total, 6) AS share,
+           round(log10(1 + 1.0 / digit), 6) AS benford,
+           round((n - total * log10(1 + 1.0 / digit))
+                 * (n - total * log10(1 + 1.0 / digit))
+                 / (total * log10(1 + 1.0 / digit)), 6) AS chi2_term
+    FROM staged
+    """,
+)
+
+register(
+    "q_autocorr",
+    analytics.q_autocorr,
+    """
+    WITH daily AS (
+        SELECT o_orderdate::DATE AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT rev AS x, lag(rev) OVER (ORDER BY day) AS y FROM daily
+    ),
+    mom AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        FROM pairs WHERE y IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS lag1_corr
+    FROM mom
+    """,
+)
+
+register(
+    "q_cusum",
+    analytics.q_cusum,
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts::DATE - DATE '2024-01-01' AS INT) AS day,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    staged AS (
+        SELECT event_type, day,
+               CAST(count(*) OVER (PARTITION BY event_type)
+                    * sum(c) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                    - row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day)
+                    * sum(c) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS scaled_dev,
+               CAST(count(*) OVER (PARTITION BY event_type) AS INT)
+                   AS n_days,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS total
+        FROM daily
+    ),
+    picked AS (
+        SELECT event_type, day AS change_day, scaled_dev, n_days, total,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(scaled_dev) DESC, day)
+                   AS rk
+        FROM staged
+    )
+    SELECT event_type, change_day, scaled_dev, n_days, total
+    FROM picked WHERE rk = 1
+    """,
+)
+
+register(
+    "q_winsorize",
+    analytics.q_winsorize,
+    f"""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS rn,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    ),
+    bounds AS (
+        SELECT c_mktsegment,
+               max(CASE WHEN rn = ((n-1)*{analytics.WINSOR_LO}
+                                   - ((n-1)*{analytics.WINSOR_LO}) % 100)
+                                  / 100 + 1
+                        THEN c_acctbal END) AS p_lo,
+               max(CASE WHEN rn = ((n-1)*{analytics.WINSOR_HI}
+                                   - ((n-1)*{analytics.WINSOR_HI}) % 100)
+                                  / 100 + 1
+                        THEN c_acctbal END) AS p_hi
+        FROM ranked GROUP BY 1
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           max(p_lo) AS p_lo,
+           max(p_hi) AS p_hi,
+           CAST(sum(CASE WHEN c_acctbal < p_lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN c_acctbal > p_hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_hi,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS mean_raw,
+           round(CAST(sum(CAST(greatest(p_lo, least(p_hi, c_acctbal))
+                               AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS mean_winsor
+    FROM customer c JOIN bounds b USING (c_mktsegment)
+    GROUP BY 1
+    """,
+)
+
+register(
+    "q_ols",
+    analytics.q_ols,
+    """
+    WITH mom AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx1,
+               CAST(sum(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) AS sx2,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8)))
+                    AS DOUBLE) AS s11,
+               CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,8)))
+                    AS DOUBLE) AS s12,
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,8)))
+                    AS DOUBLE) AS s22,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8)))
+                    AS DOUBLE) AS s1y,
+               CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,8)))
+                    AS DOUBLE) AS s2y,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(28,8))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1
+    ),
+    solved AS (
+        SELECT l_returnflag, n, sy, s1y, s2y, syy,
+               (sy * (s11 * s22 - s12 * s12)
+                - sx1 * (s1y * s22 - s12 * s2y)
+                + sx2 * (s1y * s12 - s11 * s2y))
+               / (n * (s11 * s22 - s12 * s12)
+                  - sx1 * (sx1 * s22 - s12 * sx2)
+                  + sx2 * (sx1 * s12 - s11 * sx2)) AS b0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (sx1 * s22 - s12 * sx2)
+                + sx2 * (sx1 * s2y - s1y * sx2))
+               / (n * (s11 * s22 - s12 * s12)
+                  - sx1 * (sx1 * s22 - s12 * sx2)
+                  + sx2 * (sx1 * s12 - s11 * sx2)) AS b1,
+               (n * (s11 * s2y - s1y * s12)
+                - sx1 * (sx1 * s2y - s1y * sx2)
+                + sy * (sx1 * s12 - s11 * sx2))
+               / (n * (s11 * s22 - s12 * s12)
+                  - sx1 * (sx1 * s22 - s12 * sx2)
+                  + sx2 * (sx1 * s12 - s11 * sx2)) AS b2
+        FROM mom
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round(b0, 6) AS b_intercept,
+           round(b1, 6) AS b_quantity,
+           round(b2, 6) AS b_discount,
+           round(1 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                     / (syy - sy * sy / n), 6) AS r2
+    FROM solved
+    """,
+)
+
+register(
+    "q_survival",
+    analytics.q_survival,
+    f"""
+    WITH pu AS (
+        SELECT user_id,
+               min(CAST(ts::DATE - DATE '2024-01-01' AS INT)) AS first_day,
+               max(CAST(ts::DATE - DATE '2024-01-01' AS INT)) AS last_day,
+               min(CASE WHEN event_type = '{analytics.SURVIVAL_EVENT}'
+                        THEN CAST(ts::DATE - DATE '2024-01-01' AS INT)
+                   END) AS conv_day
+        FROM events GROUP BY 1
+    ),
+    fl AS (
+        SELECT coalesce(conv_day - first_day,
+                        last_day - first_day) AS t,
+               CASE WHEN conv_day IS NULL THEN 1 ELSE 0 END AS censored
+        FROM pu
+    ),
+    per_t AS (
+        SELECT t, CAST(sum(1 - censored) AS BIGINT) AS d,
+               count(*) AS leaving
+        FROM fl GROUP BY 1
+    ),
+    ar AS (
+        SELECT t, d,
+               CAST(sum(leaving) OVER () - coalesce(
+                   sum(leaving) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM per_t
+    )
+    SELECT t, d, n_risk,
+           round(d / n_risk, 6) AS hazard,
+           round(sum(d / n_risk) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                       PRECEDING AND CURRENT ROW), 6)
+               AS cum_hazard
+    FROM ar WHERE d > 0
+    """,
+)
+
+register(
+    "q_pmi",
+    text.q_pmi,
+    rf"""
+    WITH toks AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE n_chars > 0
+    ),
+    uni AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n_tok
+        FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1
+    ),
+    uni_t AS (SELECT token, n_tok, sum(n_tok) OVER () AS n_uni FROM uni),
+    bi AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+        FROM (
+            SELECT unnest(list_transform(range(0, len(t) - 1),
+                                         i -> t[i+1])) AS w1,
+                   unnest(list_transform(range(0, len(t) - 1),
+                                         i -> t[i+2])) AS w2
+            FROM toks WHERE len(t) >= 2
+        )
+        GROUP BY 1, 2
+    ),
+    bi_t AS (
+        SELECT w1, w2, n_xy, sum(n_xy) OVER () AS n_bi FROM bi
+    )
+    SELECT w1, w2, n_xy,
+           a.n_tok AS n_x, b.n_tok AS n_y,
+           round(log2((n_xy / n_bi)
+                      / ((a.n_tok / a.n_uni) * (b.n_tok / a.n_uni))), 6)
+               AS pmi
+    FROM bi_t JOIN uni_t a ON bi_t.w1 = a.token
+              JOIN uni_t b ON bi_t.w2 = b.token
+    WHERE n_xy >= {text.PMI_MIN_COUNT}
+    """,
+)
+
+register(
+    "q_weighted_sample",
+    sampling.q_weighted_sample,
+    f"""
+    WITH staged AS (
+        SELECT doc_id, source, n_chars,
+               CAST(sum(n_chars) OVER (PARTITION BY source
+                                       ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                                doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS cum_hi,
+               CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT)
+                   AS w_total
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(floor(cum_hi * {sampling.WEIGHTED_K} / w_total) AS INT)
+               AS bucket
+    FROM staged
+    WHERE floor(cum_hi * {sampling.WEIGHTED_K} / w_total)
+          > floor((cum_hi - n_chars) * {sampling.WEIGHTED_K} / w_total)
+    """,
+)
+
+register(
+    "q_ewma",
+    analytics.q_ewma,
+    f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts::DATE - DATE '2024-01-01' AS INT) AS day,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    staged AS (
+        SELECT event_type, day, c,
+               (pow({analytics.EWMA_DECAY}, day)
+                * sum(c * pow(1.0 / {analytics.EWMA_DECAY}, day))
+                      OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+               / (pow({analytics.EWMA_DECAY}, day)
+                  * sum(pow(1.0 / {analytics.EWMA_DECAY}, day))
+                        OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)) AS ewma
+        FROM daily
+    ),
+    lagged AS (
+        SELECT event_type, day, c, ewma,
+               lag(ewma) OVER (PARTITION BY event_type ORDER BY day)
+                   AS prev
+        FROM staged
+    )
+    SELECT event_type, day, CAST(c AS BIGINT) AS c,
+           round(ewma, 6) AS ewma,
+           round(c / prev, 6) AS vs_smoothed,
+           CAST(c / prev >= {analytics.EWMA_SPIKE} AS INT) AS spike
+    FROM lagged WHERE prev IS NOT NULL
+    """,
+)
+
+register(
+    "q_rare_collapse",
+    text.q_rare_collapse,
+    f"""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS n_cell
+        FROM documents WHERE n_chars > 0 GROUP BY 1, 2
+    ),
+    recoded AS (
+        SELECT lang,
+               CASE WHEN n_cell >= {text.RARE_MIN_COUNT} THEN source
+                    ELSE '__other__' END AS source_code,
+               n_cell
+        FROM cells
+    )
+    SELECT lang, source_code,
+           CAST(sum(n_cell) AS BIGINT) AS n,
+           CAST(count(*) AS INT) AS n_merged_cells
+    FROM recoded GROUP BY 1, 2
+    """,
+)

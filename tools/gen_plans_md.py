@@ -228,6 +228,26 @@ SHOWCASE: dict[str, str] = {
         "Gopher repetition gate: two explode->agg passes (Generate x2), "
         "map-side partials, doc-sized join — no position self-join."
     ),
+    "q_ols": (
+        "Closed-form OLS: ONE fact scan collapsing to 10 co-moment sums "
+        "per group (partial HashAggregate map-side); the Cramer solve is "
+        "a projection over the group-count-sized relation."
+    ),
+    "q_winsorize": (
+        "Winsorize: rank window for discrete percentile bounds, tiny "
+        "bounds relation broadcast back (BroadcastHashJoin) — the clip "
+        "pass never shuffles the scan."
+    ),
+    "q_pmi": (
+        "PMI collocations: corpus collapses to vocab-sized unigram/bigram "
+        "relations; both marginal joins are BroadcastHashJoin — no "
+        "token-level shuffle after the counts."
+    ),
+    "q_weighted_sample": (
+        "Systematic PPS sample: one Exchange on source for the prefix-sum "
+        "window; integer threshold-crossing filter — no random state, no "
+        "driver involvement."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
