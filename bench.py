@@ -132,6 +132,7 @@ HEADLINE = [
     "q_weighted_sample",
     "q_ewma",
     "q_rare_collapse",
+    "q_kmv_overlap",
 ]
 
 

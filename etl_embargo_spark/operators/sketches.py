@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -142,4 +142,130 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         out, "rank int, token string, est bigint"
+    )
+
+
+KMV_K = 64  # sketch size: k smallest hashes retained per population
+KMV_BITS = 60  # 15 md5 hex chars -> [0, 2^60) integer hash
+
+
+def _kmv_hash(key):
+    """60-bit engine-independent hash (md5 slice, same idiom as
+    sampling.hash_bucket) — small enough for exact BIGINT compares on
+    both engines, fine enough that k-th-order-statistic estimates
+    resolve at any realistic cardinality."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch overlap of two behavioral
+    populations — purchase-days vs click-days — estimating each
+    cardinality ((k−1)/u₍k₎), the union, the Jaccard and the
+    intersection from three k-item sketches, with the exact values
+    alongside as the audit columns.
+
+    This is the distinct-count-INTERSECTION question HLL alone cannot
+    answer (HLL unions trivially but not intersects); KMV sketches
+    intersect by construction: the k smallest of A∪B are a subset of
+    topA ∪ topB, and membership within that range is exact.
+
+    Scale shape: each population collapses to distinct user-day keys
+    (map-side combined); ONE pass then builds BOTH population sketches:
+    keys explode into per-population tags and the PARTITIONED rank
+    filter compiles to WindowGroupLimit, truncating every map task to k
+    rows per population before the single pop-keyed exchange (an
+    unpartitioned row_number would single-partition the population —
+    verified Spark does not group-limit that; and per-population
+    orderBy+limit subtrees would re-scan the log once per consumer).
+    The ≤2k-row sketch relation is lazily localCheckpoint'ed and shared
+    by every consumer.  The sketch is mergeable state: k integers
+    per population, the same contract as the CMS partials above.
+    Hashes are md5 slices, so estimates are deterministic across
+    engines, runs, and partitionings (no HLL register noise) — which
+    is what makes this oracle-checkable at all."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+    )
+    h = _kmv_hash(
+        F.concat_ws("-", F.col("user_id"), F.col("day"))
+    ).alias("h")
+    keyed = ud.select(h, "p", "c")
+
+    # ONE pass builds both sketches: tag each key with its population
+    # memberships, explode, per-pop k-smallest via row_number — the
+    # PARTITIONED rank filter compiles to WindowGroupLimit (map tasks
+    # truncate to k per pop before the one pop-keyed exchange).  The
+    # ≤2k-row result is lazily localCheckpoint'ed so its five consumers
+    # below share one materialization instead of re-scanning the log.
+    pops = keyed.select(
+        "h",
+        F.explode(
+            F.expr(
+                "filter(array(IF(p=1,'a',NULL), IF(c=1,'b',NULL)),"
+                " x -> x IS NOT NULL)"
+            )
+        ).alias("pop"),
+    )
+    w_pop = Window.partitionBy("pop").orderBy("h")
+    tops = (
+        pops.withColumn("rk", F.row_number().over(w_pop))
+        .filter(F.col("rk") <= KMV_K)
+        .select("pop", "h")
+        .localCheckpoint(eager=False)
+    )
+    pow2 = float(2**KMV_BITS)
+
+    def est(n_col, kth_col):
+        # sketch not full => it IS the population; else (k-1)/u_k
+        return F.when(
+            F.col(n_col) < KMV_K, F.col(n_col).cast("double")
+        ).otherwise(
+            (KMV_K - 1) * F.lit(pow2) / F.col(kth_col)
+        )
+
+    sk_a = tops.filter(F.col("pop") == "a").agg(
+        F.count(F.lit(1)).alias("n_a"), F.max("h").alias("kth_a")
+    )
+    sk_b = tops.filter(F.col("pop") == "b").agg(
+        F.count(F.lit(1)).alias("n_b"), F.max("h").alias("kth_b")
+    )
+    merged = tops.groupBy("h").agg(
+        F.max((F.col("pop") == "a").cast("int")).alias("in_a"),
+        F.max((F.col("pop") == "b").cast("int")).alias("in_b"),
+    )
+    top_u = merged.orderBy("h").limit(KMV_K)
+    sk_u = top_u.agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max("h").alias("kth_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    exact = keyed.agg(
+        F.sum("p").alias("exact_a"),
+        F.sum("c").alias("exact_b"),
+        F.sum(F.col("p") * F.col("c")).alias("exact_both"),
+    )
+    est_u = est("n_u", "kth_u")
+    jacc = F.col("n_both") / F.least(F.col("n_u"), F.lit(KMV_K))
+    return (
+        sk_a.crossJoin(sk_b)
+        .crossJoin(sk_u)
+        .crossJoin(exact)
+        .select(
+            F.lit(KMV_K).alias("k"),
+            F.round(est("n_a", "kth_a"), 4).alias("est_a"),
+            F.round(est("n_b", "kth_b"), 4).alias("est_b"),
+            F.round(est_u, 4).alias("est_union"),
+            F.round(jacc, 6).alias("est_jaccard"),
+            F.round(jacc * est_u, 4).alias("est_intersection"),
+            F.col("exact_a").cast("bigint").alias("exact_a"),
+            F.col("exact_b").cast("bigint").alias("exact_b"),
+            F.col("exact_both").cast("bigint").alias("exact_both"),
+        )
     )

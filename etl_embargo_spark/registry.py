@@ -3478,3 +3478,81 @@ register(
     FROM recoded GROUP BY 1, 2
     """,
 )
+
+register(
+    "q_kmv_overlap",
+    sketches.q_kmv_overlap,
+    f"""
+    WITH ud AS (
+        SELECT user_id,
+               CAST(ts::DATE - DATE '2024-01-01' AS INT) AS day,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT CAST(CAST('0x' || substr(
+                   md5(CAST(user_id AS VARCHAR) || '-'
+                       || CAST(day AS VARCHAR)), 1, 15) AS UBIGINT)
+                    AS BIGINT) AS h,
+               p, c
+        FROM ud
+    ),
+    topa AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk
+            FROM keyed WHERE p = 1
+        ) WHERE rk <= {sketches.KMV_K}
+    ),
+    topb AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk
+            FROM keyed WHERE c = 1
+        ) WHERE rk <= {sketches.KMV_K}
+    ),
+    ska AS (SELECT count(*) AS n_a, max(h) AS kth_a FROM topa),
+    skb AS (SELECT count(*) AS n_b, max(h) AS kth_b FROM topb),
+    merged AS (
+        SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+        FROM (
+            SELECT h, 1 AS in_a, 0 AS in_b FROM topa
+            UNION ALL
+            SELECT h, 0 AS in_a, 1 AS in_b FROM topb
+        ) GROUP BY h
+    ),
+    topu AS (
+        SELECT h, in_a, in_b FROM (
+            SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rk
+            FROM merged
+        ) WHERE rk <= {sketches.KMV_K}
+    ),
+    sku AS (
+        SELECT count(*) AS n_u, max(h) AS kth_u,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        FROM topu
+    ),
+    exact AS (
+        SELECT CAST(sum(p) AS BIGINT) AS exact_a,
+               CAST(sum(c) AS BIGINT) AS exact_b,
+               CAST(sum(p * c) AS BIGINT) AS exact_both
+        FROM keyed
+    )
+    SELECT {sketches.KMV_K} AS k,
+           round(CASE WHEN n_a < {sketches.KMV_K} THEN CAST(n_a AS DOUBLE)
+                      ELSE ({sketches.KMV_K} - 1) * {float(2**sketches.KMV_BITS)!r}
+                           / kth_a END, 4) AS est_a,
+           round(CASE WHEN n_b < {sketches.KMV_K} THEN CAST(n_b AS DOUBLE)
+                      ELSE ({sketches.KMV_K} - 1) * {float(2**sketches.KMV_BITS)!r}
+                           / kth_b END, 4) AS est_b,
+           round(CASE WHEN n_u < {sketches.KMV_K} THEN CAST(n_u AS DOUBLE)
+                      ELSE ({sketches.KMV_K} - 1) * {float(2**sketches.KMV_BITS)!r}
+                           / kth_u END, 4) AS est_union,
+           round(n_both / least(n_u, {sketches.KMV_K}), 6) AS est_jaccard,
+           round((n_both / least(n_u, {sketches.KMV_K}))
+                 * CASE WHEN n_u < {sketches.KMV_K} THEN CAST(n_u AS DOUBLE)
+                        ELSE ({sketches.KMV_K} - 1) * {float(2**sketches.KMV_BITS)!r}
+                             / kth_u END, 4) AS est_intersection,
+           exact_a, exact_b, exact_both
+    FROM ska, skb, sku, exact
+    """,
+)

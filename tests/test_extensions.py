@@ -1115,3 +1115,38 @@ class TestCmsTopk:
         finally:
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
         assert a == b
+
+
+class TestKmvOverlap:
+    def test_estimates_near_exact(self, spark, sf_dir):
+        """KMV (k-1)/u_k estimates have ~1/sqrt(k-2) relative error;
+        with k=64 assert a generous 60% envelope against the exact
+        audit columns computed in the same row (and exactness when the
+        sketch is not full, where the estimate IS the count)."""
+        from etl_embargo_spark.operators.sketches import KMV_K, q_kmv_overlap
+
+        row = q_kmv_overlap(spark, sf_dir).collect()[0]
+        assert row.k == KMV_K
+        for est, exact in (
+            (row.est_a, row.exact_a),
+            (row.est_b, row.exact_b),
+        ):
+            assert exact > 0
+            if exact < KMV_K:
+                # not-full sketch IS the population
+                assert est == float(exact)
+            else:
+                assert abs(est - exact) / exact < 0.6, (est, exact)
+        # intersection = jaccard * union estimate: envelope only (the
+        # not-full shortcut applies to single-population sketches)
+        assert row.exact_both > 0
+        assert abs(row.est_intersection - row.exact_both) / row.exact_both < 0.6
+
+    def test_jaccard_bounded(self, spark, sf_dir):
+        row = q_kmv_overlap_row = None
+        from etl_embargo_spark.operators.sketches import q_kmv_overlap
+
+        row = q_kmv_overlap(spark, sf_dir).collect()[0]
+        assert 0.0 <= row.est_jaccard <= 1.0
+        # both populations overlap but are not identical in the synthetic log
+        assert row.exact_both < min(row.exact_a, row.exact_b)

@@ -352,3 +352,68 @@ class TestStreamUpsert:
             for r in spark.read.parquet(table).collect()
         }
         assert got2 == got
+
+
+class TestStreamingSessionWindow:
+    def test_streaming_sessions_match_batch(self, spark, tmp_path):
+        """Gap-based session_window in a STREAMING query (watermarked,
+        append mode, availableNow) over files split so one user's
+        session SPANS micro-batches: the state store must merge the
+        partial session across batches and emit each finalized session
+        exactly once, matching the batch-mode sessionize of the same
+        rows."""
+        from etl_embargo_spark.streaming.daily import sessionize
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        batch1 = [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:10:00", 1, "click", 2.0),
+            (3, "2024-01-01 10:05:00", 2, "view", 1.0),
+        ]
+        batch2 = [
+            # extends user 1's open session across the batch boundary
+            (4, "2024-01-01 10:25:00", 1, "buy", 3.0),
+            # new session for user 2 (gap > 30 min from 10:05)
+            (5, "2024-01-01 11:30:00", 2, "view", 1.0),
+            # watermark driver: pushes event-time far past all sessions
+            (6, "2024-01-01 20:00:00", 3, "click", 1.0),
+        ]
+        _write_events(spark, src, batch1)
+        _write_events(spark, src, batch2)
+
+        sess = sessionize(_stream(spark, src))
+        q = (
+            sess.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (str(r["session_start"]), r["user_id"], r["n_events"],
+             r["total_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+        batch_rows = sessionize(
+            spark.createDataFrame(
+                [(i, ts, u, t, v, "{}") for (i, ts, u, t, v) in
+                 batch1 + batch2],
+                "event_id long, ts string, user_id long, "
+                "event_type string, value double, props string",
+            )
+        )
+        expect = {
+            (str(r["session_start"]), r["user_id"], r["n_events"],
+             r["total_value"])
+            for r in batch_rows.collect()
+            if r["user_id"] != 3  # user 3's session is still open
+        }
+        # the cross-batch session surfaced ONCE with all three events
+        assert ("2024-01-01 10:00:00", 1, 3, 6.0) in got
+        assert got == expect

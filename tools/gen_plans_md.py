@@ -243,6 +243,11 @@ SHOWCASE: dict[str, str] = {
         "relations; both marginal joins are BroadcastHashJoin — no "
         "token-level shuffle after the counts."
     ),
+    "q_kmv_overlap": (
+        "KMV overlap sketch: one log scan builds both population "
+        "sketches (explode tags + WindowGroupLimit per pop, lazily "
+        "checkpointed); one audit scan — consumers never re-scan."
+    ),
     "q_weighted_sample": (
         "Systematic PPS sample: one Exchange on source for the prefix-sum "
         "window; integer threshold-crossing filter — no random state, no "
