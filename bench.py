@@ -133,6 +133,8 @@ HEADLINE = [
     "q_ewma",
     "q_rare_collapse",
     "q_kmv_overlap",
+    "q_bm25",
+    "q_media_dedup",
 ]
 
 

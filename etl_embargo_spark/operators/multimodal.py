@@ -207,3 +207,40 @@ def q_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.max("frame_idx").alias("max_frame_idx"),
     )
+
+
+MEDIA_THUMB_BYTES = 64  # leading payload slice standing in for a pHash
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media deduplication by payload-signature hash: duplicate groups
+    per media type, each with its copy count and smallest-id
+    representative — the first (and at real corpus scale, the
+    highest-yield) pass of any image/audio dedup pipeline.  The
+    signature here is the md5 of the leading MEDIA_THUMB_BYTES of the
+    payload — the deterministic stand-in for a perceptual hash (the
+    synthetic corpus has no full-payload duplicates; a real pipeline
+    swaps this one projection for pHash/chromaprint and keeps the
+    group-by mechanics unchanged, exactly like the codec stub above).
+
+    Scale shape: only the 16-byte signature and ids cross the wire (the
+    payload column is pruned after the hash projection — at 100 TB the
+    shuffle carries ~32 B/row regardless of media size); the group-by
+    is map-side combined.  The hash runs JVM-side over the binary
+    column."""
+    media = synthetic_media(spark, sf_dir)
+    return (
+        media.select(
+            "media_type",
+            "media_id",
+            F.md5(
+                F.substring(F.col("content"), 1, MEDIA_THUMB_BYTES)
+            ).alias("content_md5"),
+        )
+        .groupBy("media_type", "content_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("media_id").alias("rep_media_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -963,3 +963,63 @@ def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_cell").alias("n"),
         F.count(F.lit(1)).cast("int").alias("n_merged_cells"),
     )
+
+
+BM25_TERMS = ("spark", "scan", "join")  # the standing retrieval query
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed term query —
+    the retrieval scorer behind quality-ranked corpus curation and
+    dedup-aware search (tf saturation via k1, length normalization via
+    b — the two things raw TF-IDF gets wrong).
+
+    Scale shape: tf is a map-side-combined (doc, term) aggregate over
+    ONLY the query terms (the explode filters to |terms| before any
+    shuffle); df and the corpus stats (N, avgdl) are term-/1-row-sized
+    and broadcast; the scoring join touches each matching doc once.
+    The idf log runs over exact integer counts — engine-stable under
+    round(·, 6)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    lens = docs.select(
+        "doc_id", F.size(_tokens()).cast("bigint").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        tf.join(F.broadcast(df_), "token")
+        .join(F.broadcast(lens), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    return (
+        joined.select("doc_id", term_score.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            F.round(F.sum("s"), 6).alias("bm25"),
+        )
+    )

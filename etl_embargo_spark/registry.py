@@ -3556,3 +3556,59 @@ register(
     FROM ska, skb, sku, exact
     """,
 )
+
+register(
+    "q_bm25",
+    text.q_bm25,
+    f"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE n_chars > 0
+    ),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(t) AS token FROM docs)
+        WHERE token IN {text.BM25_TERMS!r}
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+    scored AS (
+        SELECT doc_id,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf
+               * {text.BM25_K1 + 1!r}
+               / (tf + {text.BM25_K1!r}
+                       * ({1 - text.BM25_B!r}
+                          + {text.BM25_B!r} * dl / (total_dl * 1.0 / n_docs)))
+                   AS s
+        FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id), stats
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
+           round(sum(s), 6) AS bm25
+    FROM scored GROUP BY 1
+    """,
+)
+
+register(
+    "q_media_dedup",
+    multimodal.q_media_dedup,
+    """
+    WITH media AS (
+        SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]
+                   AS media_type,
+               doc_id AS media_id,
+               md5(substr(text, 1, 64)) AS content_md5
+        FROM documents
+    )
+    SELECT media_type, content_md5,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(media_id) AS rep_media_id
+    FROM media
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
