@@ -135,6 +135,9 @@ HEADLINE = [
     "q_kmv_overlap",
     "q_bm25",
     "q_media_dedup",
+    "q_itemsets3",
+    "q_gini",
+    "q_dataset_card",
 ]
 
 

@@ -2953,3 +2953,83 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c") / F.col("prev"), 6).alias("vs_smoothed"),
         (F.col("c") / F.col("prev") >= EWMA_SPIKE).cast("int").alias("spike"),
     )
+
+
+ITEMSETS3_TOP = 20
+
+
+def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (the A-priori step beyond q_copurchase /
+    q_basket_lift's pairs): the top supported part triples bought in
+    one order, deterministic tie-break on the triple.
+
+    Scale shape: baskets collapse once (collect_set state bounded by
+    basket size, here ≤13 parts); 3-combinations are generated
+    ARRAY-SIDE inside codegen — C(k,3) per basket with tiny k — and
+    exploded once, so the lineitem scan runs once and NO self-join
+    touches the fact table (the classic SQL triple-self-join pays two
+    extra fact shuffles; the oracle uses it precisely because DuckDB
+    can afford it at oracle scale).  Top-k is TakeOrderedAndProject.
+    A production A-priori adds a frequent-pair broadcast filter between
+    collapse and expansion — same plan, one more broadcast semi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") >= 3)
+    )
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(flatten("
+                " transform(sequence(0, size(items)-3), i ->"
+                "  transform(sequence(i+1, size(items)-2), j ->"
+                "   transform(sequence(j+1, size(items)-1), k ->"
+                "    struct(items[i] AS pa, items[j] AS pb,"
+                "           items[k] AS pc))))))"
+            )
+        ).alias("t")
+    )
+    return (
+        triples.select("t.pa", "t.pb", "t.pc")
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "pa", "pb", "pc")
+        .limit(ITEMSETS3_TOP)
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-number
+    inequality summary behind q_revenue_deciles' concentration curve
+    (G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n over ascending-ranked spend).
+
+    Scale shape: the fact table collapses to per-customer exact-decimal
+    totals first; the rank window and both sums run over that
+    customer-sized relation.  Every term up to the final division is
+    integer-rank × exact-decimal, so the statistic is engine-stable
+    under round(·, 6); ranks tie-break on custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    ranked = per_cust.select(
+        "spend", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend").alias("total"),
+        F.sum(F.col("rk") * F.col("spend")).alias("rank_weighted"),
+    )
+    n = F.col("n")
+    gini = (
+        2 * F.col("rank_weighted").cast("double")
+        / (n * F.col("total").cast("double"))
+        - (n + 1) / n
+    )
+    return agg.select(
+        n.alias("n_customers"),
+        F.round(F.col("total"), 2).cast("double").alias("total_spend"),
+        F.round(gini, 6).alias("gini"),
+    )

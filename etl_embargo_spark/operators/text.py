@@ -1023,3 +1023,73 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s"), 6).alias("bm25"),
         )
     )
+
+
+CARD_PREFIX_BYTES = 64  # duplicate-signature slice (no full dups exist)
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the documents corpus: size, language
+    mix (count, mode, share, entropy), length stats, token volume, and
+    the prefix-signature duplicate-group count — the summary block a
+    training-data pipeline publishes with every corpus release.
+
+    Scale shape: three independent map-side-collapsed passes (language
+    cells, doc-level lengths, signature groups) crossJoined as 1-row
+    broadcasts; nothing wider than the language relation is ever held.
+    The entropy is a log2 over exact integer cell counts."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    langs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    w_all = Window.partitionBy()
+    w_top = Window.orderBy(F.desc("n_l"), "lang")
+    probed = langs.select(
+        "lang",
+        "n_l",
+        F.sum("n_l").over(w_all).alias("n_docs"),
+        (F.col("n_l") / F.sum("n_l").over(w_all)).alias("p"),
+    )
+    lang_stats = (
+        probed.select(
+            "lang",
+            "n_l",
+            "n_docs",
+            F.row_number().over(w_top).alias("rk"),
+            F.count(F.lit(1)).over(w_all).cast("int").alias("n_langs"),
+            F.sum(-F.col("p") * F.log2("p")).over(w_all).alias("ent"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "n_docs",
+            "n_langs",
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("n_l") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+            F.round("ent", 6).alias("lang_entropy"),
+        )
+    )
+    lens = docs.select(
+        F.col("n_chars"), F.size(_tokens()).cast("bigint").alias("n_tok")
+    ).agg(
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    dups = (
+        docs.groupBy(
+            F.md5(F.substring("text", 1, CARD_PREFIX_BYTES)).alias("sig")
+        )
+        .agg(F.count(F.lit(1)).alias("n_sig"))
+        .agg(
+            F.sum((F.col("n_sig") >= 2).cast("int")).alias(
+                "dup_sig_groups"
+            ),
+            F.sum(
+                F.when(F.col("n_sig") >= 2, F.col("n_sig") - 1).otherwise(0)
+            ).alias("dup_sig_docs"),
+        )
+    )
+    return lang_stats.crossJoin(lens).crossJoin(dups)

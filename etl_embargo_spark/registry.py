@@ -3612,3 +3612,104 @@ register(
     HAVING count(*) >= 2
     """,
 )
+
+register(
+    "q_itemsets3",
+    analytics.q_itemsets3,
+    f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    t AS (
+        SELECT a.p AS pa, b.p AS pb, c.p AS pc
+        FROM li a
+        JOIN li b ON a.o = b.o AND a.p < b.p
+        JOIN li c ON b.o = c.o AND b.p < c.p
+    )
+    SELECT pa, pb, pc, CAST(count(*) AS BIGINT) AS support
+    FROM t GROUP BY 1, 2, 3
+    ORDER BY support DESC, pa, pb, pc
+    LIMIT {analytics.ITEMSETS3_TOP}
+    """,
+)
+
+register(
+    "q_gini",
+    analytics.q_gini,
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT spend,
+               CAST(row_number() OVER (ORDER BY spend, o_custkey)
+                    AS BIGINT) AS rk
+        FROM per_cust
+    ),
+    agg AS (
+        SELECT count(*) AS n, sum(spend) AS total,
+               sum(rk * spend) AS rank_weighted
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(round(total, 2) AS DOUBLE) AS total_spend,
+           round(2 * CAST(rank_weighted AS DOUBLE)
+                 / (n * CAST(total AS DOUBLE)) - (n + 1) / n, 6) AS gini
+    FROM agg
+    """,
+)
+
+register(
+    "q_dataset_card",
+    text.q_dataset_card,
+    f"""
+    WITH docs AS (
+        SELECT doc_id, text, lang, n_chars,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE n_chars > 0
+    ),
+    langs AS (SELECT lang, count(*) AS n_l FROM docs GROUP BY 1),
+    probed AS (
+        SELECT lang, n_l, sum(n_l) OVER () AS n_docs,
+               n_l / sum(n_l) OVER () AS p
+        FROM langs
+    ),
+    lang_stats AS (
+        SELECT n_docs, n_langs, lang AS top_lang,
+               round(n_l / n_docs, 6) AS top_lang_share,
+               round(ent, 6) AS lang_entropy
+        FROM (
+            SELECT lang, n_l, n_docs,
+                   row_number() OVER (ORDER BY n_l DESC, lang) AS rk,
+                   CAST(count(*) OVER () AS INT) AS n_langs,
+                   sum(-p * log2(p)) OVER () AS ent
+            FROM probed
+        ) WHERE rk = 1
+    ),
+    lens AS (
+        SELECT round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4)
+                   AS mean_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               CAST(sum(len(t)) AS BIGINT) AS total_tokens
+        FROM docs
+    ),
+    dups AS (
+        SELECT CAST(sum(CASE WHEN n_sig >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dup_sig_groups,
+               CAST(sum(CASE WHEN n_sig >= 2 THEN n_sig - 1 ELSE 0 END)
+                    AS BIGINT) AS dup_sig_docs
+        FROM (
+            SELECT md5(substr(text, 1, {text.CARD_PREFIX_BYTES})) AS sig,
+                   count(*) AS n_sig
+            FROM docs GROUP BY 1
+        )
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs, n_langs, top_lang,
+           top_lang_share, lang_entropy, mean_chars, min_chars,
+           max_chars, total_tokens, dup_sig_groups, dup_sig_docs
+    FROM lang_stats, lens, dups
+    """,
+)

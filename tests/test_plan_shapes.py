@@ -567,3 +567,68 @@ class TestRound2Plans:
         plan = _plan(spark, sf_dir, "q_repetition_filter")
         assert plan.count("Generate") == 2
         assert "CartesianProduct" not in plan
+
+
+class TestStatsBatchPlans:
+    def test_ols_single_fact_pass(self, spark, sf_dir):
+        """q_ols answers the whole regression from ONE lineitem scan:
+        one partial+final aggregate pair, no joins, no windows."""
+        plan = _plan(spark, sf_dir, "q_ols")
+        assert plan.count("lineitem.parquet") == 1
+        assert "Join" not in plan
+        assert "Window" not in plan
+
+    def test_winsorize_bounds_broadcast(self, spark, sf_dir):
+        """The percentile-bounds relation must broadcast back onto the
+        clip pass — a sort-merge join would shuffle the scan for a
+        segment-count-sized dim."""
+        plan = _plan(spark, sf_dir, "q_winsorize")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_kmv_one_sketch_scan_plus_audit(self, spark, sf_dir):
+        """q_kmv_overlap: the five sketch consumers share one lazily
+        checkpointed relation — exactly TWO event scans total (sketch
+        build + exact audit), not one per consumer."""
+        plan = _plan(spark, sf_dir, "q_kmv_overlap")
+        # pre-materialization the checkpoint prints as ExistingRDD (so 1
+        # visible scan = the audit pass); post-materialization both the
+        # sketch and audit scans show — never one per consumer
+        assert plan.count("events.parquet") <= 2
+        assert plan.count("ExistingRDD") >= 2 or plan.count(
+            "events.parquet"
+        ) == 2
+
+    def test_itemsets3_no_self_join(self, spark, sf_dir):
+        """Triples come from array-side expansion of collapsed baskets:
+        one fact scan, no joins at all (the naive form is a triple
+        self-join = two extra fact shuffles)."""
+        plan = _plan(spark, sf_dir, "q_itemsets3")
+        assert plan.count("lineitem.parquet") == 1
+        assert "Join" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_bm25_filters_before_shuffle(self, spark, sf_dir):
+        """The query-term filter must sit below the tf aggregation so
+        only matching (doc, term) rows shuffle; marginal joins are
+        broadcast."""
+        plan = _plan(spark, sf_dir, "q_bm25")
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_ewma_single_exchange(self, spark, sf_dir):
+        """Exactly two exchanges: the (type, day) aggregate shuffle and
+        ONE type-partitioned exchange shared by both cumulative-window
+        operators and the lag — per-window shuffles would triple it."""
+        plan = _plan(spark, sf_dir, "q_ewma")
+        assert plan.count("Exchange") == 2
+        assert plan.count("Window") == 2
+
+    def test_gini_windows_dim_sized(self, spark, sf_dir):
+        """The rank window consumes the per-customer AGGREGATE — the
+        orders scan collapses (partial+final HashAggregate) before the
+        single-partition rank operator ever sees a row."""
+        plan = _plan(spark, sf_dir, "q_gini")
+        assert plan.count("orders.parquet") == 1
+        assert plan.count("HashAggregate") >= 2
+        assert "Window" in plan
