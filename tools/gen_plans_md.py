@@ -243,6 +243,15 @@ SHOWCASE: dict[str, str] = {
         "relations; both marginal joins are BroadcastHashJoin — no "
         "token-level shuffle after the counts."
     ),
+    "q_itemsets3": (
+        "A-priori triples: baskets collapse once, C(k,3) expansion runs "
+        "array-side inside codegen — no self-join ever touches the fact; "
+        "top-k is TakeOrderedAndProject."
+    ),
+    "q_gini": (
+        "Gini: rank window + both sums over the per-customer aggregate "
+        "only; exact-decimal terms until one final division."
+    ),
     "q_kmv_overlap": (
         "KMV overlap sketch: one log scan builds both population "
         "sketches (explode tags + WindowGroupLimit per pop, lazily "
