@@ -138,6 +138,8 @@ HEADLINE = [
     "q_itemsets3",
     "q_gini",
     "q_dataset_card",
+    "q_seasonality",
+    "q_vocab_coverage",
 ]
 
 

@@ -3033,3 +3033,29 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total"), 2).cast("double").alias("total_spend"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × event-type seasonality profile: each cell's share
+    of its type's volume and the deviation from the uniform 1/7 rate —
+    the weekly-rhythm baseline monitoring compares against (q_ewma
+    smooths the series; this explains WHY Mondays spike).
+
+    Scale shape: one map-side-combined collapse to |types|×7 cells;
+    shares are window sums over that relation.  Counts are integers,
+    the share is one exact division — engine-stable under round."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_type = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_type), 6).alias("share"),
+        F.round(
+            F.col("n") / F.sum("n").over(w_type) - 1.0 / 7, 6
+        ).alias("vs_uniform"),
+    )

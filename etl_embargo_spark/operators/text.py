@@ -1093,3 +1093,49 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lang_stats.crossJoin(lens).crossJoin(dups)
+
+
+VOCAB_COVERAGE_SIZES = (5, 10, 20)  # head sizes to report (vocab is 31 types)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget curve: for each candidate head-vocabulary size,
+    the share of all token OCCURRENCES covered by the top-k types —
+    the out-of-vocabulary-rate planning table behind choosing a
+    tokenizer/vocab budget for a corpus.
+
+    Scale shape: the corpus collapses once to type frequencies; the
+    running coverage is a cumulative window over the frequency-ranked
+    VOCABULARY relation (types, not tokens), and the report picks one
+    row per requested size.  Integer counts end to end; one division
+    per output row."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w_rank = Window.orderBy(F.desc("tf"), "token")
+    w_cum = Window.orderBy(F.desc("tf"), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = vocab.select(
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("tf").over(w_cum).alias("cum_tf"),
+        F.sum("tf").over(w_all).alias("total_tf"),
+        F.count(F.lit(1)).over(w_all).alias("n_types"),
+    )
+    sizes = F.array(*[F.lit(s) for s in VOCAB_COVERAGE_SIZES])
+    return (
+        ranked.filter(F.array_contains(sizes, F.col("rk")))
+        .select(
+            F.col("rk").alias("vocab_size"),
+            "cum_tf",
+            "total_tf",
+            F.col("n_types").cast("int").alias("n_types"),
+            F.round(F.col("cum_tf") / F.col("total_tf"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

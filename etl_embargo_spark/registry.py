@@ -3713,3 +3713,47 @@ register(
     FROM lang_stats, lens, dups
     """,
 )
+
+register(
+    "q_seasonality",
+    analytics.q_seasonality,
+    """
+    WITH cells AS (
+        SELECT event_type, dayofweek(ts::DATE) + 1 AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(dow AS INT) AS dow, n,
+           round(n / sum(n) OVER (PARTITION BY event_type), 6) AS share,
+           round(n / sum(n) OVER (PARTITION BY event_type) - 1.0 / 7, 6)
+               AS vs_uniform
+    FROM cells
+    """,
+)
+
+register(
+    "q_vocab_coverage",
+    text.q_vocab_coverage,
+    rf"""
+    WITH vocab AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS token
+            FROM documents WHERE n_chars > 0
+        ) GROUP BY 1
+    ),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY tf DESC, token) AS rk,
+               CAST(sum(tf) OVER (ORDER BY tf DESC, token
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum_tf,
+               CAST(sum(tf) OVER () AS BIGINT) AS total_tf,
+               CAST(count(*) OVER () AS INT) AS n_types
+        FROM vocab
+    )
+    SELECT CAST(rk AS INT) AS vocab_size, cum_tf, total_tf, n_types,
+           round(cum_tf * 1.0 / total_tf, 6) AS coverage
+    FROM ranked WHERE rk IN {text.VOCAB_COVERAGE_SIZES!r}
+    """,
+)

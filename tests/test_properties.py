@@ -315,3 +315,48 @@ class TestParetoProperty:
         )
         got = {r.o_orderkey for r in pareto_frontier(df).collect()}
         assert got == want
+
+
+class TestWeightedSampleInvariance:
+    def test_selection_invariant_under_repartition(self, spark, sf_dir):
+        """The PPS systematic sample must pick the SAME doc_ids no
+        matter how the input is partitioned — the whole point of the
+        integer threshold-crossing rule (a seed-based sampler would
+        shift with the layout)."""
+        from etl_embargo_spark.operators.sampling import q_weighted_sample
+
+        base = {
+            (r.doc_id, r.bucket)
+            for r in q_weighted_sample(spark, sf_dir).collect()
+        }
+        from etl_embargo_spark.catalog import load_table
+        import etl_embargo_spark.operators.sampling as sampling
+        from pyspark.sql import functions as F, Window
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("n_chars") > 0)
+            .repartition(7, "lang")  # adversarial layout
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wp = Window.partitionBy("source")
+        staged = docs.select(
+            "doc_id",
+            "n_chars",
+            F.sum("n_chars").over(w).cast("bigint").alias("cum_hi"),
+            F.sum("n_chars").over(wp).cast("bigint").alias("w_total"),
+        )
+        k = F.lit(sampling.WEIGHTED_K).cast("bigint")
+        hi = F.floor(F.col("cum_hi") * k / F.col("w_total"))
+        lo = F.floor(
+            (F.col("cum_hi") - F.col("n_chars")) * k / F.col("w_total")
+        )
+        relaid = {
+            (r.doc_id, r.bucket)
+            for r in staged.filter(hi > lo)
+            .select("doc_id", hi.cast("int").alias("bucket"))
+            .collect()
+        }
+        assert base == relaid
