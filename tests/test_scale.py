@@ -280,3 +280,77 @@ class TestReviewRegressions:
         assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [
             (1, 2, 8)
         ]
+
+
+class TestTwoPhasePrefixSum:
+    def test_distributed_running_total_matches_global_window(
+        self, spark, sf_dir
+    ):
+        """The 100-TB form of a GLOBAL running total (the thing
+        Window.orderBy() computes by moving everything to one
+        partition): range-partition on the order key so partitions are
+        key-disjoint and sorted relative to each other, cumsum WITHIN
+        each partition (parallel, no cross-partition traffic), then add
+        each partition's broadcast offset (the cumulative total of all
+        earlier partitions — a partitions-sized relation).  Total
+        shuffle: one range exchange of the data + one tiny offset
+        broadcast, vs. everything-to-one-core for the naive window.
+
+        The demo verifies exact equality with the single-partition
+        window at test scale, on integer quantities so the comparison
+        is not an addition-order artifact."""
+        from pyspark.sql import functions as F, Window
+
+        from etl_embargo_spark.catalog import load_table
+
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.col("l_quantity").cast("bigint").alias("qty"),
+            )
+        )
+        key = [F.col("l_orderkey"), F.col("l_linenumber")]
+
+        # naive: global single-partition window (correct, unscalable)
+        w_naive = Window.orderBy(*key).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        naive = li.select(
+            "l_orderkey", "l_linenumber", F.sum("qty").over(w_naive).alias("run")
+        )
+
+        # two-phase: range partition -> local cumsum -> offset add
+        ranged = li.repartitionByRange(8, *key).sortWithinPartitions(*key)
+        staged = ranged.withColumn("pid", F.spark_partition_id())
+        w_local = (
+            Window.partitionBy("pid")
+            .orderBy(*key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = staged.withColumn("local_run", F.sum("qty").over(w_local))
+        w_off = Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            local.groupBy("pid")
+            .agg(F.sum("qty").alias("part_total"))
+            .withColumn(
+                "offset",
+                F.coalesce(F.sum("part_total").over(w_off), F.lit(0)),
+            )
+            .select("pid", "offset")
+        )
+        two_phase = local.join(F.broadcast(offsets), "pid").select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("local_run") + F.col("offset")).alias("run"),
+        )
+
+        a = {(r[0], r[1], r[2]) for r in naive.collect()}
+        b = {(r[0], r[1], r[2]) for r in two_phase.collect()}
+        assert a == b
+        # and the plan truly avoids a single-partition exchange on the data
+        plan = two_phase._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan.lower()
