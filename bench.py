@@ -140,6 +140,7 @@ HEADLINE = [
     "q_dataset_card",
     "q_seasonality",
     "q_vocab_coverage",
+    "q_pca",
 ]
 
 

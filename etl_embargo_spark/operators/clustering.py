@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from etl_embargo_spark.catalog import load_table
+from etl_embargo_spark.catalog import load_table, spread_for_cpu
 
 KMEANS_K = 8
 KMEANS_ITERS = 5
@@ -243,3 +243,101 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cm = kmeans_fit(emb)
     return semdedup(emb, cm)
+
+
+PCA_TOP = 4  # principal components reported
+
+
+def covariance_partials(emb: DataFrame) -> DataFrame:
+    """Per-batch sufficient statistics for the covariance matrix: count,
+    vector sum, and the flattened Σxxᵀ — constant-size (d + d² doubles)
+    per batch regardless of row count, the treeAggregate shape (same
+    contract as the k-means partial sums above)."""
+
+    def _sums(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            yield _pd.DataFrame(
+                [
+                    (
+                        int(e.shape[0]),
+                        e.sum(axis=0).tolist(),
+                        (e.T @ e).ravel().tolist(),
+                    )
+                ],
+                columns=["n", "vec_sum", "xtx"],
+            )
+
+    schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("vec_sum", ArrayType(DoubleType())),
+            StructField("xtx", ArrayType(DoubleType())),
+        ]
+    )
+    return emb.select("embedding").mapInPandas(_sums, schema=schema)
+
+
+def pca_fit(emb: DataFrame, top: int = PCA_TOP):
+    """Top principal components: ONE distributed pass ships d²-sized
+    partials; the d×d eigensolve runs on the driver (d=64 here — the
+    covariance of any embedding table is driver-sized at every corpus
+    scale).  The covariance is quantized before eigh so partial-sum
+    addition order (partitioning, batch size) cannot perturb the
+    decomposition — the same determinism trick as the k-means rounds.
+    Returns (eigenvalues desc, row-eigenvector matrix, total_variance).
+    Eigenvector signs are fixed by making each vector's largest-|·|
+    component positive."""
+    import numpy as np
+
+    parts = covariance_partials(emb).collect()
+    n = sum(r.n for r in parts)
+    d = len(parts[0].vec_sum)
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r.vec_sum)
+        xtx += np.asarray(r.xtx).reshape(d, d)
+    mean = s / n
+    cov = _quantize(xtx / n - np.outer(mean, mean), 6)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:top]
+    evals, evecs = evals[order], evecs[:, order].T
+    for i in range(evecs.shape[0]):
+        j = int(np.abs(evecs[i]).argmax())
+        if evecs[i, j] < 0:
+            evecs[i] = -evecs[i]
+    return evals, evecs, float(np.trace(cov))
+
+
+def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (driver eigensolve — not SQL-expressible): top-PCA_TOP
+    principal components of the embedding table — eigenvalue, explained
+    variance ratio, dominant dimension, and the (rounded) loading
+    vector.  The pipeline use is embedding whitening / compression
+    ahead of ANN indexing; pytest oracle recomputes in pure numpy from
+    the collected vectors and matches exactly thanks to the quantized
+    covariance."""
+    import numpy as np
+
+    emb = spread_for_cpu(load_table(spark, sf_dir, "embeddings"), spark)
+    evals, evecs, total = pca_fit(emb)
+    rows = [
+        (
+            int(i),
+            round(float(evals[i]), 6),
+            round(float(evals[i]) / total, 6),
+            int(np.abs(evecs[i]).argmax()),
+            [round(float(x), 6) for x in evecs[i]],
+        )
+        for i in range(evecs.shape[0])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_ratio double, "
+        "top_dim int, loadings array<double>",
+    )
+

@@ -3757,3 +3757,5 @@ register(
     FROM ranked WHERE rk IN {text.VOCAB_COVERAGE_SIZES!r}
     """,
 )
+
+register("q_pca", clustering.q_pca, None)

@@ -1150,3 +1150,52 @@ class TestKmvOverlap:
         assert 0.0 <= row.est_jaccard <= 1.0
         # both populations overlap but are not identical in the synthetic log
         assert row.exact_both < min(row.exact_a, row.exact_b)
+
+
+class TestPca:
+    def test_matches_pure_numpy(self, spark, sf_dir):
+        """Exact-match oracle: the quantized covariance makes the
+        distributed partial-sum path bit-identical to a pure-numpy
+        recompute from the collected vectors, so eigenvalues AND
+        loadings compare exactly after identical rounding."""
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.clustering import (
+            PCA_TOP,
+            _quantize,
+            q_pca,
+        )
+
+        rows = sorted(
+            q_pca(spark, sf_dir).collect(), key=lambda r: r.component
+        )
+        X = np.vstack(
+            [
+                np.asarray(r.embedding, dtype=np.float64)
+                for r in load_table(spark, sf_dir, "embeddings")
+                .select("embedding")
+                .collect()
+            ]
+        )
+        n = X.shape[0]
+        mean = X.sum(axis=0) / n
+        cov = _quantize((X.T @ X) / n - np.outer(mean, mean), 6)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:PCA_TOP]
+        evals, evecs = evals[order], evecs[:, order].T
+        for i in range(evecs.shape[0]):
+            j = int(np.abs(evecs[i]).argmax())
+            if evecs[i, j] < 0:
+                evecs[i] = -evecs[i]
+        total = float(np.trace(cov))
+        assert len(rows) == PCA_TOP
+        for i, r in enumerate(rows):
+            assert r.eigenvalue == round(float(evals[i]), 6)
+            assert r.explained_ratio == round(float(evals[i]) / total, 6)
+            assert r.loadings == [round(float(x), 6) for x in evecs[i]]
+        # descending spectrum + (near-)orthonormal loadings
+        got = [r.eigenvalue for r in rows]
+        assert got == sorted(got, reverse=True)
+        V = np.array([r.loadings for r in rows])
+        assert np.allclose(V @ V.T, np.eye(PCA_TOP), atol=1e-4)

@@ -429,6 +429,7 @@ class TestJobFreeBuilders:
             "q_kmeans",      # Lloyd's iterations collect centroids per round
             "q_semdedup",    # k-means subroutine + per-cluster prune rounds
             "q_triangles",   # edge list deliberately lineage-broken (persist)
+            "q_pca",         # covariance partials collected for the eigensolve
         }
         tracker = spark.sparkContext._jsc.sc().statusTracker()
         offenders = []
