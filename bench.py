@@ -141,6 +141,7 @@ HEADLINE = [
     "q_seasonality",
     "q_vocab_coverage",
     "q_pca",
+    "q_bollinger",
 ]
 
 

@@ -3059,3 +3059,53 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(w_type) - 1.0 / 7, 6
         ).alias("vs_uniform"),
     )
+
+
+BOLLINGER_WINDOW = 7  # trailing days
+BOLLINGER_SIGMA = 2.0
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout scan over daily order revenue: trailing
+    7-day mean ± 2σ bands and the days that close outside them — the
+    rolling-variance anomaly surface (q_zscore_outliers is the global
+    version; this one's baseline adapts with the series).
+
+    Scale shape: the fact table collapses to exact-decimal daily totals
+    first; the trailing mean/stddev share ONE window frame over the
+    day-sized relation.  Days inside the warm-up (fewer than
+    BOLLINGER_WINDOW trailing points) are excluded so the stddev is
+    always full-window."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        -(BOLLINGER_WINDOW - 1), Window.currentRow
+    )
+    staged = daily.select(
+        "day",
+        "rev",
+        F.avg("rev").over(w).alias("ma"),
+        F.stddev_samp("rev").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).filter(F.col("n_win") == BOLLINGER_WINDOW)
+    upper = F.col("ma") + BOLLINGER_SIGMA * F.col("sd")
+    lower = F.col("ma") - BOLLINGER_SIGMA * F.col("sd")
+    return staged.select(
+        "day",
+        F.round("rev", 2).alias("rev"),
+        F.round("ma", 4).alias("ma"),
+        F.round(upper, 4).alias("upper"),
+        F.round(lower, 4).alias("lower"),
+        (
+            (F.col("rev") > upper) | (F.col("rev") < lower)
+        ).cast("int").alias("breakout"),
+    )

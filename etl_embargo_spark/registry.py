@@ -3759,3 +3759,33 @@ register(
 )
 
 register("q_pca", clustering.q_pca, None)
+
+register(
+    "q_bollinger",
+    analytics.q_bollinger,
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate::DATE - DATE '1995-01-01' AS INT) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ),
+    staged AS (
+        SELECT day, rev,
+               avg(rev) OVER w AS ma,
+               stddev_samp(rev) OVER w AS sd,
+               count(*) OVER w AS n_win
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN
+                     {analytics.BOLLINGER_WINDOW - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day, round(rev, 2) AS rev, round(ma, 4) AS ma,
+           round(ma + {analytics.BOLLINGER_SIGMA!r} * sd, 4) AS upper,
+           round(ma - {analytics.BOLLINGER_SIGMA!r} * sd, 4) AS lower,
+           CAST(rev > ma + {analytics.BOLLINGER_SIGMA!r} * sd
+                OR rev < ma - {analytics.BOLLINGER_SIGMA!r} * sd
+                AS INT) AS breakout
+    FROM staged WHERE n_win = {analytics.BOLLINGER_WINDOW}
+    """,
+)
