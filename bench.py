@@ -142,6 +142,7 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_pca",
     "q_bollinger",
+    "q_whitening",
 ]
 
 

@@ -341,3 +341,57 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_dim int, loadings array<double>",
     )
 
+
+
+def q_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: PCA whitening of the embedding table — every vector
+    projected onto the top-PCA_TOP components and scaled by 1/√λ, the
+    standard decorrelation step before ANN indexing or linear probes.
+
+    Scale shape: the rotation matrix (PCA_TOP × d doubles) broadcasts
+    inside the mapInPandas closure; the transform is one GEMM per Arrow
+    batch — the same kernel shape as the k-means assigner, with the
+    eigensolve's cost already amortized into pca_fit's single pass.
+    Components with λ quantized to 0 are dropped from the scaling
+    (guarded division), so degenerate directions cannot blow up.
+    Output coordinates are rounded so the pytest numpy oracle compares
+    exactly."""
+    import numpy as np
+
+    emb = spread_for_cpu(load_table(spark, sf_dir, "embeddings"), spark)
+    evals, evecs, _ = pca_fit(emb)
+    scale = np.where(evals > 0, 1.0 / np.sqrt(np.maximum(evals, 1e-300)), 0.0)
+    wmat = evecs * scale[:, None]  # (top, d)
+
+    def _make(w):
+        def _transform(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                e = _np.vstack(pdf["embedding"].to_numpy()).astype(
+                    _np.float64
+                )
+                z = _np.round(e @ w.T, 6)
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].astype("int64"),
+                        "white": list(z.tolist()),
+                        "white_norm": _np.round(
+                            _np.sqrt((z * z).sum(axis=1)), 6
+                        ),
+                    }
+                )
+
+        return _transform
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("white", ArrayType(DoubleType())),
+            StructField("white_norm", DoubleType()),
+        ]
+    )
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _make(wmat), schema=schema
+    )

@@ -3789,3 +3789,5 @@ register(
     FROM staged WHERE n_win = {analytics.BOLLINGER_WINDOW}
     """,
 )
+
+register("q_whitening", clustering.q_whitening, None)

@@ -1199,3 +1199,39 @@ class TestPca:
         assert got == sorted(got, reverse=True)
         V = np.array([r.loadings for r in rows])
         assert np.allclose(V @ V.T, np.eye(PCA_TOP), atol=1e-4)
+
+
+class TestWhitening:
+    def test_matches_numpy_and_decorrelates(self, spark, sf_dir):
+        """Exact per-vector match vs a pure-numpy recompute (same
+        quantized covariance path), and the whitened coordinates are
+        decorrelated with ~unit variance along kept components."""
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.clustering import (
+            pca_fit,
+            q_whitening,
+        )
+
+        emb_df = load_table(spark, sf_dir, "embeddings")
+        evals, evecs, _ = pca_fit(emb_df)
+        scale = np.where(evals > 0, 1.0 / np.sqrt(evals), 0.0)
+        wmat = evecs * scale[:, None]
+        X = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb_df.select("vec_id", "embedding").collect()
+        }
+        got = {
+            r.vec_id: np.asarray(r.white)
+            for r in q_whitening(spark, sf_dir).collect()
+        }
+        assert set(got) == set(X)
+        for vid, v in list(X.items())[:50]:
+            assert np.array_equal(got[vid], np.round(v @ wmat.T, 6)), vid
+        Z = np.vstack([got[v] for v in sorted(got)])
+        Zc = Z - Z.mean(axis=0)
+        cov = (Zc.T @ Zc) / Z.shape[0]
+        assert np.allclose(np.diag(cov), 1.0, atol=0.05)
+        off = cov - np.diag(np.diag(cov))
+        assert np.abs(off).max() < 0.05

@@ -430,6 +430,7 @@ class TestJobFreeBuilders:
             "q_semdedup",    # k-means subroutine + per-cluster prune rounds
             "q_triangles",   # edge list deliberately lineage-broken (persist)
             "q_pca",         # covariance partials collected for the eigensolve
+            "q_whitening",   # runs pca_fit's collect for the rotation
         }
         tracker = spark.sparkContext._jsc.sc().statusTracker()
         offenders = []
