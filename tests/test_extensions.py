@@ -1152,6 +1152,43 @@ class TestKmvOverlap:
         assert row.exact_both < min(row.exact_a, row.exact_b)
 
 
+    def test_sketch_merge_associativity(self, spark, sf_dir):
+        """The property that makes KMV shardable and streamable: the
+        k-smallest of a UNION equals the k-smallest of the union of the
+        shards' k-smallest lists — so per-day (or per-micro-batch)
+        sketches merge into exactly the sketch of the whole, no matter
+        the split."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.sketches import KMV_K, _kmv_hash
+
+        ev = load_table(spark, sf_dir, "events")
+        keyed = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id"),
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit("2024-01-01").cast("date"),
+                ).alias("day"),
+            )
+            .distinct()
+            .select(
+                "day",
+                _kmv_hash(
+                    F.concat_ws("-", F.col("user_id"), F.col("day"))
+                ).alias("h"),
+            )
+        )
+        rows = keyed.collect()
+        full = sorted({r.h for r in rows})[:KMV_K]
+        shard_a = sorted({r.h for r in rows if r.day < 15})[:KMV_K]
+        shard_b = sorted({r.h for r in rows if r.day >= 15})[:KMV_K]
+        merged = sorted(set(shard_a) | set(shard_b))[:KMV_K]
+        assert merged == full
+
+
 class TestPca:
     def test_matches_pure_numpy(self, spark, sf_dir):
         """Exact-match oracle: the quantized covariance makes the
