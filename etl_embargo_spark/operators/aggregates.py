@@ -87,3 +87,57 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(c), 2).alias(f"max_{c}"),
         ]
     return li.agg(*aggs)
+
+
+# Declarative expectation suite over lineitem: (name, violation predicate
+# as a Spark Column factory).  The SQL twins live in the registry entry.
+EXPECT_SHIP_LO = "1995-01-01"
+EXPECT_SHIP_HI = "2002-12-31"
+
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ/Great-
+    Expectations surface): completeness, domain, range, calendar-window
+    and primary-key-uniqueness checks over lineitem, evaluated together
+    and emitted as one row per check with its violation count and
+    pass/fail verdict.
+
+    Scale shape: every row-level check is a conditional aggregate in
+    ONE fact scan/reduce (map-side combined); the uniqueness check
+    shares the same aggregation via count vs count_distinct of the key
+    (Catalyst expands the distinct into the same scan).  The wide
+    1-row result unpivots to the check-sized relation with a stack
+    projection — no second pass, no per-check jobs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ship_ok = F.col("l_shipdate").cast("date").between(
+        EXPECT_SHIP_LO, EXPECT_SHIP_HI
+    )
+    checks: dict[str, F.Column] = {
+        "orderkey_not_null": F.col("l_orderkey").isNull(),
+        "quantity_in_1_50": ~F.col("l_quantity").between(1, 50),
+        "discount_in_0_01": ~F.col("l_discount").between(0.0, 0.1),
+        "extendedprice_positive": F.col("l_extendedprice") <= 0,
+        "returnflag_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_in_window": ~ship_ok,
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, viol in checks.items():
+        aggs.append(F.sum(viol.cast("bigint")).alias(f"v_{name}"))
+    aggs.append(
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("v_pk_unique")
+    )
+    wide = li.agg(*aggs)
+    names = list(checks) + ["pk_unique"]
+    stack = ", ".join(f"'{n}', v_{n}" for n in names)
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(names)}, {stack}) AS (check_name, n_violations)",
+    ).select(
+        "check_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )

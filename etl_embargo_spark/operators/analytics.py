@@ -3109,3 +3109,516 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev") > upper) | (F.col("rev") < lower)
         ).cast("int").alias("breakout"),
     )
+
+
+AUC_POSITIVE = "purchase"
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the event ``value`` as a score for predicting
+    purchase events — the rank-sum (Mann–Whitney U) formulation, the
+    standard offline readout for any scoring model over a big event log.
+
+    Scale shape: raw rows collapse to per-score (pos, neg) counts first
+    (map-side combined; the relation is distinct-score-sized).  The
+    below-rank accumulation is one cumulative window over that collapsed
+    relation — the same legitimate global-order window as q_ks_test —
+    and ties contribute the exact half-credit via the 2U integer trick:
+    2U = Σ pos·(2·neg_below + neg_tied), so everything stays integer
+    until the single final division (engine-stable under round(·, 6))."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == AUC_POSITIVE).cast("bigint")).alias(
+            "pos"
+        ),
+        F.sum((F.col("event_type") != AUC_POSITIVE).cast("bigint")).alias(
+            "neg"
+        ),
+    )
+    w_below = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.partitionBy()
+    cum = vc.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_below), F.lit(0)).alias("neg_below"),
+        F.sum("pos").over(wall).alias("n_pos"),
+        F.sum("neg").over(wall).alias("n_neg"),
+    )
+    return cum.groupBy("n_pos", "n_neg").agg(
+        F.round(
+            F.sum(
+                F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+            )
+            / (2.0 * F.first("n_pos") * F.first("n_neg")),
+            6,
+        ).alias("auc")
+    )
+
+
+THEILSEN_YEAR = 1996
+
+
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of THEILSEN_YEAR's daily order revenue:
+    the median over all pairwise day slopes (and the matching median
+    intercept) — the outlier-resistant alternative to q_ols when a few
+    anomalous days would drag a least-squares fit.
+
+    Scale shape: the fact table collapses to exact-decimal daily totals
+    first, so the quadratic pair expansion runs over the day-sized
+    relation only (≤366 rows → ≤67k pairs at ANY corpus size — the
+    classic confine-the-quadratic move).  The day relation broadcasts
+    into an inequality pair join; medians are exact order statistics
+    (avg of the two middle row_numbers) over the bounded pair relation.
+    Slopes are one IEEE division of an exact decimal difference by an
+    integer day gap — identical in any engine, so ordering, selection,
+    and round(·, 6) are all stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.year("o_orderdate") == THEILSEN_YEAR)
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit(f"{THEILSEN_YEAR}-01-01").cast("date"),
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        # consumed 3× (both pair-join sides + the residual leg): lazy
+        # checkpoint = persist + lineage truncation with no build-time job
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), F.broadcast(daily.alias("b"))
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.day") - F.col("a.day"))
+        ).alias("slope")
+    )
+    w = Window.orderBy("slope")
+    wall = Window.partitionBy()
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    # exact middle selection: rows floor((n+1)/2) and floor(n/2)+1
+    med = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+    )
+    slope_med = med.groupBy("n").agg(F.avg("slope").alias("slope_med"))
+    resid = daily.crossJoin(F.broadcast(slope_med)).select(
+        "n",
+        "slope_med",
+        (
+            F.col("rev").cast("double")
+            - F.col("slope_med") * F.col("day")
+        ).alias("resid"),
+    )
+    wr = Window.partitionBy("n", "slope_med").orderBy("resid")
+    rranked = resid.select(
+        "n",
+        "slope_med",
+        "resid",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("n", "slope_med"))
+        .alias("nd"),
+    )
+    return (
+        rranked.filter(
+            (F.col("rn") == F.floor((F.col("nd") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("nd") / 2) + 1)
+        )
+        .groupBy("n", "nd")
+        .agg(
+            F.round(F.first("slope_med"), 6).alias("slope_med"),
+            F.round(F.avg("resid"), 6).alias("intercept_med"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.col("nd").cast("bigint").alias("n_days"),
+            "slope_med",
+            "intercept_med",
+        )
+    )
+
+
+def q_jaccard_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact Jaccard similarity between the
+    *affinity audiences* of every event-type pair, where a user belongs
+    to type t's audience when t accounts for strictly more than a 1/5
+    share of their events (raw membership is degenerate — every user
+    emits every type).  The exact companion to q_kmv_overlap's sketch.
+
+    Scale shape: events collapse to per-(user, type) counts (map-side
+    combined), then to per-user type sets; pairs expand INSIDE each
+    user's audience array (≤ C(5,2) = 10 per user — never a self-join),
+    and the type-sized marginal relation broadcasts back onto the
+    pair counts.  All counts integer; one final division."""
+    ev = load_table(spark, sf_dir, "events")
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_ut")
+    )
+    wtot = Window.partitionBy("user_id")
+    aud = (
+        per_ut.withColumn("tot", F.sum("n_ut").over(wtot))
+        .filter(F.col("n_ut") * 5 > F.col("tot"))
+        # consumed 3× (pair expansion + two marginal legs): lazy
+        # checkpoint keeps the events scan single-execution
+        .localCheckpoint(eager=False)
+    )
+    per_user = aud.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ts, (x, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), "
+                    "y -> struct(x AS a, y AS b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    inter = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    marg = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        inter.join(
+            F.broadcast(marg.withColumnRenamed("event_type", "a")), "a"
+        )
+        .withColumnRenamed("m", "n_a")
+        .join(
+            F.broadcast(marg.withColumnRenamed("event_type", "b")), "b"
+        )
+        .withColumnRenamed("m", "n_b")
+        .select(
+            F.col("a").alias("type_a"),
+            F.col("b").alias("type_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SEASONAL_EPOCH = "1995-01-01"
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily order
+    revenue series: rev = trend (centered 7-day moving average)
+    + day-of-week seasonal (mean detrended value per weekday, centered
+    to sum to zero) + residual — the series triage every
+    forecasting/anomaly pipeline starts with.
+
+    Scale shape: ONE fact scan — the fact collapses to exact-decimal
+    daily totals, and trend / seasonal / grand-mean are three windows
+    over that day-sized relation (day order, weekday partition, global;
+    all legitimate: the relation is calendar-bounded at any corpus
+    size).  The weekday means fold into the same pass via the
+    smean/cnt contribution trick (Σ_rows smean/cnt = Σ_dow smean), so
+    the daily lineage never executes twice.  Engine determinism: sums
+    only ever run over quantized DECIMAL terms; every division is a
+    single IEEE op on exact operands."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit(SEASONAL_EPOCH).cast("date"),
+        ).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        (F.col("day") % 7).alias("dow"),
+        F.col("rev").cast("double").alias("rev_d"),
+        (F.sum("rev").over(w7).cast("double") / 7.0).alias("trend"),
+        F.count(F.lit(1)).over(w7).alias("n_win"),
+    ).filter(F.col("n_win") == 7)
+    det = trended.withColumn(
+        "det_q",
+        F.round(F.col("rev_d") - F.col("trend"), 6).cast("decimal(18,6)"),
+    )
+    wdow = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    staged = det.select(
+        "day",
+        "dow",
+        "rev_d",
+        "trend",
+        F.round(
+            F.sum("det_q").over(wdow).cast("double")
+            / F.count(F.lit(1)).over(wdow),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("smean"),
+        F.count(F.lit(1)).over(wdow).alias("cnt"),
+    )
+    staged = staged.withColumn(
+        "smean_div",
+        F.round(F.col("smean").cast("double") / F.col("cnt"), 9).cast(
+            "decimal(18,9)"
+        ),
+    ).withColumn(
+        "seasonal",
+        F.col("smean").cast("double")
+        - F.sum("smean_div").over(wall).cast("double") / 7.0,
+    )
+    return staged.select(
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        F.round("rev_d", 2).alias("rev"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(
+            (F.col("rev_d") - F.col("trend")) - F.col("seasonal"), 4
+        ).alias("residual"),
+    )
+
+
+BOOTSTRAP_B = 200
+# Cumulative CDF of Poisson(1): P(X <= k) for k = 0..7; weights above
+# cap at 8.  Literal constants so the Spark and DuckDB ladders are
+# bit-identical.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+]
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value via
+    the POISSON BOOTSTRAP — the resampling scheme that actually scales:
+    instead of drawing n rows with replacement (impossible without a
+    global pass per replicate), every row independently contributes a
+    Poisson(1)-distributed weight to each of B replicates, which is
+    exactly the large-n limit of multinomial resampling.
+
+    Scale shape: one fact scan explodes ×B (B = 200 bounded) and
+    partial-aggregates map-side straight down to the B-row replicate
+    relation; the CI is exact order statistics over those B means.
+    Engine determinism: weights come from the md5-uniform (engine-
+    independent by construction) pushed through a literal-constant
+    inverse-CDF ladder; replicate sums are DECIMAL-exact with a single
+    final division per mean."""
+    orders = load_table(spark, sf_dir, "orders")
+    reps = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(BOOTSTRAP_B))
+        ).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = reps.select("rep", w.alias("w"), "x")
+    means = weighted.groupBy("rep").agg(
+        (
+            F.sum(F.col("x") * F.col("w")).cast("double")
+            / F.sum("w")
+        ).alias("mean_r")
+    )
+    lo_rank = int(0.025 * (BOOTSTRAP_B - 1)) + 1
+    hi_rank = int(0.975 * (BOOTSTRAP_B - 1)) + 1
+    wr = Window.orderBy("mean_r")
+    ranked = means.select(
+        "mean_r", F.row_number().over(wr).alias("rn")
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_hat"),
+    )
+    ci = ranked.filter(
+        F.col("rn").isin(lo_rank, hi_rank)
+    ).agg(
+        F.min("mean_r").alias("ci_lo"), F.max("mean_r").alias("ci_hi")
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.lit(BOOTSTRAP_B).cast("int").alias("b"),
+        F.round("mean_hat", 4).alias("mean_hat"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
+    )
+
+
+RIDGE_LAMBDAS = [0.0, 0.01, 0.1, 1.0, 10.0]  # per-row units (×n applied)
+
+
+def q_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entire ridge-regression regularization path from ONE fact
+    scan: extendedprice on (quantity, discount), intercept unpenalized
+    (centered normal equations), one output row per λ — the
+    hyperparameter sweep that costs no more than a single fit because
+    the same 10 co-moment sums answer every λ.
+
+    Scale shape: identical to q_ols (decimal-exact mergeable co-moments,
+    nothing but 10 numbers cross the wire); the λ grid is a literal
+    array exploded onto the 1-row moment relation, so adding λ values
+    is free.  λ is specified per row (×n) so the path is invariant to
+    scale factor.  The closed-form 2×2 Cramer algebra is mirrored
+    verbatim in the oracle for bit-identical IEEE evaluation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = (
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("l_extendedprice"),
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,8)")).cast("double")
+
+    mom = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x1).alias("sx1"),
+        dsum(x2).alias("sx2"),
+        dsum(y).alias("sy"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(x1 * y).alias("s1y"),
+        dsum(x2 * y).alias("s2y"),
+        dsum(y * y).alias("syy"),
+    )
+    lam_rel = F.explode(
+        F.array(*[F.lit(v) for v in RIDGE_LAMBDAS])
+    ).alias("lam_rel")
+    path = mom.select("*", lam_rel)
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sy, s11, s12 = F.col("sy"), F.col("s11"), F.col("s12")
+    s22, s1y, s2y, syy = (
+        F.col("s22"),
+        F.col("s1y"),
+        F.col("s2y"),
+        F.col("syy"),
+    )
+    lam = F.col("lam_rel") * n
+    c11 = s11 - sx1 * sx1 / n
+    c12 = s12 - sx1 * sx2 / n
+    c22 = s22 - sx2 * sx2 / n
+    c1y = s1y - sx1 * sy / n
+    c2y = s2y - sx2 * sy / n
+    cyy = syy - sy * sy / n
+    det = (c11 + lam) * (c22 + lam) - c12 * c12
+    b1 = (c1y * (c22 + lam) - c12 * c2y) / det
+    b2 = ((c11 + lam) * c2y - c12 * c1y) / det
+    b0 = (sy - b1 * sx1 - b2 * sx2) / n
+    sse = (
+        cyy
+        - 2.0 * (b1 * c1y + b2 * c2y)
+        + b1 * b1 * c11
+        + 2.0 * (b1 * b2 * c12)
+        + b2 * b2 * c22
+    )
+    return path.select(
+        F.col("lam_rel").alias("lambda_per_row"),
+        n.cast("bigint").alias("n_rows"),
+        F.round(b0, 6).alias("b_intercept"),
+        F.round(b1, 6).alias("b_quantity"),
+        F.round(b2, 6).alias("b_discount"),
+        F.round(1.0 - sse / cyy, 6).alias("r2"),
+    )
+
+
+PSI_SPLIT = "2024-01-16"  # midpoint of the synthetic event month
+PSI_BIN_WIDTH = 50.0
+PSI_BINS = 10
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream's ``value`` distribution — the binned drift metric
+    ML-ops monitors alongside q_ks_test's exact sup-norm (PSI is what
+    production scorecards actually alert on; > 0.25 = major shift).
+
+    Scale shape: one scan collapses straight to the (bin, period)
+    contingency cells (map-side combined, ≤ 2·PSI_BINS rows); shares
+    and the PSI terms are projections over that cell relation, and the
+    headline total is an exact decimal window sum of 9-dp-quantized
+    terms (float Σ would be merge-order-dependent).  Laplace +1
+    smoothing keeps empty bins finite and deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp_ntz")
+    bin_ = F.least(
+        F.floor(F.col("value") / PSI_BIN_WIDTH),
+        F.lit(PSI_BINS - 1),
+    ).cast("int")
+    cells = ev.groupBy(bin_.alias("bin")).agg(
+        F.sum((F.col("ts") < split).cast("bigint")).alias("c1"),
+        F.sum((F.col("ts") >= split).cast("bigint")).alias("c2"),
+    )
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "bin",
+        "c1",
+        "c2",
+        (
+            (F.col("c1") + 1.0)
+            / (F.sum("c1").over(wall) + F.lit(float(PSI_BINS)))
+        ).alias("p1"),
+        (
+            (F.col("c2") + 1.0)
+            / (F.sum("c2").over(wall) + F.lit(float(PSI_BINS)))
+        ).alias("p2"),
+    )
+    term = (F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1"))
+    staged = staged.withColumn(
+        "term_q", F.round(term, 9).cast("decimal(18,9)")
+    )
+    return staged.select(
+        "bin",
+        F.col("c1").cast("bigint").alias("c1"),
+        F.col("c2").cast("bigint").alias("c2"),
+        F.round("p1", 6).alias("p1"),
+        F.round("p2", 6).alias("p2"),
+        F.round(F.col("term_q").cast("double"), 9).alias("psi_term"),
+        F.round(
+            F.sum("term_q").over(wall).cast("double"), 6
+        ).alias("psi_total"),
+    )

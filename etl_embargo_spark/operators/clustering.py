@@ -395,3 +395,116 @@ def q_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         _make(wmat), schema=schema
     )
+
+
+LOGREG_ITERS = 4
+LOGREG_RIDGE = 1e-6  # tiny Tikhonov term keeps the Newton solve stable
+
+
+def _logreg_partials(emb: DataFrame, w) -> DataFrame:
+    """Per-batch Newton sufficient statistics for logistic regression on
+    (embedding, label%2): gradient Xᵀ(p−y) and Hessian Xᵀdiag(p(1−p))X
+    with an intercept column — constant-size ((d+1) + (d+1)² doubles)
+    per batch, the treeAggregate shape, independent of row count."""
+
+    def _make(wv):
+        def _stats(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                e = _np.vstack(pdf["embedding"].to_numpy()).astype(
+                    _np.float64
+                )
+                x = _np.hstack([_np.ones((len(e), 1)), e])
+                y = (pdf["label"].to_numpy() % 2).astype(_np.float64)
+                p = 1.0 / (1.0 + _np.exp(-(x @ wv)))
+                g = x.T @ (p - y)
+                h = (x * (p * (1.0 - p))[:, None]).T @ x
+                yield _pd.DataFrame(
+                    [(g.tolist(), h.ravel().tolist())],
+                    columns=["grad", "hess"],
+                )
+
+        return _stats
+
+    schema = StructType(
+        [
+            StructField("grad", ArrayType(DoubleType())),
+            StructField("hess", ArrayType(DoubleType())),
+        ]
+    )
+    return emb.mapInPandas(_make(w), schema=schema)
+
+
+def logreg_fit(emb: DataFrame, n_iters: int = LOGREG_ITERS):
+    """Distributed Newton-Raphson logistic regression; returns the final
+    quantized weight vector (intercept first).
+
+    Each round is ONE distributed pass shipping (d+1)+(d+1)² partial
+    sums per batch to the driver, which solves the (d+1)×(d+1) system in
+    numpy — the vectors never leave the executors.  Weights are
+    quantized to 1e-6 after every step so partition layout and float
+    addition order cannot leak into the fit (the ``kmeans_fit``
+    contract)."""
+    import numpy as np
+
+    first = emb.select(F.size("embedding").alias("d")).limit(1)
+    # dim discovery without a magic constant: one 1-row job, like
+    # init_centroids' seeding job
+    d = first.collect()[0].d
+    w = np.zeros(d + 1)
+    for _ in range(n_iters):
+        parts = _logreg_partials(emb, w).collect()
+        g = np.zeros(d + 1)
+        h = np.zeros((d + 1, d + 1))
+        for r in parts:
+            g += np.asarray(r.grad)
+            h += np.asarray(r.hess).reshape(d + 1, d + 1)
+        h += LOGREG_RIDGE * np.eye(d + 1)
+        w = _quantize(w - np.linalg.solve(h, g))
+    return w
+
+
+def q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (iterative — not SQL-expressible): distributed
+    Newton-Raphson logistic regression predicting label parity from the
+    embedding, then every vector scored with the fitted model.  Pytest
+    replays the identical quantized fit in numpy on the collected table
+    and checks coefficients and per-row predictions
+    (tests/test_extensions.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = logreg_fit(emb)
+
+    def _make_scorer(wv):
+        def _score(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                e = _np.vstack(pdf["embedding"].to_numpy()).astype(
+                    _np.float64
+                )
+                x = _np.hstack([_np.ones((len(e), 1)), e])
+                y = (pdf["label"].to_numpy() % 2).astype(_np.int32)
+                p = 1.0 / (1.0 + _np.exp(-(x @ wv)))
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "y": y,
+                        "p": _np.round(p, 6),
+                        "pred": (p >= 0.5).astype("int32"),
+                    }
+                )
+
+        return _score
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("y", IntegerType()),
+            StructField("p", DoubleType()),
+            StructField("pred", IntegerType()),
+        ]
+    )
+    return emb.mapInPandas(_make_scorer(w), schema=schema)

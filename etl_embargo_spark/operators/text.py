@@ -1139,3 +1139,157 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND applied
+    in one declarative plan: Laplace-smoothed per-(lang, token) log
+    likelihoods + log priors from the labelled corpus, then every
+    document re-scored against all five class models — the canonical
+    train→predict text pipeline, entirely in DataFrame algebra (no ML
+    library, no driver-side model object).
+
+    Scale shape: the model is VOCAB-sized, never corpus-sized — token
+    counts collapse map-side, and the (lang, token) likelihood relation
+    broadcasts into the scoring join.  Scoring expands each doc-token
+    row by |langs| (a bounded ×5), then partial-aggregates per
+    (doc, cand).  Engine determinism: every log likelihood is rounded
+    to 6 dp and cast DECIMAL(18,6) BEFORE the per-doc sum (float sums
+    are partition-merge-order-dependent; 6-dp-quantized decimal sums
+    are exact and associative), and the emitted score is the exact
+    micro-unit integer.  Ties break by candidate lang ascending."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    dt = docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("token")
+    )
+    dtc = dt.groupBy(
+        "doc_id", F.col("lang").alias("lang_true"), "token"
+    ).agg(F.count(F.lit(1)).alias("n_dt"))
+    ltc = dt.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    totl = dt.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vdf = dt.agg(F.count_distinct("token").alias("v"))
+    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    ndf = docs.agg(F.count(F.lit(1)).alias("n"))
+    ll = (
+        ltc.join(totl, "lang")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "lang",
+            "token",
+            F.round(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("tot") + F.col("v"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("ll"),
+        )
+    )
+    ll0 = totl.crossJoin(F.broadcast(vdf)).select(
+        "lang",
+        F.round(F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))), 6)
+        .cast("decimal(18,6)")
+        .alias("ll0"),
+    )
+    pri = nl.crossJoin(F.broadcast(ndf)).select(
+        "lang",
+        F.round(F.log(F.col("n_l") * F.lit(1.0) / F.col("n")), 6)
+        .cast("decimal(18,6)")
+        .alias("prior"),
+    )
+    cand = nl.select(F.col("lang").alias("cand"))
+    terms = (
+        dtc.crossJoin(F.broadcast(cand))
+        .join(
+            F.broadcast(ll),
+            (F.col("cand") == F.col("lang")) & (ll.token == dtc.token),
+            "left",
+        )
+        .drop(ll.token)
+        .drop("lang")
+        .join(
+            F.broadcast(ll0.withColumnRenamed("lang", "cand")), "cand"
+        )
+        .groupBy("doc_id", "lang_true", "cand")
+        .agg(
+            F.sum(
+                F.col("n_dt") * F.coalesce(F.col("ll"), F.col("ll0"))
+            ).alias("s")
+        )
+    )
+    scored = terms.join(
+        F.broadcast(pri.withColumnRenamed("lang", "cand")), "cand"
+    ).select(
+        "doc_id",
+        "lang_true",
+        "cand",
+        (F.col("s") + F.col("prior")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang_true",
+            F.col("cand").alias("pred_lang"),
+            (F.col("score") * 1000000).cast("bigint").alias("score_micro"),
+            (F.col("cand") == F.col("lang_true")).cast("int").alias(
+                "correct"
+            ),
+        )
+    )
+
+
+def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: per-class precision / recall / F1 of the
+    stopword-profile language-ID heuristic (q_lang_id) against the
+    corpus's true ``lang`` labels — the quality readout any labelling
+    or filtering model ships with.
+
+    Scale shape: predictions stay doc-sized and join truth on doc_id
+    (one co-partitioned shuffle); everything after runs over the
+    |classes|-sized marginal relations, joined broadcast.  zh has no
+    stopword profile, so its predictions fall to 'und': recall 0,
+    precision NULL (no docs predicted zh), F1 pinned to 0.  Counts are
+    exact integers; one division per metric."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    pred = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    j = docs.select("doc_id", F.col("lang").alias("lang_true")).join(
+        pred, "doc_id"
+    )
+    per_true = j.groupBy("lang_true").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            (F.col("pred_lang") == F.col("lang_true")).cast("bigint")
+        ).alias("tp"),
+    )
+    per_pred = j.groupBy(
+        F.col("pred_lang").alias("lang_true")
+    ).agg(F.count(F.lit(1)).alias("n_pred"))
+    joined = per_true.join(F.broadcast(per_pred), "lang_true", "left")
+    precision = F.when(
+        F.col("n_pred").isNotNull(), F.col("tp") / F.col("n_pred")
+    )
+    recall = F.col("tp") / F.col("n_true")
+    f1 = F.when(F.col("tp") == 0, F.lit(0.0)).otherwise(
+        2.0
+        * F.col("tp")
+        / (F.coalesce(F.col("n_pred"), F.lit(0)) + F.col("n_true"))
+    )
+    return joined.select(
+        "lang_true",
+        "n_true",
+        F.coalesce(F.col("n_pred"), F.lit(0))
+        .cast("bigint")
+        .alias("n_pred"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

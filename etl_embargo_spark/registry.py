@@ -3791,3 +3791,495 @@ register(
 )
 
 register("q_whitening", clustering.q_whitening, None)
+
+register(
+    "q_auc",
+    analytics.q_auc,
+    f"""
+    WITH vc AS (
+        SELECT value,
+               sum(CASE WHEN event_type = '{analytics.AUC_POSITIVE}'
+                        THEN 1 ELSE 0 END) AS pos,
+               sum(CASE WHEN event_type <> '{analytics.AUC_POSITIVE}'
+                        THEN 1 ELSE 0 END) AS neg
+        FROM events GROUP BY value
+    ),
+    cum AS (
+        SELECT pos, neg,
+               coalesce(sum(neg) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS neg_below,
+               sum(pos) OVER () AS n_pos,
+               sum(neg) OVER () AS n_neg
+        FROM vc
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round(sum(pos * (2 * neg_below + neg))
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM cum GROUP BY n_pos, n_neg
+    """,
+)
+
+register(
+    "q_theilsen",
+    analytics.q_theilsen,
+    f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '{analytics.THEILSEN_YEAR}-01-01',
+                         CAST(o_orderdate AS DATE)) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders WHERE year(o_orderdate) = {analytics.THEILSEN_YEAR}
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.day - a.day) AS slope
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    ranked AS (
+        SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+               count(*) OVER () AS n
+        FROM pairs
+    ),
+    sm AS (
+        SELECT n, avg(slope) AS slope_med FROM ranked
+        WHERE rn = floor((n + 1) / 2) OR rn = floor(n / 2) + 1
+        GROUP BY n
+    ),
+    resid AS (
+        SELECT n, slope_med,
+               CAST(rev AS DOUBLE) - slope_med * day AS resid
+        FROM daily CROSS JOIN sm
+    ),
+    rr AS (
+        SELECT n, slope_med, resid,
+               row_number() OVER (ORDER BY resid) AS rn,
+               count(*) OVER () AS nd
+        FROM resid
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs, CAST(nd AS BIGINT) AS n_days,
+           round(any_value(slope_med), 6) AS slope_med,
+           round(avg(resid), 6) AS intercept_med
+    FROM rr WHERE rn = floor((nd + 1) / 2) OR rn = floor(nd / 2) + 1
+    GROUP BY n, nd
+    """,
+)
+
+register(
+    "q_jaccard_users",
+    analytics.q_jaccard_users,
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n_ut
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, sum(n_ut) AS tot FROM c GROUP BY 1),
+    aud AS (
+        SELECT c.user_id, c.event_type
+        FROM c JOIN t USING (user_id) WHERE c.n_ut * 5 > t.tot
+    ),
+    inter AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               count(*) AS n_inter
+        FROM aud x JOIN aud y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, count(*) AS m FROM aud GROUP BY 1)
+    SELECT type_a, type_b,
+           CAST(ma.m AS BIGINT) AS n_a,
+           CAST(mb.m AS BIGINT) AS n_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           round(n_inter * 1.0 / (ma.m + mb.m - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN m ma ON ma.event_type = type_a
+    JOIN m mb ON mb.event_type = type_b
+    """,
+)
+
+register(
+    "q_naive_bayes",
+    text.q_naive_bayes,
+    r"""
+    WITH docs AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents WHERE n_chars > 0
+    ),
+    dt AS (SELECT doc_id, lang, unnest(toks) AS token FROM docs),
+    dtc AS (
+        SELECT doc_id, lang AS lang_true, token, count(*) AS n_dt
+        FROM dt GROUP BY 1, 2, 3
+    ),
+    ltc AS (SELECT lang, token, count(*) AS c FROM dt GROUP BY 1, 2),
+    totl AS (SELECT lang, count(*) AS tot FROM dt GROUP BY 1),
+    v AS (SELECT count(DISTINCT token) AS v FROM dt),
+    nl AS (SELECT lang, count(*) AS n_l FROM docs GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM docs),
+    ll AS (
+        SELECT lang, token,
+               CAST(round(ln((c + 1.0) / (tot + v)), 6)
+                    AS DECIMAL(18,6)) AS ll
+        FROM ltc JOIN totl USING (lang) CROSS JOIN v
+    ),
+    ll0 AS (
+        SELECT lang,
+               CAST(round(ln(1.0 / (tot + v)), 6)
+                    AS DECIMAL(18,6)) AS ll0
+        FROM totl CROSS JOIN v
+    ),
+    pri AS (
+        SELECT lang,
+               CAST(round(ln(n_l * 1.0 / n), 6)
+                    AS DECIMAL(18,6)) AS prior
+        FROM nl CROSS JOIN n
+    ),
+    terms AS (
+        SELECT dtc.doc_id, dtc.lang_true, cand.lang AS cand,
+               sum(n_dt * coalesce(ll.ll, ll0.ll0)) AS s
+        FROM dtc
+        CROSS JOIN (SELECT lang FROM nl) cand
+        LEFT JOIN ll ON ll.lang = cand.lang AND ll.token = dtc.token
+        JOIN ll0 ON ll0.lang = cand.lang
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT doc_id, lang_true, cand, s + prior AS score
+        FROM terms JOIN pri ON pri.lang = cand
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, cand ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, lang_true, cand AS pred_lang,
+           CAST(score * 1000000 AS BIGINT) AS score_micro,
+           CAST(cand = lang_true AS INT) AS correct
+    FROM ranked WHERE rn = 1
+    """,
+)
+
+_LANG_ID_PRED = r"""
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                    ELSE 'fr'
+               END AS pred_lang
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','a','in','is','that'], x)))
+                       AS s_en,
+                   len(list_filter(toks, x -> list_contains(
+                       ['der','die','und','das','ist','ein','nicht','mit'],
+                       x))) AS s_de,
+                   len(list_filter(toks, x -> list_contains(
+                       ['el','la','de','que','y','en','un','es'], x)))
+                       AS s_es,
+                   len(list_filter(toks, x -> list_contains(
+                       ['le','la','et','les','des','un','est','que'], x)))
+                       AS s_fr
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(lower(text)), '\s+')
+                             AS toks
+                  FROM documents WHERE n_chars > 0)
+        )
+"""
+
+register(
+    "q_confusion",
+    text.q_confusion,
+    rf"""
+    WITH pred AS ({_LANG_ID_PRED}),
+    j AS (
+        SELECT d.lang AS lang_true, p.pred_lang
+        FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        WHERE d.n_chars > 0
+    ),
+    per_true AS (
+        SELECT lang_true, count(*) AS n_true,
+               sum(CASE WHEN pred_lang = lang_true THEN 1 ELSE 0 END)
+                   AS tp
+        FROM j GROUP BY 1
+    ),
+    per_pred AS (
+        SELECT pred_lang AS lang_true, count(*) AS n_pred
+        FROM j GROUP BY 1
+    )
+    SELECT t.lang_true,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           round(CASE WHEN n_pred IS NOT NULL
+                      THEN tp * 1.0 / n_pred END, 6) AS precision,
+           round(tp * 1.0 / n_true, 6) AS recall,
+           round(CASE WHEN tp = 0 THEN 0.0
+                      ELSE 2.0 * tp / (coalesce(n_pred, 0) + n_true)
+                 END, 6) AS f1
+    FROM per_true t LEFT JOIN per_pred p USING (lang_true)
+    """,
+)
+
+register(
+    "q_seasonal_decompose",
+    analytics.q_seasonal_decompose,
+    f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '{analytics.SEASONAL_EPOCH}',
+                         CAST(o_orderdate AS DATE)) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    trended AS (
+        SELECT day, day % 7 AS dow, CAST(rev AS DOUBLE) AS rev_d,
+               CAST(sum(rev) OVER w AS DOUBLE) / 7.0 AS trend,
+               count(*) OVER w AS n_win
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT day, dow, rev_d, trend,
+               CAST(round(rev_d - trend, 6) AS DECIMAL(18,6)) AS det_q
+        FROM trended WHERE n_win = 7
+    ),
+    staged AS (
+        SELECT day, dow, rev_d, trend,
+               CAST(round(CAST(sum(det_q) OVER (PARTITION BY dow)
+                               AS DOUBLE)
+                          / count(*) OVER (PARTITION BY dow), 6)
+                    AS DECIMAL(18,6)) AS smean,
+               count(*) OVER (PARTITION BY dow) AS cnt
+        FROM det
+    ),
+    staged2 AS (
+        SELECT *, CAST(round(CAST(smean AS DOUBLE) / cnt, 9)
+                       AS DECIMAL(18,9)) AS smean_div
+        FROM staged
+    ),
+    fin AS (
+        SELECT day, dow, rev_d, trend,
+               CAST(smean AS DOUBLE)
+                   - CAST(sum(smean_div) OVER () AS DOUBLE) / 7.0
+                   AS seasonal
+        FROM staged2
+    )
+    SELECT day, CAST(dow AS INT) AS dow,
+           round(rev_d, 2) AS rev,
+           round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round((rev_d - trend) - seasonal, 4) AS residual
+    FROM fin
+    """,
+)
+
+_POISSON_LADDER = " ".join(
+    f"WHEN u < {c!r} THEN {k}"
+    for k, c in enumerate(analytics.POISSON1_CDF)
+)
+
+register(
+    "q_bootstrap_ci",
+    analytics.q_bootstrap_ci,
+    f"""
+    WITH reps AS (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+               t.rep AS rep
+        FROM orders CROSS JOIN range(1, {analytics.BOOTSTRAP_B + 1}) t(rep)
+    ),
+    uu AS (
+        SELECT rep, x,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                    || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT
+                   / 4294967296.0 AS u
+        FROM reps
+    ),
+    weighted AS (
+        SELECT rep, x,
+               CASE {_POISSON_LADDER}
+                    ELSE {len(analytics.POISSON1_CDF)} END AS w
+        FROM uu
+    ),
+    means AS (
+        SELECT rep,
+               CAST(sum(x * w) AS DOUBLE) / sum(w) AS mean_r
+        FROM weighted GROUP BY rep
+    ),
+    ranked AS (
+        SELECT mean_r, row_number() OVER (ORDER BY mean_r) AS rn
+        FROM means
+    ),
+    ci AS (
+        SELECT min(mean_r) AS ci_lo, max(mean_r) AS ci_hi
+        FROM ranked
+        WHERE rn IN ({int(0.025 * (analytics.BOOTSTRAP_B - 1)) + 1},
+                     {int(0.975 * (analytics.BOOTSTRAP_B - 1)) + 1})
+    ),
+    point AS (
+        SELECT count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS mean_hat
+        FROM orders
+    )
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST({analytics.BOOTSTRAP_B} AS INT) AS b,
+           round(mean_hat, 4) AS mean_hat,
+           round(ci_lo, 4) AS ci_lo,
+           round(ci_hi, 4) AS ci_hi
+    FROM point CROSS JOIN ci
+    """,
+)
+
+register("q_logreg", clustering.q_logreg, None)
+
+register(
+    "q_expectations",
+    aggregates.q_expectations,
+    f"""
+    WITH w AS (
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS v_orderkey_not_null,
+               sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                        THEN 1 ELSE 0 END) AS v_quantity_in_1_50,
+               sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                        THEN 1 ELSE 0 END) AS v_discount_in_0_01,
+               sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                   AS v_extendedprice_positive,
+               sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                        THEN 1 ELSE 0 END) AS v_returnflag_domain,
+               sum(CASE WHEN NOT (CAST(l_shipdate AS DATE) BETWEEN
+                        DATE '{aggregates.EXPECT_SHIP_LO}'
+                        AND DATE '{aggregates.EXPECT_SHIP_HI}')
+                        THEN 1 ELSE 0 END) AS v_shipdate_in_window,
+               count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                   AS v_pk_unique
+        FROM lineitem
+    ),
+    tall AS (
+        SELECT n_rows, 'orderkey_not_null' AS check_name,
+               v_orderkey_not_null AS n_violations FROM w
+        UNION ALL SELECT n_rows, 'quantity_in_1_50',
+               v_quantity_in_1_50 FROM w
+        UNION ALL SELECT n_rows, 'discount_in_0_01',
+               v_discount_in_0_01 FROM w
+        UNION ALL SELECT n_rows, 'extendedprice_positive',
+               v_extendedprice_positive FROM w
+        UNION ALL SELECT n_rows, 'returnflag_domain',
+               v_returnflag_domain FROM w
+        UNION ALL SELECT n_rows, 'shipdate_in_window',
+               v_shipdate_in_window FROM w
+        UNION ALL SELECT n_rows, 'pk_unique', v_pk_unique FROM w
+    )
+    SELECT check_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_violations = 0 AS INT) AS passed
+    FROM tall
+    """,
+)
+
+_RIDGE_GRID = ", ".join(repr(v) for v in analytics.RIDGE_LAMBDAS)
+
+register(
+    "q_ridge_path",
+    analytics.q_ridge_path,
+    f"""
+    WITH mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE)
+                   AS sx1,
+               CAST(sum(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE)
+                   AS sx2,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8)))
+                    AS DOUBLE) AS s11,
+               CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,8)))
+                    AS DOUBLE) AS s12,
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,8)))
+                    AS DOUBLE) AS s22,
+               CAST(sum(CAST(l_quantity * l_extendedprice
+                             AS DECIMAL(28,8))) AS DOUBLE) AS s1y,
+               CAST(sum(CAST(l_discount * l_extendedprice
+                             AS DECIMAL(28,8))) AS DOUBLE) AS s2y,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(28,8))) AS DOUBLE) AS syy
+        FROM lineitem
+    ),
+    path AS (
+        SELECT mom.*, t.lam_rel
+        FROM mom CROSS JOIN (
+            SELECT unnest([{_RIDGE_GRID}]) AS lam_rel) t
+    ),
+    algebra AS (
+        SELECT lam_rel, n, sx1, sx2, sy,
+               lam_rel * n AS lam,
+               s11 - sx1 * sx1 / n AS c11,
+               s12 - sx1 * sx2 / n AS c12,
+               s22 - sx2 * sx2 / n AS c22,
+               s1y - sx1 * sy / n AS c1y,
+               s2y - sx2 * sy / n AS c2y,
+               syy - sy * sy / n AS cyy
+        FROM path
+    ),
+    solved AS (
+        SELECT *,
+               (c1y * (c22 + lam) - c12 * c2y)
+                   / ((c11 + lam) * (c22 + lam) - c12 * c12) AS b1,
+               ((c11 + lam) * c2y - c12 * c1y)
+                   / ((c11 + lam) * (c22 + lam) - c12 * c12) AS b2
+        FROM algebra
+    )
+    SELECT lam_rel AS lambda_per_row,
+           CAST(n AS BIGINT) AS n_rows,
+           round((sy - b1 * sx1 - b2 * sx2) / n, 6) AS b_intercept,
+           round(b1, 6) AS b_quantity,
+           round(b2, 6) AS b_discount,
+           round(1.0 - (cyy - 2.0 * (b1 * c1y + b2 * c2y)
+                        + b1 * b1 * c11 + 2.0 * (b1 * b2 * c12)
+                        + b2 * b2 * c22) / cyy, 6) AS r2
+    FROM solved
+    """,
+)
+
+register(
+    "q_psi",
+    analytics.q_psi,
+    f"""
+    WITH cells AS (
+        SELECT CAST(least(floor(value / {analytics.PSI_BIN_WIDTH!r}),
+                          {analytics.PSI_BINS - 1}) AS INT) AS bin,
+               sum(CASE WHEN ts < TIMESTAMP '{analytics.PSI_SPLIT}'
+                        THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN ts >= TIMESTAMP '{analytics.PSI_SPLIT}'
+                        THEN 1 ELSE 0 END) AS c2
+        FROM events GROUP BY 1
+    ),
+    staged AS (
+        SELECT bin, c1, c2,
+               (c1 + 1.0) / (sum(c1) OVER ()
+                             + {float(analytics.PSI_BINS)!r}) AS p1,
+               (c2 + 1.0) / (sum(c2) OVER ()
+                             + {float(analytics.PSI_BINS)!r}) AS p2
+        FROM cells
+    ),
+    quant AS (
+        SELECT *, CAST(round((p2 - p1) * ln(p2 / p1), 9)
+                       AS DECIMAL(18,9)) AS term_q
+        FROM staged
+    )
+    SELECT bin,
+           CAST(c1 AS BIGINT) AS c1,
+           CAST(c2 AS BIGINT) AS c2,
+           round(p1, 6) AS p1,
+           round(p2, 6) AS p2,
+           round(CAST(term_q AS DOUBLE), 9) AS psi_term,
+           round(CAST(sum(term_q) OVER () AS DOUBLE), 6) AS psi_total
+    FROM quant
+    """,
+)

@@ -1272,3 +1272,61 @@ class TestWhitening:
         assert np.allclose(np.diag(cov), 1.0, atol=0.05)
         off = cov - np.diag(np.diag(cov))
         assert np.abs(off).max() < 0.05
+
+class TestLogReg:
+    @staticmethod
+    def _numpy_fit(vecs, labels, n_iters, ridge):
+        """Reference Newton-Raphson matching clustering.logreg_fit: zero
+        init, ridge-stabilized solve, weights quantized each round."""
+        import numpy as np
+
+        x = np.hstack([np.ones((len(vecs), 1)), vecs])
+        y = (labels % 2).astype(np.float64)
+        w = np.zeros(x.shape[1])
+        for _ in range(n_iters):
+            p = 1.0 / (1.0 + np.exp(-(x @ w)))
+            g = x.T @ (p - y)
+            h = (x * (p * (1.0 - p))[:, None]).T @ x
+            h += ridge * np.eye(x.shape[1])
+            w = np.round(w - np.linalg.solve(h, g), 6)
+        return w
+
+    def test_predictions_match_numpy_newton(self, spark, sf_dir):
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.clustering import (
+            LOGREG_ITERS,
+            LOGREG_RIDGE,
+            q_logreg,
+        )
+
+        rows = q_logreg(spark, sf_dir).collect()
+        raw = load_table(spark, sf_dir, "embeddings").collect()
+        ids = np.array([r.vec_id for r in raw])
+        vecs = np.vstack([np.asarray(r.embedding) for r in raw]).astype(
+            np.float64
+        )
+        labels = np.array([r.label for r in raw])
+        w = self._numpy_fit(vecs, labels, LOGREG_ITERS, LOGREG_RIDGE)
+        x = np.hstack([np.ones((len(vecs), 1)), vecs])
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        want_p = {int(i): round(float(v), 6) for i, v in zip(ids, p)}
+        want_pred = {int(i): int(v >= 0.5) for i, v in zip(ids, p)}
+        got_p = {r.vec_id: r.p for r in rows}
+        got_pred = {r.vec_id: r.pred for r in rows}
+        assert got_pred == want_pred
+        for vid, pv in got_p.items():
+            assert abs(pv - want_p[vid]) < 1e-5, vid
+        # the fit must beat chance on its own training data
+        correct = sum(
+            1 for r in rows if r.pred == r.y
+        )
+        assert correct / len(rows) > 0.55
+
+    def test_labels_round_trip(self, spark, sf_dir):
+        from etl_embargo_spark.operators.clustering import q_logreg
+
+        rows = q_logreg(spark, sf_dir).collect()
+        assert all(r.y in (0, 1) and r.pred in (0, 1) for r in rows)
+        assert all(0.0 <= r.p <= 1.0 for r in rows)

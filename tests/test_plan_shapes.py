@@ -634,3 +634,90 @@ class TestStatsBatchPlans:
         assert plan.count("orders.parquet") == 1
         assert plan.count("HashAggregate") >= 2
         assert "Window" in plan
+
+
+class TestRound1LateAdditions:
+    def test_auc_windows_over_collapsed_scores(self, spark, sf_dir):
+        """q_auc: the rank accumulation runs over the distinct-score
+        aggregate, never the raw events — one scan, partial+final
+        aggregate below the window."""
+        plan = _plan(spark, sf_dir, "q_auc")
+        assert plan.count("events.parquet") == 1
+        assert plan.count("HashAggregate") >= 2
+        assert "Join" not in plan
+
+    def test_theilsen_pair_join_is_broadcast(self, spark, sf_dir):
+        """q_theilsen: the quadratic slope expansion must be a broadcast
+        nested-loop over the day-sized aggregate — a shuffled join (or a
+        raw-row pair join) would be catastrophic at scale."""
+        plan = _plan(spark, sf_dir, "q_theilsen")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the daily aggregate is lazily checkpointed (ExistingRDD) so the
+        # three consumers share ONE orders scan
+        assert plan.count("orders.parquet") <= 1
+        assert "ExistingRDD" in plan or plan.count("orders.parquet") == 1
+
+    def test_jaccard_users_no_self_join(self, spark, sf_dir):
+        """q_jaccard_users: audience pairs expand inside each user's
+        type array; the only joins are the broadcast type-sized
+        marginals."""
+        plan = _plan(spark, sf_dir, "q_jaccard_users")
+        assert "SortMergeJoin" not in plan
+        # the audience relation is lazily checkpointed and shared by the
+        # pair leg and both marginal legs — one events scan total
+        assert plan.count("events.parquet") <= 1
+        assert "ExistingRDD" in plan or plan.count("events.parquet") == 1
+
+    def test_naive_bayes_model_broadcasts(self, spark, sf_dir):
+        """q_naive_bayes: every model-side join (likelihoods, defaults,
+        priors, candidate langs) is broadcast — the only shuffles are
+        the token-count aggregations and the per-(doc, cand) score
+        reduce."""
+        plan = _plan(spark, sf_dir, "q_naive_bayes")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastExchange") >= 3
+
+    def test_bootstrap_single_scan_to_replicates(self, spark, sf_dir):
+        """q_bootstrap_ci: the ×B explosion partial-aggregates map-side
+        straight to the B-row replicate relation — no join on the
+        exploded lineage, one orders scan per leg (replicates + point
+        estimate)."""
+        plan = _plan(spark, sf_dir, "q_bootstrap_ci")
+        assert plan.count("orders.parquet") <= 2
+        assert "SortMergeJoin" not in plan
+        assert "Generate" in plan  # the sequence explode
+
+    def test_seasonal_single_daily_lineage(self, spark, sf_dir):
+        """q_seasonal_decompose: trend, weekday seasonal and grand mean
+        all fold into windows over ONE daily aggregate — the fact scans
+        once, and no join re-enters the lineage."""
+        plan = _plan(spark, sf_dir, "q_seasonal_decompose")
+        assert plan.count("orders.parquet") == 1
+        assert "Join" not in plan
+
+    def test_expectations_one_pass(self, spark, sf_dir):
+        """q_expectations: every check folds into one scan/reduce (the
+        distinct uniqueness check shares it via Expand); the unpivot is
+        a projection, not a second pass."""
+        plan = _plan(spark, sf_dir, "q_expectations")
+        assert plan.count("lineitem.parquet") == 1
+        assert "Join" not in plan
+
+    def test_ridge_path_single_fact_pass(self, spark, sf_dir):
+        """q_ridge_path: the whole λ grid prices off ONE lineitem
+        scan/reduce — the explode runs over the 1-row moment relation,
+        so there are no joins and no extra scans."""
+        plan = _plan(spark, sf_dir, "q_ridge_path")
+        assert plan.count("lineitem.parquet") == 1
+        assert "Join" not in plan
+        assert "Generate" in plan  # λ explode over the 1-row aggregate
+
+    def test_psi_windows_over_cells(self, spark, sf_dir):
+        """q_psi: one events scan collapses to the ≤2·bins cell
+        relation; the share/total windows run over that, never raw
+        rows."""
+        plan = _plan(spark, sf_dir, "q_psi")
+        assert plan.count("events.parquet") == 1
+        assert plan.count("HashAggregate") >= 2
+        assert "Join" not in plan
