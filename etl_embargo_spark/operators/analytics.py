@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_embargo_spark.catalog import load_table
+from etl_embargo_spark.catalog import load_table, spread_for_cpu
 
 TOPK = 3
 
@@ -2778,7 +2778,15 @@ def q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     (addition-order-proof); the determinant algebra then runs on the
     resulting doubles with an expression tree mirrored verbatim in the
     oracle, so the IEEE evaluation is bit-identical."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # ten decimal(28,8) sums are CPU-bound: widen the byte-sized scan
+    # first or the partial aggregate runs on 3 cores (measured 3.5s ->
+    # ~1s warm at sf0.1)
+    li = spread_for_cpu(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+        ),
+        spark,
+    )
     x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
 
     def dsum(c):
@@ -3424,7 +3432,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse-CDF ladder; replicate sums are DECIMAL-exact with a single
     final division per mean."""
     orders = load_table(spark, sf_dir, "orders")
-    reps = orders.select(
+    # the ×B explode + 30M md5s are CPU-bound on a byte-sized scan:
+    # widen partitioning first or one core does all the hashing
+    reps = spread_for_cpu(
+        orders.select("o_orderkey", "o_totalprice"), spark
+    ).select(
         F.col("o_orderkey"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
         F.explode(
@@ -3504,7 +3516,12 @@ def q_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     is free.  λ is specified per row (×n) so the path is invariant to
     scale factor.  The closed-form 2×2 Cramer algebra is mirrored
     verbatim in the oracle for bit-identical IEEE evaluation."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread_for_cpu(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_discount", "l_extendedprice"
+        ),
+        spark,
+    )
     x1, x2, y = (
         F.col("l_quantity"),
         F.col("l_discount"),
@@ -3621,4 +3638,74 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("term_q").over(wall).cast("double"), 6
         ).alias("psi_total"),
+    )
+
+
+LTV_EPOCH = "2024-01-01"
+LTV_EVENT = "purchase"
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-activity
+    week, cumulative purchase revenue per user tracked by account-age
+    week — the retention-economics readout (does a later cohort
+    monetize faster?) that every growth team reads weekly.
+
+    Scale shape: one events scan; the user's first day comes from a
+    user-partitioned window min on that scan (same single exchange a
+    join would cost, no second lineage), rows then collapse to the
+    (user, cohort, age) grain map-side, and that bounded relation is
+    lazily checkpointed for its two consumers (revenue cells + distinct
+    cohort sizes).  The cumulative-LTV window runs per cohort over the
+    ≤|weeks|² cell relation.  Revenue is cent-exact decimal end to end;
+    the only division is the final per-user normalization."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit(LTV_EPOCH).cast("date")
+    )
+    wu = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.col("event_type"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    ).withColumn("first_day", F.min("day").over(wu))
+    per_uca = (
+        base.groupBy(
+            "user_id",
+            F.floor(F.col("first_day") / 7).alias("cohort_week"),
+            F.floor((F.col("day") - F.col("first_day")) / 7).alias(
+                "age_week"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == LTV_EVENT, F.col("val"))
+            ).alias("rev")
+        )
+        # two consumers (cells + cohort sizes): keep the scan single-run
+        .localCheckpoint(eager=False)
+    )
+    cells = per_uca.groupBy("cohort_week", "age_week").agg(
+        F.sum(F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,2)")))
+        .alias("rev")
+    )
+    sizes = per_uca.groupBy("cohort_week").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cum_rev", F.sum("rev").over(wcum))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("int").alias("cohort_week"),
+        F.col("age_week").cast("int").alias("age_week"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("rev").cast("double").alias("rev"),
+        F.col("cum_rev").cast("double").alias("cum_rev"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("n_users"), 6
+        ).alias("ltv_per_user"),
     )

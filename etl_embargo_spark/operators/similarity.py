@@ -16,7 +16,7 @@ Two paths:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_embargo_spark.catalog import load_table
@@ -329,4 +329,176 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("x"), 6).alias("dmax_r"),
             F.round(F.avg("abs_err"), 9).cast("double").alias("mean_abs_err"),
         )
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOP = 20
+RRF_QUERY_VEC = 0  # vec_id whose embedding is the dense query
+
+
+def exact_cosine_scores(emb: DataFrame) -> DataFrame:
+    """(vec_id, cos) against RRF_QUERY_VEC's embedding with ENGINE-EXACT
+    values: components quantize to DECIMAL(12,6), dot/norm accumulate as
+    associative decimal sums (addition-order-independent), and the
+    cosine is one IEEE division of correctly-rounded operands — so any
+    engine computes the identical double and ranking ties can only
+    break on vec_id.  Shared by q_rrf (fusion) and q_ndcg (eval)."""
+    flat = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+        .select(
+            "vec_id",
+            "i",
+            F.round(F.col("x").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("qx"),
+        )
+        # consumed twice (query vector + corpus side)
+        .localCheckpoint(eager=False)
+    )
+    qv = flat.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        "i", F.col("qx").alias("qv")
+    )
+    dots = (
+        flat.join(F.broadcast(qv), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qx") * F.col("qv")).alias("dot"),
+            F.sum(F.col("qx") * F.col("qx")).alias("nn"),
+        )
+    )
+    qq = qv.agg(F.sum(F.col("qv") * F.col("qv")).alias("qq"))
+    return dots.crossJoin(F.broadcast(qq)).select(
+        "vec_id",
+        (
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("nn").cast("double"))
+                * F.sqrt(F.col("qq").cast("double"))
+            )
+        ).alias("cos"),
+    )
+
+
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the sparse BM25
+    ranking (q_bm25's standing term query) fused with a dense
+    cosine-similarity ranking against RRF_QUERY_VEC's embedding,
+    score = Σ_lists 1/(RRF_K + rank) — the fusion step of every hybrid
+    search stack, done entirely in DataFrame algebra.
+
+    Scale shape: each retriever's candidate relation is doc-sized here
+    but top-k-bounded in production — the fusion join and rank windows
+    run over candidate relations, never the corpus.  The dense leg's
+    inner products are EXACT: embedding components quantize to
+    DECIMAL(12,6) and the dot/norm sums are associative decimal sums
+    (order-independent), so the cosine — one double division of
+    correctly-rounded operands — and therefore every rank is identical
+    in any engine.  Final top-RRF_TOP is orderBy().limit() →
+    TakeOrderedAndProject."""
+    from etl_embargo_spark.operators.text import q_bm25
+
+    cosr = exact_cosine_scores(load_table(spark, sf_dir, "embeddings"))
+    wb = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    rb = cosr.select(
+        "vec_id", "cos", F.row_number().over(wb).alias("rank_b")
+    )
+    bm = q_bm25(spark, sf_dir).select("doc_id", "bm25")
+    wa = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    ra = bm.select(
+        "doc_id", "bm25", F.row_number().over(wa).alias("rank_a")
+    )
+    fused = rb.join(
+        F.broadcast(ra), rb.vec_id == ra.doc_id, "left"
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank_b").cast("bigint").alias("rank_b"),
+        F.col("rank_a").cast("bigint").alias("rank_a"),
+        F.round("cos", 6).alias("cosine"),
+        "bm25",
+        F.round(
+            1.0 / (RRF_K + F.col("rank_b"))
+            + F.coalesce(
+                1.0 / (RRF_K + F.col("rank_a")), F.lit(0.0)
+            ),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(
+        RRF_TOP
+    )
+
+
+NDCG_AT = 10
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: nDCG@NDCG_AT of the dense cosine
+    ranking, with binary relevance = "shares RRF_QUERY_VEC's label"
+    (the query vector itself is excluded, standard eval practice) —
+    the metric that scores any of the similarity/ANN/fusion retrievers
+    in this module.
+
+    Scale shape: ranks come from the doc-sized exact-cosine relation
+    (top-k-bounded in production); labels join broadcast; DCG and the
+    ideal DCG are sums of ≤NDCG_AT 9-dp-quantized decimal gain terms
+    (1/log2(rank+1) is transcendental — quantizing each term before the
+    sum keeps both engines bit-identical), with one final division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cosr = exact_cosine_scores(emb).filter(
+        F.col("vec_id") != RRF_QUERY_VEC
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("label").alias("q_label")
+    )
+    scored = (
+        cosr.join(F.broadcast(labels), "vec_id")
+        .crossJoin(F.broadcast(qlab))
+        .select(
+            "vec_id",
+            "cos",
+            (F.col("label") == F.col("q_label"))
+            .cast("int")
+            .alias("rel"),
+        )
+    )
+    wb = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    wi = Window.orderBy(
+        F.col("rel").desc(), F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "rel",
+        F.row_number().over(wb).alias("rk"),
+        F.row_number().over(wi).alias("ideal_rk"),
+    )
+    gain = F.round(
+        F.col("rel") / F.log2(F.col("rk") + 1), 9
+    ).cast("decimal(18,9)")
+    ideal_gain = F.round(
+        F.col("rel") / F.log2(F.col("ideal_rk") + 1), 9
+    ).cast("decimal(18,9)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("rel").alias("n_rel"),
+        F.sum(
+            F.when(F.col("rk") <= NDCG_AT, gain).otherwise(
+                F.lit(0).cast("decimal(18,9)")
+            )
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("ideal_rk") <= NDCG_AT, ideal_gain).otherwise(
+                F.lit(0).cast("decimal(18,9)")
+            )
+        ).alias("idcg"),
+    )
+    return agg.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_rel").cast("bigint").alias("n_rel"),
+        F.col("dcg").cast("double").alias("dcg"),
+        F.col("idcg").cast("double").alias("idcg"),
+        F.round(
+            F.col("dcg").cast("double") / F.col("idcg").cast("double"),
+            6,
+        ).alias("ndcg"),
     )

@@ -4283,3 +4283,202 @@ register(
     FROM quant
     """,
 )
+
+register(
+    "q_cohort_ltv",
+    analytics.q_cohort_ltv,
+    f"""
+    WITH base AS (
+        SELECT user_id,
+               date_diff('day', DATE '{analytics.LTV_EPOCH}',
+                         CAST(ts AS DATE)) AS day,
+               event_type,
+               CAST(value AS DECIMAL(18,2)) AS val,
+               min(date_diff('day', DATE '{analytics.LTV_EPOCH}',
+                             CAST(ts AS DATE)))
+                   OVER (PARTITION BY user_id) AS first_day
+        FROM events
+    ),
+    per_uca AS (
+        SELECT user_id,
+               CAST(floor(first_day / 7) AS BIGINT) AS cohort_week,
+               CAST(floor((day - first_day) / 7) AS BIGINT) AS age_week,
+               sum(CASE WHEN event_type = '{analytics.LTV_EVENT}'
+                        THEN val END) AS rev
+        FROM base GROUP BY 1, 2, 3
+    ),
+    cells AS (
+        SELECT cohort_week, age_week,
+               sum(coalesce(rev, CAST(0 AS DECIMAL(18,2)))) AS rev
+        FROM per_uca GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_week, count(DISTINCT user_id) AS n_users
+        FROM per_uca GROUP BY 1
+    ),
+    cum AS (
+        SELECT cohort_week, age_week, rev,
+               sum(rev) OVER (PARTITION BY cohort_week ORDER BY age_week
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_rev
+        FROM cells
+    )
+    SELECT CAST(cohort_week AS INT) AS cohort_week,
+           CAST(age_week AS INT) AS age_week,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(cum_rev AS DOUBLE) AS cum_rev,
+           round(CAST(cum_rev AS DOUBLE) / n_users, 6) AS ltv_per_user
+    FROM cum JOIN sizes USING (cohort_week)
+    """,
+)
+
+_RRF_BM25 = rf"""
+        WITH bdocs AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS t
+            FROM documents WHERE n_chars > 0
+        ),
+        blens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM bdocs),
+        bstats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM blens
+        ),
+        btf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(t) AS token FROM bdocs)
+            WHERE token IN {text.BM25_TERMS!r}
+            GROUP BY 1, 2
+        ),
+        bdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM btf GROUP BY 1),
+        bscored AS (
+            SELECT doc_id,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf
+                   * {text.BM25_K1 + 1!r}
+                   / (tf + {text.BM25_K1!r}
+                           * ({1 - text.BM25_B!r}
+                              + {text.BM25_B!r} * dl
+                                / (total_dl * 1.0 / n_docs))) AS s
+            FROM btf JOIN bdf USING (token) JOIN blens USING (doc_id),
+                 bstats
+        ),
+        bm25 AS (
+            SELECT doc_id, round(sum(s), 6) AS bm25
+            FROM bscored GROUP BY 1
+        )
+"""
+
+register(
+    "q_rrf",
+    similarity.q_rrf,
+    f"""{_RRF_BM25},
+    flat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+                    AS DECIMAL(12,6)) AS qx
+        FROM embeddings
+    ),
+    qv AS (SELECT i, qx AS qv FROM flat
+           WHERE vec_id = {similarity.RRF_QUERY_VEC}),
+    dots AS (
+        SELECT vec_id, sum(qx * qv) AS dot, sum(qx * qx) AS nn
+        FROM flat JOIN qv USING (i) GROUP BY vec_id
+    ),
+    qq AS (SELECT sum(qv * qv) AS qq FROM qv),
+    cosr AS (
+        SELECT vec_id,
+               CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE)))
+                   AS cos
+        FROM dots CROSS JOIN qq
+    ),
+    rb AS (
+        SELECT vec_id, cos,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_b
+        FROM cosr
+    ),
+    ra AS (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a
+        FROM bm25
+    ),
+    fused AS (
+        SELECT rb.vec_id AS doc_id,
+               CAST(rank_b AS BIGINT) AS rank_b,
+               CAST(rank_a AS BIGINT) AS rank_a,
+               round(cos, 6) AS cosine,
+               bm25,
+               round(1.0 / ({similarity.RRF_K} + rank_b)
+                     + coalesce(1.0 / ({similarity.RRF_K} + rank_a),
+                                0.0), 9) AS rrf
+        FROM rb LEFT JOIN ra ON ra.doc_id = rb.vec_id
+    )
+    SELECT * FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {similarity.RRF_TOP}
+    """,
+)
+
+register(
+    "q_ndcg",
+    similarity.q_ndcg,
+    f"""
+    WITH flat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+                    AS DECIMAL(12,6)) AS qx
+        FROM embeddings
+    ),
+    qv AS (SELECT i, qx AS qv FROM flat
+           WHERE vec_id = {similarity.RRF_QUERY_VEC}),
+    dots AS (
+        SELECT vec_id, sum(qx * qv) AS dot, sum(qx * qx) AS nn
+        FROM flat JOIN qv USING (i) GROUP BY vec_id
+    ),
+    qq AS (SELECT sum(qv * qv) AS qq FROM qv),
+    cosr AS (
+        SELECT vec_id,
+               CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE)))
+                   AS cos
+        FROM dots CROSS JOIN qq
+        WHERE vec_id <> {similarity.RRF_QUERY_VEC}
+    ),
+    qlab AS (SELECT label AS q_label FROM embeddings
+             WHERE vec_id = {similarity.RRF_QUERY_VEC}),
+    scored AS (
+        SELECT c.vec_id, c.cos,
+               CAST(e.label = q_label AS INT) AS rel
+        FROM cosr c JOIN embeddings e ON e.vec_id = c.vec_id
+        CROSS JOIN qlab
+    ),
+    ranked AS (
+        SELECT rel,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS rk,
+               row_number() OVER (ORDER BY rel DESC, cos DESC, vec_id)
+                   AS ideal_rk
+        FROM scored
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(rel) AS BIGINT) AS n_rel,
+           CAST(sum(CASE WHEN rk <= {similarity.NDCG_AT}
+                    THEN CAST(round(rel / log2(rk + 1), 9)
+                              AS DECIMAL(18,9))
+                    ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE)
+               AS dcg,
+           CAST(sum(CASE WHEN ideal_rk <= {similarity.NDCG_AT}
+                    THEN CAST(round(rel / log2(ideal_rk + 1), 9)
+                              AS DECIMAL(18,9))
+                    ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE)
+               AS idcg,
+           round(CAST(sum(CASE WHEN rk <= {similarity.NDCG_AT}
+                          THEN CAST(round(rel / log2(rk + 1), 9)
+                                    AS DECIMAL(18,9))
+                          ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN ideal_rk <= {similarity.NDCG_AT}
+                            THEN CAST(round(rel / log2(ideal_rk + 1), 9)
+                                      AS DECIMAL(18,9))
+                            ELSE CAST(0 AS DECIMAL(18,9)) END)
+                        AS DOUBLE), 6) AS ndcg
+    FROM ranked
+    """,
+)

@@ -82,6 +82,29 @@ def write_events_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
+def read_events_xml(spark: SparkSession, path: str) -> DataFrame:
+    """XML source (Spark 4 native, rowTag-based).  Schema declared like
+    every other interchange format — inference would scan twice and
+    guess types; FAILFAST surfaces malformed rows instead of nulling
+    them.  XML is row-at-a-time and unsplittable per element, so it is
+    an EDGE format only: land it, convert to parquet, never store
+    pipeline-internal data in it."""
+    return (
+        spark.read.format("xml")
+        .schema(EVENTS_DDL)
+        .option("rowTag", "event")
+        .option("timestampNTZFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .load(path)
+    )
+
+
+def write_events_xml(df: DataFrame, path: str) -> None:
+    df.write.format("xml").option("rowTag", "event").option(
+        "rootTag", "events"
+    ).option("timestampNTZFormat", _TS_FMT).mode("overwrite").save(path)
+
+
 def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     """Read parquet written across SCHEMA VERSIONS (columns added over
     time) as one frame: per-file footers are merged, files lacking a

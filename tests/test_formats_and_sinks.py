@@ -54,6 +54,19 @@ class TestInterchangeFormats:
         assert back.schema == events.schema
         assert _rows(back) == _rows(events)
 
+    def test_xml_roundtrip_lossless(self, spark, sf_dir, tmp_path):
+        from etl_embargo_spark.sources.formats import (
+            read_events_xml,
+            write_events_xml,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        path = str(tmp_path / "events_xml")
+        write_events_xml(events, path)
+        back = read_events_xml(spark, path)
+        assert back.schema == events.schema
+        assert _rows(back) == _rows(events)
+
     def test_failfast_on_malformed(self, spark, tmp_path):
         """A malformed row must fail the read, not become silent nulls."""
         import pytest

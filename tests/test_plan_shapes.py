@@ -721,3 +721,28 @@ class TestRound1LateAdditions:
         assert plan.count("events.parquet") == 1
         assert plan.count("HashAggregate") >= 2
         assert "Join" not in plan
+
+    def test_cohort_ltv_single_scan_collapsed_windows(self, spark, sf_dir):
+        """q_cohort_ltv: one events scan (window-min first_day, no
+        join-back); the cumulative window runs over the cohort×age cell
+        relation; the cohort-size join is broadcast."""
+        plan = _plan(spark, sf_dir, "q_cohort_ltv")
+        assert plan.count("events.parquet") <= 1
+        assert "ExistingRDD" in plan or plan.count("events.parquet") == 1
+        assert "SortMergeJoin" not in plan
+
+    def test_rrf_fusion_broadcasts_and_heaps(self, spark, sf_dir):
+        """q_rrf: candidate-relation joins (query vector, rank lists,
+        corpus stats) are broadcast; the final top-k is a
+        TakeOrderedAndProject heap, never a global sort."""
+        plan = _plan(spark, sf_dir, "q_rrf")
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_ndcg_broadcast_eval(self, spark, sf_dir):
+        """q_ndcg: label/query joins broadcast over the candidate
+        relation; the gain computation is windows + one aggregate, no
+        shuffled join anywhere."""
+        plan = _plan(spark, sf_dir, "q_ndcg")
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
