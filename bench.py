@@ -143,6 +143,17 @@ HEADLINE = [
     "q_pca",
     "q_bollinger",
     "q_whitening",
+    "q_auc",
+    "q_theilsen",
+    "q_naive_bayes",
+    "q_bootstrap_ci",
+    "q_ridge_path",
+    "q_expectations",
+    "q_rrf",
+    "q_cohort_ltv",
+    "q_target_encode",
+    "q_woe_iv",
+    "q_anomaly_seasonal",
 ]
 
 

@@ -3325,22 +3325,10 @@ def q_jaccard_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEASONAL_EPOCH = "1995-01-01"
 
 
-def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical additive seasonal decomposition of the daily order
-    revenue series: rev = trend (centered 7-day moving average)
-    + day-of-week seasonal (mean detrended value per weekday, centered
-    to sum to zero) + residual — the series triage every
-    forecasting/anomaly pipeline starts with.
-
-    Scale shape: ONE fact scan — the fact collapses to exact-decimal
-    daily totals, and trend / seasonal / grand-mean are three windows
-    over that day-sized relation (day order, weekday partition, global;
-    all legitimate: the relation is calendar-bounded at any corpus
-    size).  The weekday means fold into the same pass via the
-    smean/cnt contribution trick (Σ_rows smean/cnt = Σ_dow smean), so
-    the daily lineage never executes twice.  Engine determinism: sums
-    only ever run over quantized DECIMAL terms; every division is a
-    single IEEE op on exact operands."""
+def _seasonal_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of the seasonal family: the day-sized relation with
+    (day, dow, rev_d, trend, seasonal) — see q_seasonal_decompose for
+    the semantics and determinism contract."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.datediff(
@@ -3388,6 +3376,26 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("smean").cast("double")
         - F.sum("smean_div").over(wall).cast("double") / 7.0,
     )
+    return staged
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily order
+    revenue series: rev = trend (centered 7-day moving average)
+    + day-of-week seasonal (mean detrended value per weekday, centered
+    to sum to zero) + residual — the series triage every
+    forecasting/anomaly pipeline starts with.
+
+    Scale shape: ONE fact scan — the fact collapses to exact-decimal
+    daily totals, and trend / seasonal / grand-mean are three windows
+    over that day-sized relation (day order, weekday partition, global;
+    all legitimate: the relation is calendar-bounded at any corpus
+    size).  The weekday means fold into the same pass via the
+    smean/cnt contribution trick (Σ_rows smean/cnt = Σ_dow smean), so
+    the daily lineage never executes twice.  Engine determinism: sums
+    only ever run over quantized DECIMAL terms; every division is a
+    single IEEE op on exact operands."""
+    staged = _seasonal_staged(spark, sf_dir)
     return staged.select(
         "day",
         F.col("dow").cast("int").alias("dow"),
@@ -3398,6 +3406,65 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_d") - F.col("trend")) - F.col("seasonal"), 4
         ).alias("residual"),
     )
+
+
+ANOM_SEASONAL_K = 3.0
+
+
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly scan: a day is anomalous when its
+    decomposition residual (q_seasonal_decompose) exceeds
+    ANOM_SEASONAL_K robust sigmas, sigma = 1.4826·MAD of the residuals
+    — the upgrade over q_anomaly_mad/q_bollinger that a weekly-cycled
+    series needs (a busy Monday is not an anomaly; a Monday-sized
+    Sunday is).
+
+    Scale shape: everything runs over the day-sized staged relation
+    (lazily checkpointed — the MAD order statistic and the flagging
+    pass share one lineage).  The MAD is an exact order statistic
+    (avg of the two middle |residual| ranks); the flag compares doubles
+    that both engines computed identically, so the decision replays
+    exactly."""
+    staged = _seasonal_staged(spark, sf_dir).localCheckpoint(eager=False)
+    resid = staged.select(
+        "day",
+        "rev_d",
+        (
+            (F.col("rev_d") - F.col("trend")) - F.col("seasonal")
+        ).alias("resid"),
+    )
+    wr = Window.orderBy(F.abs(F.col("resid")))
+    wall = Window.partitionBy()
+    ranked = resid.select(
+        F.abs(F.col("resid")).alias("aresid"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    mad = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+        )
+        .groupBy("n")
+        .agg(F.avg("aresid").alias("mad"))
+        .select("mad")
+    )
+    flagged = resid.crossJoin(F.broadcast(mad)).select(
+        "day",
+        F.round("rev_d", 2).alias("rev"),
+        F.round("resid", 4).alias("resid"),
+        F.round(F.lit(MAD_CONSISTENCY) * F.col("mad"), 4).alias(
+            "robust_sigma"
+        ),
+        (
+            F.abs(F.col("resid"))
+            > F.lit(ANOM_SEASONAL_K)
+            * (F.lit(MAD_CONSISTENCY) * F.col("mad"))
+        )
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+    return flagged
 
 
 BOOTSTRAP_B = 200
@@ -3708,4 +3775,111 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("cum_rev").cast("double") / F.col("n_users"), 6
         ).alias("ltv_per_user"),
+    )
+
+
+TARGET_FOLDS = 5
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold mean-target encoding of p_brand against
+    l_extendedprice — the leakage-safe categorical encoder: each row's
+    encoding is the mean target of its category computed WITHOUT the
+    row's own fold, so the feature never memorizes its own label.
+    Folds come from the engine-independent md5 bucket of the line key
+    (the q_hash_sample contract: a training split must never change
+    when the engine does).
+
+    Scale shape: one fact scan with the brand dim broadcast collapses
+    to the (brand × fold) cell relation — TARGET_FOLDS·|brands| rows —
+    and the leave-one-fold-out arithmetic is two window sums over those
+    cells: oof_mean = (Σ_brand s − s_fold) / (Σ_brand n − n_fold).
+    Sums are cent-exact decimal; the division is single IEEE."""
+    from etl_embargo_spark.operators.sampling import hash_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    fold = hash_bucket(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        TARGET_FOLDS,
+    )
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", fold.alias("fold"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+            ).alias("s"),
+        )
+    )
+    wb = Window.partitionBy("p_brand")
+    return cells.select(
+        "p_brand",
+        F.col("fold").cast("int").alias("fold"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.sum("s").over(wb) - F.col("s")).cast("double")
+            / (F.sum("n").over(wb) - F.col("n")),
+            6,
+        ).alias("oof_mean"),
+        F.round(
+            F.sum("s").over(wb).cast("double") / F.sum("n").over(wb), 6
+        ).alias("brand_mean"),
+    )
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of the discount
+    feature against the returned-flag outcome — the credit-scoring
+    feature screen: WOE_b = ln((bad_b/B)/(good_b/G)) per feature bin,
+    IV = Σ_b (bad_b/B − good_b/G)·WOE_b (rule of thumb: IV > 0.3 =
+    strong predictor, < 0.02 = useless).
+
+    Scale shape: one fact scan collapses to the ≤|distinct discount|
+    cell relation; class totals are empty-frame window sums over it,
+    and the IV is an exact decimal window sum of 9-dp-quantized terms
+    (the ln is transcendental — quantize before summing).  Counts stay
+    integer until the share divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_discount").agg(
+        F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias(
+            "bad"
+        ),
+        F.sum((F.col("l_returnflag") != "R").cast("bigint")).alias(
+            "good"
+        ),
+    )
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "l_discount",
+        "bad",
+        "good",
+        (F.col("bad") / F.sum("bad").over(wall)).alias("bad_share"),
+        (F.col("good") / F.sum("good").over(wall)).alias("good_share"),
+    )
+    woe = F.log(F.col("bad_share") / F.col("good_share"))
+    staged = staged.withColumn(
+        "iv_term",
+        F.round(
+            (F.col("bad_share") - F.col("good_share")) * woe, 9
+        ).cast("decimal(18,9)"),
+    )
+    return staged.select(
+        "l_discount",
+        F.col("bad").cast("bigint").alias("bad"),
+        F.col("good").cast("bigint").alias("good"),
+        F.round("bad_share", 6).alias("bad_share"),
+        F.round("good_share", 6).alias("good_share"),
+        F.round(woe, 6).alias("woe"),
+        F.col("iv_term").cast("double").alias("iv_term"),
+        F.round(
+            F.sum("iv_term").over(wall).cast("double"), 6
+        ).alias("iv_total"),
     )

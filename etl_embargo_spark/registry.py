@@ -4482,3 +4482,205 @@ register(
     FROM ranked
     """,
 )
+
+register(
+    "q_target_encode",
+    analytics.q_target_encode,
+    f"""
+    WITH cells AS (
+        SELECT p_brand,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                    || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8))
+                    ::UBIGINT % {analytics.TARGET_FOLDS} AS INT) AS fold,
+               count(*) AS n,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p_brand,
+           fold,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(sum(s) OVER (PARTITION BY p_brand) - s AS DOUBLE)
+                 / (sum(n) OVER (PARTITION BY p_brand) - n), 6)
+               AS oof_mean,
+           round(CAST(sum(s) OVER (PARTITION BY p_brand) AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY p_brand), 6) AS brand_mean
+    FROM cells
+    """,
+)
+
+register(
+    "q_woe_iv",
+    analytics.q_woe_iv,
+    """
+    WITH cells AS (
+        SELECT l_discount,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS bad,
+               sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                   AS good
+        FROM lineitem GROUP BY 1
+    ),
+    staged AS (
+        SELECT l_discount, bad, good,
+               bad * 1.0 / sum(bad) OVER () AS bad_share,
+               good * 1.0 / sum(good) OVER () AS good_share
+        FROM cells
+    ),
+    quant AS (
+        SELECT *,
+               CAST(round((bad_share - good_share)
+                          * ln(bad_share / good_share), 9)
+                    AS DECIMAL(18,9)) AS iv_term
+        FROM staged
+    )
+    SELECT l_discount,
+           CAST(bad AS BIGINT) AS bad,
+           CAST(good AS BIGINT) AS good,
+           round(bad_share, 6) AS bad_share,
+           round(good_share, 6) AS good_share,
+           round(ln(bad_share / good_share), 6) AS woe,
+           CAST(iv_term AS DOUBLE) AS iv_term,
+           round(CAST(sum(iv_term) OVER () AS DOUBLE), 6) AS iv_total
+    FROM quant
+    """,
+)
+
+register(
+    "q_anomaly_seasonal",
+    analytics.q_anomaly_seasonal,
+    f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '{analytics.SEASONAL_EPOCH}',
+                         CAST(o_orderdate AS DATE)) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    trended AS (
+        SELECT day, day % 7 AS dow, CAST(rev AS DOUBLE) AS rev_d,
+               CAST(sum(rev) OVER w AS DOUBLE) / 7.0 AS trend,
+               count(*) OVER w AS n_win
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT day, dow, rev_d, trend,
+               CAST(round(rev_d - trend, 6) AS DECIMAL(18,6)) AS det_q
+        FROM trended WHERE n_win = 7
+    ),
+    staged AS (
+        SELECT day, dow, rev_d, trend,
+               CAST(round(CAST(sum(det_q) OVER (PARTITION BY dow)
+                               AS DOUBLE)
+                          / count(*) OVER (PARTITION BY dow), 6)
+                    AS DECIMAL(18,6)) AS smean,
+               count(*) OVER (PARTITION BY dow) AS cnt
+        FROM det
+    ),
+    staged2 AS (
+        SELECT *, CAST(round(CAST(smean AS DOUBLE) / cnt, 9)
+                       AS DECIMAL(18,9)) AS smean_div
+        FROM staged
+    ),
+    fin AS (
+        SELECT day, rev_d,
+               (rev_d - trend)
+                   - (CAST(smean AS DOUBLE)
+                      - CAST(sum(smean_div) OVER () AS DOUBLE) / 7.0)
+                   AS resid
+        FROM staged2
+    ),
+    ranked AS (
+        SELECT abs(resid) AS aresid,
+               row_number() OVER (ORDER BY abs(resid)) AS rn,
+               count(*) OVER () AS n
+        FROM fin
+    ),
+    mad AS (
+        SELECT avg(aresid) AS mad FROM ranked
+        WHERE rn = floor((n + 1) / 2) OR rn = floor(n / 2) + 1
+    )
+    SELECT day,
+           round(rev_d, 2) AS rev,
+           round(resid, 4) AS resid,
+           round({analytics.MAD_CONSISTENCY!r} * mad, 4)
+               AS robust_sigma,
+           CAST(abs(resid) > {analytics.ANOM_SEASONAL_K!r}
+                * ({analytics.MAD_CONSISTENCY!r} * mad) AS INT)
+               AS is_anomaly
+    FROM fin CROSS JOIN mad
+    """,
+)
+
+from etl_embargo_spark.plans import feature_pipeline  # noqa: E402
+
+_FT_TYPES = analytics.FEATURE_EVENT_TYPES
+_FT_COUNTS = ",\n               ".join(
+    f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+    for t in _FT_TYPES
+)
+_FT_GREATEST = ", ".join(f"n_{t}" for t in _FT_TYPES)
+_FT_FAV = " ".join(
+    f"WHEN n_{t} = g THEN '{t}'" for t in _FT_TYPES
+)
+
+register(
+    "q_feature_table",
+    feature_pipeline.q_feature_table,
+    f"""
+    WITH pu AS (
+        SELECT user_id, count(*) AS n_events,
+               {_FT_COUNTS},
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2)) END)
+                   AS purchase_total,
+               min(date_diff('day', DATE '{feature_pipeline.FEATURE_EPOCH}',
+                             CAST(ts AS DATE))) AS first_day,
+               max(date_diff('day', DATE '{feature_pipeline.FEATURE_EPOCH}',
+                             CAST(ts AS DATE))) AS last_day
+        FROM events GROUP BY 1
+    ),
+    feat AS (
+        SELECT *,
+               CASE {_FT_FAV} END AS favorite_type,
+               CAST(n_purchase > n_error AS INT) AS label,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT % {sampling.N_BUCKETS} AS BIGINT) AS bucket,
+               CAST(('0x' || substr(md5('fold:'
+                    || CAST(user_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT % {feature_pipeline.FEATURE_FOLDS} AS BIGINT)
+                   AS fold
+        FROM (SELECT *, greatest({_FT_GREATEST}) AS g FROM pu)
+    ),
+    cells AS (
+        SELECT favorite_type, fold, sum(label) AS s, count(*) AS n
+        FROM feat GROUP BY 1, 2
+    ),
+    enc AS (
+        SELECT favorite_type, fold,
+               CASE WHEN (sum(n) OVER w - n) > 0
+                    THEN (sum(s) OVER w - s) * 1.0
+                         / (sum(n) OVER w - n)
+                    ELSE sum(s) OVER w * 1.0 / sum(n) OVER w
+               END AS te_raw
+        FROM cells
+        WINDOW w AS (PARTITION BY favorite_type)
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           {", ".join(f"CAST(n_{t} AS BIGINT) AS n_{t}" for t in _FT_TYPES)},
+           CAST(coalesce(purchase_total, 0) AS DOUBLE)
+               AS purchase_total,
+           CAST(first_day AS INT) AS first_day,
+           CAST(last_day - first_day AS INT) AS days_span,
+           favorite_type,
+           label,
+           CASE WHEN bucket < {sampling.TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {sampling.VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(fold AS INT) AS fold,
+           round(te_raw, 6) AS te_favorite
+    FROM feat JOIN enc USING (favorite_type, fold)
+    """,
+)

@@ -188,3 +188,87 @@ def sessionize(
             "total_value",
         )
     )
+
+
+def value_bins(events: DataFrame) -> DataFrame:
+    """(bin, n) histogram of the event ``value`` column using q_psi's
+    fixed binning — works on batch and streaming frames alike."""
+    from etl_embargo_spark.operators.analytics import (
+        PSI_BIN_WIDTH,
+        PSI_BINS,
+    )
+
+    bin_ = F.least(
+        F.floor(F.col("value") / PSI_BIN_WIDTH), F.lit(PSI_BINS - 1)
+    ).cast("int")
+    return events.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def psi_vs_baseline(
+    batch_events: DataFrame, baseline_cells: DataFrame
+) -> DataFrame:
+    """One-row (n_events, psi) drift readout of a batch's value
+    distribution against fixed baseline cells — q_psi's formula
+    (Laplace +1 smoothing, 9-dp-quantized decimal term sum), factored
+    so the streaming monitor and its batch-parity test share the exact
+    plan."""
+    from pyspark.sql import Window
+
+    from etl_embargo_spark.operators.analytics import PSI_BINS
+
+    cells = value_bins(batch_events).withColumnRenamed("n", "n_cur")
+    base = baseline_cells.select(
+        "bin", F.col("n").alias("n_base")
+    )
+    j = base.join(cells, "bin", "full_outer").fillna(
+        0, subset=["n_base", "n_cur"]
+    )
+    wall = Window.partitionBy()
+    staged = j.select(
+        "n_cur",
+        (
+            (F.col("n_base") + 1.0)
+            / (F.sum("n_base").over(wall) + F.lit(float(PSI_BINS)))
+        ).alias("p1"),
+        (
+            (F.col("n_cur") + 1.0)
+            / (F.sum("n_cur").over(wall) + F.lit(float(PSI_BINS)))
+        ).alias("p2"),
+    ).withColumn(
+        "term_q",
+        F.round(
+            (F.col("p2") - F.col("p1"))
+            * F.log(F.col("p2") / F.col("p1")),
+            9,
+        ).cast("decimal(18,9)"),
+    )
+    return staged.agg(
+        F.sum("n_cur").cast("bigint").alias("n_events"),
+        F.round(F.sum("term_q").cast("double"), 6).alias("psi"),
+    )
+
+
+def drift_monitor_stream(
+    stream_df: DataFrame,
+    baseline_cells: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> StreamingQuery:
+    """Streaming drift monitor: every micro-batch's value distribution
+    scored against a fixed baseline (PSI), one alert row per batch
+    appended to ``out_dir`` — the production shape of q_psi (the model
+    scorecard that pages when PSI > 0.25).
+
+    The baseline relation is re-evaluated inside the batch function
+    (the whitelist-refresh pattern): swap the baseline table between
+    batches and the next batch scores against the new one."""
+
+    def _batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        row = psi_vs_baseline(batch_df, baseline_cells).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
+        row.write.mode("append").parquet(out_dir)
+
+    return run_foreach_batch(stream_df, checkpoint_dir, _batch_fn)

@@ -746,3 +746,29 @@ class TestRound1LateAdditions:
         plan = _plan(spark, sf_dir, "q_ndcg")
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_target_encode_cells_then_windows(self, spark, sf_dir):
+        """q_target_encode: brand dim broadcast into one fact scan, the
+        leave-one-fold-out windows run over the brand×fold cell
+        relation only."""
+        plan = _plan(spark, sf_dir, "q_target_encode")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("lineitem.parquet") == 1
+
+    def test_woe_iv_single_scan(self, spark, sf_dir):
+        """q_woe_iv: one fact scan to the bin cells; shares/IV are
+        windows over the cell relation, no joins."""
+        plan = _plan(spark, sf_dir, "q_woe_iv")
+        assert plan.count("lineitem.parquet") == 1
+        assert "Join" not in plan
+        assert plan.count("HashAggregate") >= 2
+
+    def test_anomaly_seasonal_shares_staged_lineage(self, spark, sf_dir):
+        """q_anomaly_seasonal: the MAD order statistic and the flagging
+        pass share ONE lazily checkpointed staged relation — at most one
+        orders scan in the plan, and the MAD relation broadcasts."""
+        plan = _plan(spark, sf_dir, "q_anomaly_seasonal")
+        assert plan.count("orders.parquet") <= 1
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row MAD cross join

@@ -417,3 +417,48 @@ class TestStreamingSessionWindow:
         # the cross-batch session surfaced ONCE with all three events
         assert ("2024-01-01 10:00:00", 1, 3, 6.0) in got
         assert got == expect
+
+
+class TestStreamingDriftMonitor:
+    def test_stream_psi_matches_batch_and_flags_shift(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Each micro-batch's PSI row must equal the batch computation
+        over the same rows (shared psi_vs_baseline plan), and a stream
+        drawn from the same distribution as the baseline must score far
+        below the 0.25 alert line."""
+        from etl_embargo_spark.operators.analytics import PSI_SPLIT
+        from etl_embargo_spark.streaming.daily import (
+            drift_monitor_stream,
+            psi_vs_baseline,
+            stream_events_from_parquet,
+            value_bins,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        split = F.lit(PSI_SPLIT).cast("timestamp_ntz")
+        first_half = events.filter(F.col("ts") < split)
+        second_half = events.filter(F.col("ts") >= split)
+
+        baseline = value_bins(first_half).localCheckpoint()
+
+        src_dir = str(tmp_path / "events_src")
+        out_dir = str(tmp_path / "psi_out")
+        ckpt = str(tmp_path / "ckpt")
+        # one file => exactly one micro-batch, so the stream's rows are
+        # exactly second_half and parity is checkable
+        second_half.coalesce(1).write.parquet(src_dir)
+
+        stream = stream_events_from_parquet(
+            spark, src_dir, events.schema
+        )
+        q = drift_monitor_stream(stream, baseline, ckpt, out_dir)
+        q.awaitTermination(180)
+
+        got = spark.read.parquet(out_dir).collect()
+        assert len(got) == 1
+        want = psi_vs_baseline(second_half, baseline).collect()[0]
+        assert got[0].n_events == want.n_events > 0
+        assert got[0].psi == want.psi
+        # same underlying distribution both halves: well under alert
+        assert abs(got[0].psi) < 0.25
