@@ -3195,9 +3195,10 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
         )
-        # consumed 3× (both pair-join sides + the residual leg): lazy
-        # checkpoint = persist + lineage truncation with no build-time job
-        .localCheckpoint(eager=False)
+        # consumed 3× (both pair-join sides + the residual leg):
+        # persist shares the materialized aggregate (lazy checkpoint is
+        # NOT job-free — AQE materializes shuffle stages at toRdd)
+        .persist()
     )
     a, b = daily.alias("a"), F.broadcast(daily.alias("b"))
     pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
@@ -3276,9 +3277,9 @@ def q_jaccard_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud = (
         per_ut.withColumn("tot", F.sum("n_ut").over(wtot))
         .filter(F.col("n_ut") * 5 > F.col("tot"))
-        # consumed 3× (pair expansion + two marginal legs): lazy
-        # checkpoint keeps the events scan single-execution
-        .localCheckpoint(eager=False)
+        # consumed 3× (pair expansion + two marginal legs): persist
+        # keeps the events scan single-execution, with no build-time job
+        .persist()
     )
     per_user = aud.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("ts")
@@ -3425,7 +3426,7 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (avg of the two middle |residual| ranks); the flag compares doubles
     that both engines computed identically, so the decision replays
     exactly."""
-    staged = _seasonal_staged(spark, sf_dir).localCheckpoint(eager=False)
+    staged = _seasonal_staged(spark, sf_dir).persist()
     resid = staged.select(
         "day",
         "rev_d",
@@ -3751,7 +3752,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev")
         )
         # two consumers (cells + cohort sizes): keep the scan single-run
-        .localCheckpoint(eager=False)
+        .persist()
     )
     cells = per_uca.groupBy("cohort_week", "age_week").agg(
         F.sum(F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,2)")))
@@ -3882,4 +3883,155 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("iv_term").over(wall).cast("double"), 6
         ).alias("iv_total"),
+    )
+
+
+SNAIVE_SEASON = 7
+SNAIVE_HOLDOUT = 28
+
+
+def q_snaive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each of the last
+    SNAIVE_HOLDOUT days of daily order revenue as rev[d − 7] and score
+    the holdout with MAE and MASE (error scaled by the training-period
+    seasonal-naive error — MASE < 1 beats the naive baseline; the
+    standard yardstick any real forecaster must clear).
+
+    Scale shape: one fact scan collapses to exact-decimal daily
+    totals; forecast (lag), the holdout boundary (global max) and both
+    error means are windows over that day-sized relation.  Everything
+    is decimal arithmetic — |rev − lag(rev)| of decimals is exact, so
+    no quantization is even needed — with one IEEE division per
+    reported ratio."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit(SEASONAL_EPOCH).cast("date"),
+        ).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("day")
+    wall = Window.partitionBy()
+    staged = daily.select(
+        "day",
+        "rev",
+        F.lag("rev", SNAIVE_SEASON).over(w).alias("yhat"),
+        F.max("day").over(wall).alias("max_day"),
+    ).filter(F.col("yhat").isNotNull())
+    staged = staged.withColumn(
+        "is_holdout",
+        (F.col("day") > F.col("max_day") - SNAIVE_HOLDOUT).cast("int"),
+    ).withColumn("ae", F.abs(F.col("rev") - F.col("yhat")))
+    wtrain = Window.partitionBy()
+    scored = staged.select(
+        "day",
+        "is_holdout",
+        "rev",
+        "yhat",
+        "ae",
+        (
+            F.sum(
+                F.when(F.col("is_holdout") == 0, F.col("ae"))
+            ).over(wtrain)
+        ).alias("train_ae_sum"),
+        (
+            F.sum((F.col("is_holdout") == 0).cast("bigint")).over(
+                wtrain
+            )
+        ).alias("train_n"),
+    ).filter(F.col("is_holdout") == 1)
+    denom = F.col("train_ae_sum").cast("double") / F.col("train_n")
+    return scored.select(
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        F.col("yhat").cast("double").alias("yhat"),
+        F.col("ae").cast("double").alias("ae"),
+        F.round(denom, 4).alias("train_mae"),
+        F.round(F.col("ae").cast("double") / denom, 6).alias("mase"),
+    )
+
+
+def q_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level uplift readout: the A/B experiment of q_ab_test
+    (variant = user parity, conversion = net purchaser) broken out by
+    behavioral segment (the user's modal event type) — where targeting
+    models start: which segments does the treatment actually move?
+
+    Scale shape: one events scan collapses to per-user (segment,
+    variant, converted) rows — map-side combined, user-bounded — then
+    to segment×variant cells; the uplift/SE projection runs over the
+    ≤2·|segments| relation.  Counts stay integer; conversion rates,
+    uplift and the pooled SE are a fixed IEEE expression tree mirrored
+    in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_ut")
+    )
+    wu = Window.partitionBy("user_id").orderBy(
+        F.col("n_ut").desc(), F.col("event_type").asc()
+    )
+    per_user = (
+        per_ut.withColumn("rk", F.row_number().over(wu))
+        .withColumn(
+            "n_purchase",
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("n_ut")
+                ).otherwise(F.lit(0))
+            ).over(Window.partitionBy("user_id")),
+        )
+        .withColumn(
+            "n_error",
+            F.sum(
+                F.when(
+                    F.col("event_type") == "error", F.col("n_ut")
+                ).otherwise(F.lit(0))
+            ).over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("segment"),
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            (F.col("n_purchase") > F.col("n_error"))
+            .cast("bigint")
+            .alias("converted"),
+        )
+    )
+    cells = per_user.groupBy("segment", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    ws = Window.partitionBy("segment")
+    wide = (
+        cells.withColumn(
+            "n0", F.sum(F.when(F.col("variant") == 0, F.col("n"))).over(ws)
+        )
+        .withColumn(
+            "c0",
+            F.sum(F.when(F.col("variant") == 0, F.col("conv"))).over(ws),
+        )
+        .filter(
+            (F.col("variant") == 1) & F.col("n0").isNotNull()
+        )  # segments lacking a control arm have no uplift readout
+    )
+    r1 = F.col("conv") / F.col("n")
+    r0 = F.col("c0") / F.col("n0")
+    se = F.sqrt(
+        r1 * (1.0 - r1) / F.col("n") + r0 * (1.0 - r0) / F.col("n0")
+    )
+    # degenerate cells (both rates 0 or 1) have se = 0: no z statistic
+    z = F.when(se > 0, F.round((r1 - r0) / se, 6))
+    return wide.select(
+        "segment",
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("c0").cast("bigint").alias("conv_control"),
+        F.col("n").cast("bigint").alias("n_treat"),
+        F.col("conv").cast("bigint").alias("conv_treat"),
+        F.round(r0, 6).alias("rate_control"),
+        F.round(r1, 6).alias("rate_treat"),
+        F.round(r1 - r0, 6).alias("uplift"),
+        z.alias("z"),
     )

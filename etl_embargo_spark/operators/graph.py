@@ -200,3 +200,131 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+MARKOV_CONV = "purchase"  # absorbing conversion state
+MARKOV_QUANTUM = 6
+
+
+def journey_transitions(ev: DataFrame) -> DataFrame:
+    """(from_state, to_state, n) counts of the first-order journey
+    chain: per user, events in time order up to and including the FIRST
+    conversion event; 'start' precedes the first event; a journey with
+    no conversion ends in the absorbing 'null' state.
+
+    One user-partitioned window pass over the event log (the
+    q_transitions shape) — the output relation is |states|², constant
+    at any corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            (F.col("event_type") == MARKOV_CONV).cast("int")
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prior_convs"),
+    ).filter(F.coalesce(F.col("prior_convs"), F.lit(0)) == 0)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = seq.select(
+        "user_id",
+        F.coalesce(
+            F.lag("event_type", 1).over(w2), F.lit("start")
+        ).alias("from_state"),
+        F.col("event_type").alias("to_state"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rn_last"),
+    )
+    ends = steps.filter(
+        (F.col("rn_last") == 1) & (F.col("to_state") != MARKOV_CONV)
+    ).select(
+        F.col("to_state").alias("from_state"),
+        F.lit("null").alias("to_state"),
+    )
+    trans = steps.select("from_state", "to_state").unionByName(ends)
+    return trans.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (matrix solve — not SQL-expressible): Markov-chain
+    removal-effect attribution.  User journeys (events up to the first
+    purchase) become a first-order chain with absorbing states conv
+    ('purchase') and null; base conversion probability comes from the
+    absorbing-chain solve, and each channel's attribution is its
+    REMOVAL EFFECT — how much conversion drops when the channel's
+    outgoing edges are redirected to null — normalized to shares (the
+    data-driven alternative to q_attribution's last-touch rule).
+
+    Scale shape: the event log collapses to the |states|² transition
+    relation in one window pass; ONLY that constant-size matrix reaches
+    the driver (the covariance-partials contract), where numpy solves
+    (I−Q)t = b per removal.  Quantized to MARKOV_QUANTUM decimals;
+    pytest replays the identical counting + solve in pure
+    numpy/Python (tests/test_extensions.py)."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = journey_transitions(ev).collect()
+
+    states = sorted(
+        {r.from_state for r in cells}
+        | {r.to_state for r in cells}
+        | {"start", MARKOV_CONV, "null"}
+    )
+    channels = [
+        s for s in states if s not in ("start", MARKOV_CONV, "null")
+    ]
+
+    def conv_prob(removed: str | None) -> float:
+        trans = ["start"] + channels  # transient states
+        idx = {s: i for i, s in enumerate(trans)}
+        q = np.zeros((len(trans), len(trans)))
+        b = np.zeros(len(trans))
+        totals: dict[str, float] = {}
+        for r in cells:
+            if r.from_state in idx:
+                totals[r.from_state] = totals.get(r.from_state, 0) + r.n
+        for r in cells:
+            if r.from_state not in idx:
+                continue
+            p = r.n / totals[r.from_state]
+            if r.from_state == removed:
+                continue  # removed channel: all mass -> null
+            if r.to_state == MARKOV_CONV:
+                b[idx[r.from_state]] += p
+            elif r.to_state in idx and r.to_state != removed:
+                q[idx[r.from_state], idx[r.to_state]] += p
+            # else: to null, or into the removed channel -> null
+        t = np.linalg.solve(np.eye(len(trans)) - q, b)
+        return float(t[idx["start"]])
+
+    base = conv_prob(None)
+    effects = {
+        c: max(base - conv_prob(c), 0.0) for c in channels
+    }
+    total = sum(effects.values()) or 1.0
+    rows = [
+        (
+            c,
+            round(base, MARKOV_QUANTUM),
+            round(effects[c], MARKOV_QUANTUM),
+            round(effects[c] / total, MARKOV_QUANTUM),
+        )
+        for c in sorted(channels)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conv double, removal_effect double, "
+        "share double",
+    )

@@ -11,8 +11,10 @@ ONE job with the same scale shape as its parts:
 
 * one shuffle collapses the event log to the user grain (map-side
   combined);
-* the per-user relation is lazily checkpointed for its two consumers
-  (encoding cells + final table) so the scan never re-executes;
+* the per-user relation is persisted for its two consumers (encoding
+  cells + final table) so the scan never re-executes — persist, not
+  lazy localCheckpoint: under AQE the latter materializes shuffle
+  stages at build time, so it is not job-free;
 * the (favorite_type × fold) encoding relation is tiny and broadcasts
   back;
 * split/fold assignment is the engine-independent md5 bucket — a
@@ -90,7 +92,7 @@ def q_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("split", split)
         .withColumn("fold", fold)
         # two consumers: the encoding cells + the final table
-        .localCheckpoint(eager=False)
+        .persist()
     )
     cells = staged.groupBy("favorite_type", "fold").agg(
         F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")

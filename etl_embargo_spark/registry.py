@@ -4684,3 +4684,109 @@ register(
     FROM feat JOIN enc USING (favorite_type, fold)
     """,
 )
+
+register(
+    "q_snaive_forecast",
+    analytics.q_snaive_forecast,
+    f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '{analytics.SEASONAL_EPOCH}',
+                         CAST(o_orderdate AS DATE)) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    staged AS (
+        SELECT day, rev,
+               lag(rev, {analytics.SNAIVE_SEASON})
+                   OVER (ORDER BY day) AS yhat,
+               max(day) OVER () AS max_day
+        FROM daily
+    ),
+    flagged AS (
+        SELECT day, rev, yhat,
+               CAST(day > max_day - {analytics.SNAIVE_HOLDOUT} AS INT)
+                   AS is_holdout,
+               abs(rev - yhat) AS ae
+        FROM staged WHERE yhat IS NOT NULL
+    ),
+    scored AS (
+        SELECT day, is_holdout, rev, yhat, ae,
+               sum(CASE WHEN is_holdout = 0 THEN ae END) OVER ()
+                   AS train_ae_sum,
+               sum(CASE WHEN is_holdout = 0 THEN 1 ELSE 0 END) OVER ()
+                   AS train_n
+        FROM flagged
+    )
+    SELECT day,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(yhat AS DOUBLE) AS yhat,
+           CAST(ae AS DOUBLE) AS ae,
+           round(CAST(train_ae_sum AS DOUBLE) / train_n, 4)
+               AS train_mae,
+           round(CAST(ae AS DOUBLE)
+                 / (CAST(train_ae_sum AS DOUBLE) / train_n), 6)
+               AS mase
+    FROM scored WHERE is_holdout = 1
+    """,
+)
+
+register("q_markov_attribution", graph.q_markov_attribution, None)
+
+register(
+    "q_uplift",
+    analytics.q_uplift,
+    """
+    WITH per_ut AS (
+        SELECT user_id, event_type, count(*) AS n_ut
+        FROM events GROUP BY 1, 2
+    ),
+    per_user AS (
+        SELECT user_id,
+               event_type AS segment,
+               CAST(user_id % 2 AS INT) AS variant,
+               CAST(n_purchase > n_error AS BIGINT) AS converted
+        FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY n_ut DESC, event_type ASC) AS rk,
+                   sum(CASE WHEN event_type = 'purchase' THEN n_ut
+                            ELSE 0 END)
+                       OVER (PARTITION BY user_id) AS n_purchase,
+                   sum(CASE WHEN event_type = 'error' THEN n_ut
+                            ELSE 0 END)
+                       OVER (PARTITION BY user_id) AS n_error
+            FROM per_ut
+        ) WHERE rk = 1
+    ),
+    cells AS (
+        SELECT segment, variant, count(*) AS n, sum(converted) AS conv
+        FROM per_user GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT segment, n, conv,
+               sum(CASE WHEN variant = 0 THEN n END)
+                   OVER (PARTITION BY segment) AS n0,
+               sum(CASE WHEN variant = 0 THEN conv END)
+                   OVER (PARTITION BY segment) AS c0,
+               variant
+        FROM cells
+    )
+    SELECT segment,
+           CAST(n0 AS BIGINT) AS n_control,
+           CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n AS BIGINT) AS n_treat,
+           CAST(conv AS BIGINT) AS conv_treat,
+           round(c0 * 1.0 / n0, 6) AS rate_control,
+           round(conv * 1.0 / n, 6) AS rate_treat,
+           round(conv * 1.0 / n - c0 * 1.0 / n0, 6) AS uplift,
+           CASE WHEN sqrt((conv * 1.0 / n) * (1.0 - conv * 1.0 / n) / n
+                          + (c0 * 1.0 / n0) * (1.0 - c0 * 1.0 / n0) / n0)
+                     > 0
+                THEN round((conv * 1.0 / n - c0 * 1.0 / n0)
+                     / sqrt((conv * 1.0 / n) * (1.0 - conv * 1.0 / n) / n
+                            + (c0 * 1.0 / n0) * (1.0 - c0 * 1.0 / n0)
+                              / n0), 6)
+           END AS z
+    FROM wide WHERE variant = 1 AND n0 IS NOT NULL
+    """,
+)

@@ -77,3 +77,38 @@ def stream_upsert(
         .foreachBatch(_merge_batch)
         .start()
     )
+
+
+def apply_cdc(
+    current: DataFrame | None,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture batch (op ∈ {'I','U','D'}) to the
+    current table state: per key, the HIGHEST-ordered record wins, and
+    if that winner is a delete the key disappears — the MERGE INTO
+    semantics (WHEN MATCHED UPDATE / DELETE, WHEN NOT MATCHED INSERT)
+    as one window pass.
+
+    Existing table rows participate with the LOWEST priority (a change
+    of any kind beats current state at equal order keys is impossible —
+    order keys are change timestamps, current rows carry their own),
+    so the same last-writer-wins window as merge_last_writer_wins
+    resolves inserts, updates and deletes together: one shuffle on the
+    key, no per-op passes."""
+    cur = (
+        None
+        if current is None
+        else current.withColumn(op_col, F.lit("U"))
+    )
+    merged = changes if cur is None else cur.unionByName(changes)
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .drop("_rn", op_col)
+    )

@@ -1330,3 +1330,85 @@ class TestLogReg:
         rows = q_logreg(spark, sf_dir).collect()
         assert all(r.y in (0, 1) and r.pred in (0, 1) for r in rows)
         assert all(0.0 <= r.p <= 1.0 for r in rows)
+
+
+class TestMarkovAttribution:
+    @staticmethod
+    def _numpy_reference(rows, conv="purchase"):
+        """Pure-Python replica of graph.journey_transitions +
+        q_markov_attribution's absorbing-chain solve."""
+        import numpy as np
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for r in rows:
+            by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+        cells = defaultdict(int)
+        for seq in by_user.values():
+            seq.sort()
+            prev = "start"
+            converted = False
+            for _, _, t in seq:
+                cells[(prev, t)] += 1
+                prev = t
+                if t == conv:
+                    converted = True
+                    break
+            if not converted:
+                cells[(prev, "null")] += 1
+        channels = sorted(
+            {s for s, _ in cells} - {"start"}
+        )
+        channels = [c for c in channels if c not in (conv, "null")]
+
+        def conv_prob(removed):
+            trans = ["start"] + channels
+            idx = {s: i for i, s in enumerate(trans)}
+            totals = defaultdict(float)
+            for (f, t), n in cells.items():
+                if f in idx:
+                    totals[f] += n
+            q = np.zeros((len(trans), len(trans)))
+            b = np.zeros(len(trans))
+            for (f, t), n in cells.items():
+                if f not in idx or f == removed:
+                    continue
+                p = n / totals[f]
+                if t == conv:
+                    b[idx[f]] += p
+                elif t in idx and t != removed:
+                    q[idx[f], idx[t]] += p
+            sol = np.linalg.solve(np.eye(len(trans)) - q, b)
+            return float(sol[idx["start"]])
+
+        base = conv_prob(None)
+        effects = {c: max(base - conv_prob(c), 0.0) for c in channels}
+        total = sum(effects.values()) or 1.0
+        return {
+            c: (
+                round(base, 6),
+                round(effects[c], 6),
+                round(effects[c] / total, 6),
+            )
+            for c in channels
+        }
+
+    def test_matches_pure_python_chain(self, spark, sf_dir):
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.graph import (
+            q_markov_attribution,
+        )
+
+        got = {
+            r.channel: (r.base_conv, r.removal_effect, r.share)
+            for r in q_markov_attribution(spark, sf_dir).collect()
+        }
+        raw = load_table(spark, sf_dir, "events").collect()
+        want = self._numpy_reference(raw)
+        assert set(got) == set(want)
+        for c in want:
+            for g, w in zip(got[c], want[c]):
+                assert abs(g - w) < 1e-9, (c, got[c], want[c])
+        # shares sum to 1 over a non-degenerate channel set
+        assert len(got) >= 3
+        assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-5

@@ -431,6 +431,9 @@ class TestJobFreeBuilders:
             "q_triangles",   # edge list deliberately lineage-broken (persist)
             "q_pca",         # covariance partials collected for the eigensolve
             "q_whitening",   # runs pca_fit's collect for the rotation
+            "q_logreg",      # Newton rounds collect gradient/Hessian partials
+            "q_markov_attribution",  # |states|² transition matrix collected
+            #                          for the absorbing-chain solves
         }
         tracker = spark.sparkContext._jsc.sc().statusTracker()
         offenders = []
@@ -653,10 +656,10 @@ class TestRound1LateAdditions:
         plan = _plan(spark, sf_dir, "q_theilsen")
         assert "BroadcastNestedLoopJoin" in plan
         assert "SortMergeJoin" not in plan
-        # the daily aggregate is lazily checkpointed (ExistingRDD) so the
-        # three consumers share ONE orders scan
-        assert plan.count("orders.parquet") <= 1
-        assert "ExistingRDD" in plan or plan.count("orders.parquet") == 1
+        # the daily aggregate is persisted: all three consumers read the
+        # cache (InMemoryTableScan prints its child, so the raw scan
+        # string repeats — count the cache reads, not the string)
+        assert plan.count("InMemoryTableScan") >= 3
 
     def test_jaccard_users_no_self_join(self, spark, sf_dir):
         """q_jaccard_users: audience pairs expand inside each user's
@@ -664,10 +667,9 @@ class TestRound1LateAdditions:
         marginals."""
         plan = _plan(spark, sf_dir, "q_jaccard_users")
         assert "SortMergeJoin" not in plan
-        # the audience relation is lazily checkpointed and shared by the
-        # pair leg and both marginal legs — one events scan total
-        assert plan.count("events.parquet") <= 1
-        assert "ExistingRDD" in plan or plan.count("events.parquet") == 1
+        # the audience relation is persisted and shared by the pair leg
+        # and both marginal legs — three cache reads, one real scan
+        assert plan.count("InMemoryTableScan") >= 3
 
     def test_naive_bayes_model_broadcasts(self, spark, sf_dir):
         """q_naive_bayes: every model-side join (likelihoods, defaults,
@@ -693,7 +695,13 @@ class TestRound1LateAdditions:
         all fold into windows over ONE daily aggregate — the fact scans
         once, and no join re-enters the lineage."""
         plan = _plan(spark, sf_dir, "q_seasonal_decompose")
-        assert plan.count("orders.parquet") == 1
+        # if q_anomaly_seasonal ran first in this session, the shared
+        # _seasonal_staged subtree is persisted and the CacheManager
+        # substitutes it here — accept either form (both are one scan)
+        assert (
+            plan.count("orders.parquet") == 1
+            or "InMemoryTableScan" in plan
+        )
         assert "Join" not in plan
 
     def test_expectations_one_pass(self, spark, sf_dir):
@@ -727,8 +735,9 @@ class TestRound1LateAdditions:
         join-back); the cumulative window runs over the cohort×age cell
         relation; the cohort-size join is broadcast."""
         plan = _plan(spark, sf_dir, "q_cohort_ltv")
-        assert plan.count("events.parquet") <= 1
-        assert "ExistingRDD" in plan or plan.count("events.parquet") == 1
+        # the per-(user, cohort, age) relation is persisted: both
+        # consumers (cells + cohort sizes) read the cache
+        assert plan.count("InMemoryTableScan") >= 2
         assert "SortMergeJoin" not in plan
 
     def test_rrf_fusion_broadcasts_and_heaps(self, spark, sf_dir):
@@ -769,6 +778,24 @@ class TestRound1LateAdditions:
         pass share ONE lazily checkpointed staged relation — at most one
         orders scan in the plan, and the MAD relation broadcasts."""
         plan = _plan(spark, sf_dir, "q_anomaly_seasonal")
-        assert plan.count("orders.parquet") <= 1
+        # staged relation persisted: MAD leg + flagging leg share it
+        assert plan.count("InMemoryTableScan") >= 2
         assert "SortMergeJoin" not in plan
         assert "BroadcastNestedLoopJoin" in plan  # 1-row MAD cross join
+
+    def test_snaive_single_scan_day_windows(self, spark, sf_dir):
+        """q_snaive_forecast: forecast, boundary and error means are all
+        windows over ONE daily aggregate — single orders scan, no
+        joins."""
+        plan = _plan(spark, sf_dir, "q_snaive_forecast")
+        assert plan.count("orders.parquet") == 1
+        assert "Join" not in plan
+
+    def test_uplift_user_collapse_first(self, spark, sf_dir):
+        """q_uplift: events collapse to per-(user,type) counts then the
+        user grain before any experiment arithmetic — one scan, windows
+        over user- and segment-sized relations only."""
+        plan = _plan(spark, sf_dir, "q_uplift")
+        assert plan.count("events.parquet") == 1
+        assert plan.count("HashAggregate") >= 2
+        assert "Join" not in plan

@@ -462,3 +462,54 @@ class TestStreamingDriftMonitor:
         assert got[0].psi == want.psi
         # same underlying distribution both halves: well under alert
         assert abs(got[0].psi) < 0.25
+
+
+class TestCdcApply:
+    def test_insert_update_delete_semantics(self, spark):
+        from etl_embargo_spark.streaming.upsert import apply_cdc
+
+        current = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 10), (3, "c", 10)],
+            "k long, v string, ts long",
+        )
+        changes = spark.createDataFrame(
+            [
+                (2, "b2", 20, "U"),   # update key 2
+                (3, None, 20, "D"),   # delete key 3
+                (4, "d", 20, "I"),    # insert key 4
+                (4, "d2", 30, "U"),   # then update it — latest wins
+                (5, "e", 20, "I"),
+                (5, None, 30, "D"),   # insert then delete — key gone
+            ],
+            "k long, v string, ts long, op string",
+        )
+        got = {
+            r.k: r.v
+            for r in apply_cdc(
+                current, changes, ["k"], ["ts"]
+            ).collect()
+        }
+        assert got == {1: "a", 2: "b2", 4: "d2"}
+
+    def test_batching_not_observable(self, spark):
+        """Applying two CDC batches sequentially must equal applying
+        their union at once (associativity of last-writer-wins+delete
+        when batches respect order-key monotonicity per key)."""
+        from etl_embargo_spark.streaming.upsert import apply_cdc
+
+        base = spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0)], "k long, v string, ts long"
+        )
+        b1 = spark.createDataFrame(
+            [(1, "a1", 1, "U"), (3, "c", 1, "I")],
+            "k long, v string, ts long, op string",
+        )
+        b2 = spark.createDataFrame(
+            [(1, None, 2, "D"), (3, "c2", 2, "U")],
+            "k long, v string, ts long, op string",
+        )
+        seq = apply_cdc(apply_cdc(base, b1, ["k"], ["ts"]), b2, ["k"], ["ts"])
+        allatonce = apply_cdc(base, b1.unionByName(b2), ["k"], ["ts"])
+        assert sorted(map(tuple, seq.collect())) == sorted(
+            map(tuple, allatonce.collect())
+        )

@@ -262,6 +262,28 @@ SHOWCASE: dict[str, str] = {
         "window; integer threshold-crossing filter — no random state, no "
         "driver involvement."
     ),
+    "q_feature_table": (
+        "ML training-table composition: one events scan collapses to the "
+        "user grain (lazily checkpointed for its two consumers), the "
+        "favorite-type/fold encoding cells broadcast back — features, "
+        "label, split and leakage-safe target encoding in ONE job."
+    ),
+    "q_rrf": (
+        "Hybrid retrieval fusion: every model-side join (query vector, "
+        "rank lists, corpus stats) broadcast; final top-k is "
+        "TakeOrderedAndProject; decimal-quantized inner products make "
+        "ranks engine-exact."
+    ),
+    "q_bootstrap_ci": (
+        "Poisson bootstrap: spread_for_cpu widens the byte-sized scan, "
+        "the x200 explode partial-aggregates map-side straight to the "
+        "B-row replicate relation."
+    ),
+    "q_theilsen": (
+        "Robust regression: the quadratic pair expansion is a "
+        "BroadcastNestedLoopJoin over the <=366-day aggregate (lazily "
+        "checkpointed, shared by three consumers) — never raw rows."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
