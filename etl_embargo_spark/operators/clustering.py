@@ -508,3 +508,40 @@ def q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return emb.mapInPandas(_make_scorer(w), schema=schema)
+
+
+CALIB_BINS = 10
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (depends on the iterative logreg fit): reliability
+    diagram of q_logreg — predicted probabilities binned into deciles,
+    each bin reporting its mean prediction vs the observed positive
+    rate (a well-calibrated model sits on the diagonal; the readout
+    that decides whether scores can be used as probabilities).
+
+    Scale shape: scoring is the same single-scan GEMM pass as q_logreg;
+    the bin aggregation collapses map-side to ≤CALIB_BINS rows.  The
+    mean prediction is a 6-dp-quantized decimal sum (engine-stable);
+    counts are integers.  Pytest replays fit+binning in numpy
+    (tests/test_extensions.py::TestCalibration)."""
+    scored = q_logreg(spark, sf_dir)
+    bin_ = F.least(
+        F.floor(F.col("p") * CALIB_BINS), F.lit(CALIB_BINS - 1)
+    ).cast("int")
+    cells = scored.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum(
+            F.round(F.col("p"), 6).cast("decimal(18,6)")
+        ).alias("p_sum"),
+    )
+    return cells.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round(
+            F.col("p_sum").cast("double") / F.col("n"), 6
+        ).alias("mean_pred"),
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("frac_pos"),
+    )

@@ -328,3 +328,58 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, base_conv double, removal_effect double, "
         "share double",
     )
+
+
+TEXTRANK_MIN_LEN = 4  # crude content-word filter (POS tags need no engine)
+TEXTRANK_TOP = 20
+
+
+def textrank_edges(docs: DataFrame) -> DataFrame:
+    """Symmetric distinct (src, dst) word-adjacency edges over the
+    corpus — the TextRank co-occurrence graph (window = 2, content
+    words only).  Pair expansion runs INSIDE each document's token
+    array (codegen transform over sequence), so the only shuffle is the
+    edge distinct — vocabulary-bounded, never corpus-bounded."""
+    toks = F.expr(
+        rf"filter(split(trim(lower(text)), '\\s+'), "
+        rf"x -> length(x) >= {TEXTRANK_MIN_LEN})"
+    )
+    pairs = (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS src, t[i + 1] AS dst))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (iterative): TextRank keyword extraction — PageRank
+    over the word-adjacency graph, top-TEXTRANK_TOP words by rank (ties
+    by word).  The same power iteration as q_pagerank on a different
+    graph; pytest replays both the edge construction and the iteration
+    in pure Python (tests/test_extensions.py::TestTextRank)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    ranks = pagerank(textrank_edges(docs))
+    return (
+        ranks.select(
+            F.col("id").alias("word"), F.round("rank", 8).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("word"))
+        .limit(TEXTRANK_TOP)
+    )

@@ -4790,3 +4790,7 @@ register(
     FROM wide WHERE variant = 1 AND n0 IS NOT NULL
     """,
 )
+
+register("q_textrank", graph.q_textrank, None)
+
+register("q_calibration", clustering.q_calibration, None)

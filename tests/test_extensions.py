@@ -1412,3 +1412,102 @@ class TestMarkovAttribution:
         # shares sum to 1 over a non-degenerate channel set
         assert len(got) >= 3
         assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-5
+
+
+class TestTextRank:
+    def test_matches_pure_python_power_iteration(self, spark, sf_dir):
+        import re
+        from collections import defaultdict
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.graph import (
+            PR_DAMPING,
+            PR_ITERS,
+            TEXTRANK_MIN_LEN,
+            TEXTRANK_TOP,
+            q_textrank,
+        )
+
+        got = [
+            (r.word, r.rank)
+            for r in q_textrank(spark, sf_dir).collect()
+        ]
+        docs = load_table(spark, sf_dir, "documents").collect()
+        edges = set()
+        for d in docs:
+            if not d.n_chars:
+                continue
+            toks = [
+                t
+                for t in re.split(r"\s+", d.text.strip().lower())
+                if len(t) >= TEXTRANK_MIN_LEN
+            ]
+            for a, b in zip(toks, toks[1:]):
+                if a != b:
+                    edges.add((a, b))
+                    edges.add((b, a))
+        nodes = sorted({s for s, _ in edges})
+        out = defaultdict(list)
+        for s, t in edges:
+            out[s].append(t)
+        n = len(nodes)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(PR_ITERS):
+            contrib = defaultdict(float)
+            for s in nodes:
+                share = rank[s] / len(out[s])
+                for t in out[s]:
+                    contrib[t] += share
+            rank = {
+                v: (1.0 - PR_DAMPING) / n + PR_DAMPING * contrib[v]
+                for v in nodes
+            }
+        want = sorted(
+            ((v, round(r, 8)) for v, r in rank.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:TEXTRANK_TOP]
+        assert len(got) == TEXTRANK_TOP
+        for (gw, gr), (ww, wr) in zip(got, want):
+            assert gw == ww
+            assert abs(gr - wr) < 1e-6, (gw, gr, wr)
+
+
+class TestCalibration:
+    def test_bins_match_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.clustering import (
+            CALIB_BINS,
+            LOGREG_ITERS,
+            LOGREG_RIDGE,
+            q_calibration,
+        )
+
+        got = {
+            r.bin: (r.n, r.n_pos, r.mean_pred, r.frac_pos)
+            for r in q_calibration(spark, sf_dir).collect()
+        }
+        raw = load_table(spark, sf_dir, "embeddings").collect()
+        vecs = np.vstack([np.asarray(r.embedding) for r in raw]).astype(
+            np.float64
+        )
+        labels = np.array([r.label for r in raw])
+        w = TestLogReg._numpy_fit(vecs, labels, LOGREG_ITERS, LOGREG_RIDGE)
+        x = np.hstack([np.ones((len(vecs), 1)), vecs])
+        p = np.round(1.0 / (1.0 + np.exp(-(x @ w))), 6)
+        y = (labels % 2).astype(int)
+        bins = np.minimum((p * CALIB_BINS).astype(int), CALIB_BINS - 1)
+        for b in sorted(set(bins)):
+            sel = bins == b
+            n = int(sel.sum())
+            npos = int(y[sel].sum())
+            mean_pred = round(float(np.sum(p[sel])) / n, 6)
+            frac = round(npos / n, 6)
+            gn, gpos, gmean, gfrac = got[b]
+            assert (gn, gpos) == (n, npos), b
+            assert abs(gmean - mean_pred) < 1e-5, b
+            assert abs(gfrac - frac) < 1e-9, b
+        assert set(got) == set(int(b) for b in set(bins))
+        # sane calibration shape: bins exist on both ends
+        assert len(got) >= 3

@@ -434,6 +434,8 @@ class TestJobFreeBuilders:
             "q_logreg",      # Newton rounds collect gradient/Hessian partials
             "q_markov_attribution",  # |states|² transition matrix collected
             #                          for the absorbing-chain solves
+            "q_textrank",    # pagerank subroutine checkpoints per round
+            "q_calibration",  # scores q_logreg's Newton fit
         }
         tracker = spark.sparkContext._jsc.sc().statusTracker()
         offenders = []
