@@ -1293,3 +1293,185 @@ def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(recall, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def porter_stem(word: str) -> str:
+    """Porter (1980) stemmer, pure Python — the classic suffix-stripping
+    normalizer (see the published algorithm; no external library, so the
+    executor closure ships by value).  Lowercase ASCII input expected."""
+    if len(word) <= 2:
+        return word
+
+    def is_cons(w: str, i: int) -> bool:
+        c = w[i]
+        if c in "aeiou":
+            return False
+        if c == "y":
+            return i == 0 or not is_cons(w, i - 1)
+        return True
+
+    def measure(stem: str) -> int:
+        # number of VC sequences
+        m = 0
+        prev_v = False
+        for i in range(len(stem)):
+            v = not is_cons(stem, i)
+            if prev_v and not v:
+                m += 1
+            prev_v = v
+        return m
+
+    def has_vowel(stem: str) -> bool:
+        return any(not is_cons(stem, i) for i in range(len(stem)))
+
+    def ends_double_cons(w: str) -> bool:
+        return (
+            len(w) >= 2
+            and w[-1] == w[-2]
+            and is_cons(w, len(w) - 1)
+        )
+
+    def cvc(w: str) -> bool:
+        if len(w) < 3:
+            return False
+        return (
+            is_cons(w, len(w) - 3)
+            and not is_cons(w, len(w) - 2)
+            and is_cons(w, len(w) - 1)
+            and w[-1] not in "wxy"
+        )
+
+    w = word
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+        elif w.endswith("ing") and has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w = w + "e"
+            elif ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif measure(w) == 1 and cvc(w):
+                w = w + "e"
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+        ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+        ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+        ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"),
+        ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+        "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+        "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                break
+            if measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = measure(w[:-1])
+        if m > 1 or (m == 1 and not cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if measure(w) > 1 and ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+STEM_TOP = 30
+
+
+def q_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (algorithmic UDF): Porter-stemmed vocabulary rollup —
+    the top STEM_TOP stems by total term frequency with the count of
+    distinct surface forms they conflate (plural/tense collapse is the
+    first normalization an IR/text pipeline applies before TF-IDF/BM25).
+
+    Scale shape: the UDF runs over the DISTINCT-token vocabulary, never
+    the corpus — tokens collapse to (token, tf) first (map-side), the
+    Arrow-batched stem pass touches each type once, and the stem rollup
+    is a second vocabulary-sized aggregate.  Top-k is orderBy().limit()
+    → TakeOrderedAndProject.  Pytest pins the stemmer against the
+    published Porter vectors and checks the rollup against a
+    pure-Python replay (tests/test_extensions.py::TestPorterStem)."""
+    import pandas as pd  # noqa: F401 (executors import inside kernel)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token").rlike(r"^[a-z]{3,}$"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    def _stem_kernel(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "token": pdf["token"],
+                    "tf": pdf["tf"],
+                    "stem": [porter_stem(t) for t in pdf["token"]],
+                }
+            )
+
+    stemmed = spread_for_cpu(vocab, spark).mapInPandas(
+        _stem_kernel, schema="token string, tf bigint, stem string"
+    )
+    return (
+        stemmed.groupBy("stem")
+        .agg(
+            F.count(F.lit(1)).alias("n_forms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .select(
+            "stem",
+            F.col("n_forms").cast("bigint").alias("n_forms"),
+            F.col("total_tf").cast("bigint").alias("total_tf"),
+        )
+        .orderBy(F.col("total_tf").desc(), F.col("stem"))
+        .limit(STEM_TOP)
+    )

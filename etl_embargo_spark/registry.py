@@ -4794,3 +4794,31 @@ register(
 register("q_textrank", graph.q_textrank, None)
 
 register("q_calibration", clustering.q_calibration, None)
+
+register("q_stem", text.q_stem, None)
+
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name,
+           t.c_name,
+           CAST(round(t.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+"""
+
+
+def _q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end LATERAL correlated subquery: per-nation top-2
+    customers by balance.  Catalyst decorrelates the lateral into a
+    broadcast join + per-group limit — the plan a hand-written window
+    query would get, which is the point: the engine accepts the
+    SQL-standard spelling without a physical penalty."""
+    from etl_embargo_spark.catalog import load_table
+
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+register("q_lateral_topk", _q_lateral_topk, _LATERAL_TOPK_SQL)

@@ -1511,3 +1511,59 @@ class TestCalibration:
         assert set(got) == set(int(b) for b in set(bins))
         # sane calibration shape: bins exist on both ends
         assert len(got) >= 3
+
+
+class TestPorterStem:
+    def test_published_porter_vectors(self):
+        from etl_embargo_spark.operators.text import porter_stem
+
+        vectors = {
+            "caresses": "caress", "ponies": "poni", "ties": "ti",
+            "caress": "caress", "cats": "cat", "feed": "feed",
+            "agreed": "agre", "plastered": "plaster", "bled": "bled",
+            "motoring": "motor", "sing": "sing", "conflated": "conflat",
+            "troubled": "troubl", "sized": "size", "hopping": "hop",
+            "tanned": "tan", "falling": "fall", "hissing": "hiss",
+            "fizzed": "fizz", "failing": "fail", "filing": "file",
+            "happy": "happi", "sky": "sky", "relational": "relat",
+            "conditional": "condit", "rational": "ration",
+            "foxes": "fox", "running": "run",
+            "generalization": "gener",
+            "characterization": "character",
+        }
+        for w, want in vectors.items():
+            assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+    def test_rollup_matches_pure_python(self, spark, sf_dir):
+        import re
+        from collections import Counter, defaultdict
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.text import (
+            STEM_TOP,
+            porter_stem,
+            q_stem,
+        )
+
+        got = [
+            (r.stem, r.n_forms, r.total_tf)
+            for r in q_stem(spark, sf_dir).collect()
+        ]
+        docs = load_table(spark, sf_dir, "documents").collect()
+        tf = Counter()
+        for d in docs:
+            if not d.n_chars:
+                continue
+            for t in re.split(r"\s+", d.text.strip().lower()):
+                if re.fullmatch(r"[a-z]{3,}", t):
+                    tf[t] += 1
+        agg = defaultdict(lambda: [0, 0])
+        for t, n in tf.items():
+            s = porter_stem(t)
+            agg[s][0] += 1
+            agg[s][1] += n
+        want = sorted(
+            ((s, f, n) for s, (f, n) in agg.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:STEM_TOP]
+        assert got == want

@@ -801,3 +801,11 @@ class TestRound1LateAdditions:
         assert plan.count("events.parquet") == 1
         assert plan.count("HashAggregate") >= 2
         assert "Join" not in plan
+
+    def test_lateral_decorrelates_to_broadcast(self, spark, sf_dir):
+        """q_lateral_topk: the LATERAL correlated subquery must
+        decorrelate into a broadcast join (+ per-group limit), never a
+        nested-loop re-execution per outer row."""
+        plan = _plan(spark, sf_dir, "q_lateral_topk")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
