@@ -1458,7 +1458,11 @@ def q_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    stemmed = spread_for_cpu(vocab, spark).mapInPandas(
+    # NO spread_for_cpu here: vocab sits downstream of the groupBy
+    # shuffle, which already spread it across shuffle partitions (and
+    # df.rdd probing on a shuffled lineage materializes stages under
+    # AQE — a build-time job)
+    stemmed = vocab.mapInPandas(
         _stem_kernel, schema="token string, tf bigint, stem string"
     )
     return (

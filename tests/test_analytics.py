@@ -157,7 +157,11 @@ class TestBatch2Invariants:
         assert rows
         for r in rows:
             assert -1e-9 <= r.entropy_bits, r
-            assert r.entropy_bits <= math.log2(r.n_unique) + 1e-6, r
+            # entropy_bits is emitted rounded to 4 dp, so a maximal-
+            # entropy doc (all tokens unique) can exceed log2(n) by up
+            # to half the rounding step (hit at sf0.01: 3.9069 vs
+            # log2(15)=3.90689…)
+            assert r.entropy_bits <= math.log2(r.n_unique) + 5.1e-5, r
             if r.n_unique == 1:
                 assert abs(r.entropy_bits) < 1e-9
 

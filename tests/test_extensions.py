@@ -1137,10 +1137,35 @@ class TestKmvOverlap:
                 assert est == float(exact)
             else:
                 assert abs(est - exact) / exact < 0.6, (est, exact)
-        # intersection = jaccard * union estimate: envelope only (the
-        # not-full shortcut applies to single-population sketches)
+        # intersection = jaccard * union: bound by sketch STATISTICS,
+        # not a fixed percentage — the jaccard estimator is a binomial
+        # share of k mins (σ = sqrt(j(1-j)/k)), so assert a 4σ envelope
+        # on the jaccard and propagate through the union estimate (a
+        # fixed 60% envelope held at sf0.001 by luck and broke at
+        # sf0.01 at 1.7σ)
+        import math
+
         assert row.exact_both > 0
-        assert abs(row.est_intersection - row.exact_both) / row.exact_both < 0.6
+        exact_union = row.exact_a + row.exact_b - row.exact_both
+        exact_j = row.exact_both / exact_union
+        sigma_j = math.sqrt(exact_j * (1 - exact_j) / row.k)
+        assert abs(row.est_jaccard - exact_j) < 4 * sigma_j, (
+            row.est_jaccard,
+            exact_j,
+            sigma_j,
+        )
+        # union estimate has ~1/sqrt(k-2) relative error; intersection
+        # inherits both error sources
+        rel_u = 4.0 / math.sqrt(row.k - 2)
+        j_hi = exact_j + 4 * sigma_j
+        j_lo = max(exact_j - 4 * sigma_j, 0.0)
+        lo = j_lo * exact_union * (1 - rel_u)
+        hi = j_hi * exact_union * (1 + rel_u)
+        assert lo <= row.est_intersection <= hi, (
+            row.est_intersection,
+            row.exact_both,
+            (lo, hi),
+        )
 
     def test_jaccard_bounded(self, spark, sf_dir):
         row = q_kmv_overlap_row = None
