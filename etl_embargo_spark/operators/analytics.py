@@ -4035,3 +4035,56 @@ def q_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1 - r0, 6).alias("uplift"),
         z.alias("z"),
     )
+
+
+# two-sided alpha = 0.05, power = 0.8 — literal quantiles so both
+# engines evaluate the identical closed form
+Z_ALPHA_2 = 1.959963984540054
+Z_BETA = 0.8416212335729143
+MDE_GRID = [0.01, 0.02, 0.05, 0.10]
+
+
+def q_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: users-per-arm needed to detect each
+    minimum-detectable-effect in MDE_GRID at alpha = 0.05 / power = 0.8,
+    seeded with the OBSERVED baseline conversion (q_ab_test's net-
+    purchaser definition, control arm) — the planning step that runs
+    before q_ab_test/q_uplift ever get data.
+
+    Scale shape: one events scan collapses to per-user conversion flags
+    and then to a single (n, conv) row; the MDE grid explodes over that
+    1-row relation and the two-proportion closed form is a projection
+    of literal constants and one observed rate — adding MDEs is free."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("bigint"))
+            > F.sum((F.col("event_type") == "error").cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("converted")
+    )
+    base = per_user.filter(F.col("user_id") % 2 == 0).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("converted").alias("conv_obs"),
+    )
+    grid = base.select(
+        "*",
+        F.explode(F.array(*[F.lit(m) for m in MDE_GRID])).alias("mde"),
+    )
+    p1 = F.col("conv_obs") / F.col("n_obs")
+    p2 = p1 + F.col("mde")
+    pbar = (p1 + p2) / 2.0
+    num = (
+        F.lit(Z_ALPHA_2) * F.sqrt(2.0 * pbar * (1.0 - pbar))
+        + F.lit(Z_BETA)
+        * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    )
+    n_arm = F.ceil(num * num / (F.col("mde") * F.col("mde")))
+    return grid.select(
+        "mde",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(p1, 6).alias("p_base"),
+        F.round(p2, 6).alias("p_target"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+    )

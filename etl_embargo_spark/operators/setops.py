@@ -177,3 +177,60 @@ def q_null_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+DIFF_HOLDOUT_MOD = 10  # v1 = docs where doc_id % MOD != 0 (simulated prior)
+
+
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff — the snapshot comparison a versioned corpus
+    release pipeline runs: rows classified added / removed / changed /
+    unchanged between two dataset versions by key + content hash.  Here
+    v1 is the simulated prior release (doc_id % DIFF_HOLDOUT_MOD != 0,
+    with a deterministic content perturbation on doc_id % 3 == 1) and
+    v2 the current release (doc_id % 7 != 0 — some docs were dropped),
+    so all four classes are populated.
+
+    Scale shape: both sides collapse to (key, md5) first — 32-byte
+    digests are all that cross the wire, never document bodies (the
+    q_incremental_dedup contract) — then one co-partitioned full-outer
+    join classifies every key.  Counts per class + per-class key sample
+    make the audit row."""
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("h2")
+    )
+    v1 = (
+        docs.filter(F.col("doc_id") % DIFF_HOLDOUT_MOD != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 3 == 1,
+                    F.concat(F.col("text"), F.lit(" [v1]")),
+                ).otherwise(F.col("text"))
+            ).alias("h1"),
+        )
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"), "doc_id")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("first_key"),
+            F.max("doc_id").alias("last_key"),
+        )
+        .select(
+            "status",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("first_key").cast("bigint").alias("first_key"),
+            F.col("last_key").cast("bigint").alias("last_key"),
+        )
+    )

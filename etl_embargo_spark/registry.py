@@ -34,6 +34,7 @@ from etl_embargo_spark.operators import (
     temporal,
     text,
 )
+from etl_embargo_spark.operators import recsys
 from etl_embargo_spark.plans import corpus_pipeline
 from etl_embargo_spark.streaming import daily
 
@@ -4822,3 +4823,85 @@ def _q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_lateral_topk", _q_lateral_topk, _LATERAL_TOPK_SQL)
+
+register(
+    "q_dataset_diff",
+    setops.q_dataset_diff,
+    f"""
+    WITH v2 AS (
+        SELECT doc_id, md5(text) AS h2 FROM documents
+        WHERE doc_id % 7 <> 0
+    ),
+    v1 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 3 = 1 THEN text || ' [v1]'
+                        ELSE text END) AS h1
+        FROM documents WHERE doc_id % {setops.DIFF_HOLDOUT_MOD} <> 0
+    ),
+    j AS (
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN h1 IS NULL THEN 'added'
+                    WHEN h2 IS NULL THEN 'removed'
+                    WHEN h1 <> h2 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS first_key,
+           CAST(max(doc_id) AS BIGINT) AS last_key
+    FROM j GROUP BY 1
+    """,
+)
+
+_MDE_GRID_SQL = ", ".join(repr(m) for m in analytics.MDE_GRID)
+
+register(
+    "q_sample_size",
+    analytics.q_sample_size,
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END)
+                    > sum(CASE WHEN event_type = 'error'
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS converted
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT count(*) AS n_obs, sum(converted) AS conv_obs
+        FROM per_user WHERE user_id % 2 = 0
+    ),
+    grid AS (
+        SELECT base.*, t.mde
+        FROM base CROSS JOIN (
+            SELECT unnest([{{_g}}]) AS mde) t
+    ),
+    calc AS (
+        SELECT mde, n_obs,
+               conv_obs * 1.0 / n_obs AS p1,
+               conv_obs * 1.0 / n_obs + mde AS p2
+        FROM grid
+    )
+    SELECT mde,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           round(p1, 6) AS p_base,
+           round(p2, 6) AS p_target,
+           CAST(ceil(
+               ({analytics.Z_ALPHA_2!r}
+                * sqrt(2.0 * ((p1 + p2) / 2.0)
+                       * (1.0 - (p1 + p2) / 2.0))
+                + {analytics.Z_BETA!r}
+                  * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               * ({analytics.Z_ALPHA_2!r}
+                  * sqrt(2.0 * ((p1 + p2) / 2.0)
+                         * (1.0 - (p1 + p2) / 2.0))
+                  + {analytics.Z_BETA!r}
+                    * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               / (mde * mde)) AS BIGINT) AS n_per_arm
+    FROM calc
+    """.replace("{_g}", _MDE_GRID_SQL),
+)
+
+register("q_als", recsys.q_als, None)

@@ -1592,3 +1592,79 @@ class TestPorterStem:
             key=lambda x: (-x[2], x[0]),
         )[:STEM_TOP]
         assert got == want
+
+
+class TestALS:
+    @staticmethod
+    def _md5_uniform(key: str) -> float:
+        import hashlib
+
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 4294967296.0
+
+    def test_predictions_match_numpy_als(self, spark, sf_dir):
+        import numpy as np
+        from collections import defaultdict
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.recsys import (
+            ALS_K,
+            ALS_LAMBDA,
+            ALS_QUANTUM,
+            ALS_ROUNDS,
+            q_als,
+        )
+
+        rows = q_als(spark, sf_dir).collect()
+        li = load_table(spark, sf_dir, "lineitem").collect()
+        orders = {
+            r.o_orderkey: r.o_custkey
+            for r in load_table(spark, sf_dir, "orders").collect()
+        }
+        inter = defaultdict(float)
+        for r in li:
+            inter[(orders[r.l_orderkey], r.l_partkey)] += 1.0
+        by_user = defaultdict(list)
+        by_item = defaultdict(list)
+        for (u, i), cnt in inter.items():
+            by_user[u].append((i, cnt))
+            by_item[i].append((u, cnt))
+        yf = {
+            i: np.round(
+                np.array(
+                    [
+                        (self._md5_uniform(f"item:{i}:{d}") - 0.5) * 0.1
+                        for d in range(ALS_K)
+                    ]
+                ),
+                ALS_QUANTUM,
+            )
+            for i in by_item
+        }
+        xf = {}
+
+        def solve(pairs, fixed):
+            pairs = sorted(pairs)
+            y = np.vstack([fixed[i] for i, _ in pairs])
+            r = np.array([c for _, c in pairs])
+            a = y.T @ y + ALS_LAMBDA * np.eye(ALS_K)
+            return np.round(np.linalg.solve(a, y.T @ r), ALS_QUANTUM)
+
+        for _ in range(ALS_ROUNDS):
+            xf = {u: solve(p, yf) for u, p in by_user.items()}
+            yf = {i: solve(p, xf) for i, p in by_item.items()}
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        want = {
+            (u, i): round(fold_dot(xf[u], yf[i]), 4)
+            for (u, i) in inter
+        }
+        got = {(r.user, r.item): r.pred for r in rows}
+        assert got == want
+        # rmse sanity: the fit reconstructs observed counts well
+        assert rows[0].rmse < 0.5
+        assert len(rows) == len(inter)

@@ -436,6 +436,7 @@ class TestJobFreeBuilders:
             #                          for the absorbing-chain solves
             "q_textrank",    # pagerank subroutine checkpoints per round
             "q_calibration",  # scores q_logreg's Newton fit
+            "q_als",         # ALS rounds checkpoint factor tables
         }
         tracker = spark.sparkContext._jsc.sc().statusTracker()
         offenders = []
@@ -809,3 +810,19 @@ class TestRound1LateAdditions:
         plan = _plan(spark, sf_dir, "q_lateral_topk")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_dataset_diff_hashes_only(self, spark, sf_dir):
+        """q_dataset_diff: both versions collapse to (key, md5) before
+        the full-outer join — document text never crosses the join, and
+        the classify+count is one aggregation over the joined keys."""
+        plan = _plan(spark, sf_dir, "q_dataset_diff")
+        assert plan.count("documents.parquet") == 2  # v1 + v2 legs
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_sample_size_one_row_grid(self, spark, sf_dir):
+        """q_sample_size: one events scan to a 1-row baseline; the MDE
+        grid explodes over that row — no joins, no extra scans."""
+        plan = _plan(spark, sf_dir, "q_sample_size")
+        assert plan.count("events.parquet") == 1
+        assert "Join" not in plan
+        assert "Generate" in plan

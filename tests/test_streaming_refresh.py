@@ -513,3 +513,69 @@ class TestCdcApply:
         assert sorted(map(tuple, seq.collect())) == sorted(
             map(tuple, allatonce.collect())
         )
+
+
+class TestEventTimeTimeoutSessions:
+    def test_closed_sessions_match_batch(self, spark, sf_dir, tmp_path):
+        """Every emitted session must exactly match a batch-computed
+        gap session, and the emitted set must be exactly 'all sessions
+        except each user's final one' (the final session has no later
+        event or watermark advance to close it).  Files are written
+        range-partitioned by ts so micro-batches advance in event time
+        (no late-drop ambiguity)."""
+        from etl_embargo_spark.streaming.daily import (
+            stream_events_from_parquet,
+        )
+        from etl_embargo_spark.streaming.stateful import (
+            batch_sessions,
+            session_close_stream,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        src_dir = str(tmp_path / "events_by_time")
+        out_dir = str(tmp_path / "sessions_out")
+        ckpt = str(tmp_path / "ckpt")
+        # the file source orders batches by file MODIFICATION TIME, so
+        # write 8 time-slices sequentially (strictly increasing mtimes)
+        # — then maxFilesPerTrigger=4 yields micro-batches that advance
+        # in event time and nothing is late-dropped
+        import time
+
+        for i in range(8):
+            lo, hi = f"2024-01-{1 + 4 * i:02d}", f"2024-01-{5 + 4 * i:02d}"
+            part = events.filter(
+                (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+                & (
+                    F.col("ts") < F.lit(hi).cast("timestamp_ntz")
+                    if i < 7
+                    else F.lit(True)
+                )
+            )
+            part.coalesce(1).write.mode("append").parquet(src_dir)
+            time.sleep(0.15)
+
+        stream = stream_events_from_parquet(spark, src_dir, events.schema)
+        q = (
+            session_close_stream(stream)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .start()
+        )
+        q.awaitTermination(240)
+
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        want = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in batch_sessions(events).collect()
+        }
+        assert got, "no sessions closed"
+        missing = want - got
+        extra = got - want
+        assert not extra, f"stream emitted non-batch sessions: {sorted(extra)[:3]}"
+        assert not missing, f"stream missed sessions: {sorted(missing)[:3]}"
