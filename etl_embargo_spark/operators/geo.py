@@ -1,0 +1,123 @@
+"""Spatial operators (north-star extension): grid-blocked radius join —
+the family representative for geospatial processing, built with the same
+no-self-join blocking discipline as the dedup suite.
+
+The synthetic tables carry no coordinates, so each customer gets a
+DETERMINISTIC position from the engine-independent md5-uniform (the
+q_hash_sample contract: geometry must not change when the engine does).
+The join itself is the scale-correct spatial shape:
+
+* points land in grid cells sized to the search radius, and each point
+  replicates to its 3×3 cell neighborhood — a bounded ×9, the spatial
+  analog of LSH banding;
+* candidate pairs come from ``dedup._bucket_pairs`` (groupBy cell →
+  sorted collect_set → in-array expansion): one pass, one (cell, point)
+  shuffle, NO self-join — then distinct across shared cells;
+* the exact radius check runs on squared degree distance (pure
+  arithmetic — no transcendentals, so the oracle compare is exact);
+* cost is Σ|cell|², bounded by point density × radius², never |points|²
+  (the deliberately-quadratic DuckDB oracle IS |points|²: the plan
+  difference is the point).
+
+The reference (m-lab/etl-embargo) has nothing spatial; extension scope
+per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_embargo_spark.catalog import load_table
+
+GEO_RADIUS_DEG = 0.2  # search radius (and grid cell size), in degrees
+GEO_LAT_BASE = 40.0
+GEO_LON_BASE = -5.0
+GEO_SPAN = 10.0  # points scatter over a 10° × 10° box
+
+
+def _md5_unit(key: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+
+
+def customer_points(cust: DataFrame) -> DataFrame:
+    """(cust_id, lat, lon) with md5-deterministic synthetic coordinates."""
+    key = F.col("c_custkey").cast("string")
+    return cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        (
+            _md5_unit(F.concat(F.lit("lat:"), key)) * GEO_SPAN
+            + F.lit(GEO_LAT_BASE)
+        ).alias("lat"),
+        (
+            _md5_unit(F.concat(F.lit("lon:"), key)) * GEO_SPAN
+            + F.lit(GEO_LON_BASE)
+        ).alias("lon"),
+    )
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within GEO_RADIUS_DEG degrees of each other —
+    the radius self-join every geo pipeline needs (store catchment
+    overlap, sensor cross-matching), in the cell-blocked form that
+    scales.
+
+    Each point replicates to its 3×3 neighbor cells; intra-cell pairs
+    expand in-array (no self-join) and dedupe across shared cells; the
+    exact distance check is squared-degree arithmetic (engine-exact).
+    Output: pair, rounded distance."""
+    from etl_embargo_spark.operators.dedup import _bucket_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = customer_points(cust)
+    cell_lat = F.floor(F.col("lat") / GEO_RADIUS_DEG).cast("int")
+    cell_lon = F.floor(F.col("lon") / GEO_RADIUS_DEG).cast("int")
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8), "
+        "k -> struct(k div 3 - 1 AS dy, k % 3 - 1 AS dx)))"
+    )
+    replicated = pts.select(
+        "cust_id",
+        "lat",
+        "lon",
+        cell_lat.alias("cy"),
+        cell_lon.alias("cx"),
+        offsets.alias("o"),
+    ).select(
+        "cust_id",
+        "lat",
+        "lon",
+        (F.col("cy") + F.col("o.dy")).alias("gy"),
+        (F.col("cx") + F.col("o.dx")).alias("gx"),
+    )
+    pairs = _bucket_pairs(
+        replicated,
+        ["gy", "gx"],
+        F.struct(
+            F.col("cust_id").alias("id"),
+            F.col("lat").alias("plat"),
+            F.col("lon").alias("plon"),
+        ),
+        max_bucket=None,
+    ).select(
+        F.col("a.id").alias("cust_a"),
+        F.col("b.id").alias("cust_b"),
+        (
+            (F.col("a.plat") - F.col("b.plat"))
+            * (F.col("a.plat") - F.col("b.plat"))
+            + (F.col("a.plon") - F.col("b.plon"))
+            * (F.col("a.plon") - F.col("b.plon"))
+        ).alias("d2"),
+    )
+    return (
+        pairs.filter(
+            F.col("d2") <= F.lit(GEO_RADIUS_DEG * GEO_RADIUS_DEG)
+        )
+        .select(
+            "cust_a", "cust_b", F.round(F.sqrt("d2"), 6).alias("dist_deg")
+        )
+        .distinct()
+    )

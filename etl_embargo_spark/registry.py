@@ -34,7 +34,7 @@ from etl_embargo_spark.operators import (
     temporal,
     text,
 )
-from etl_embargo_spark.operators import recsys
+from etl_embargo_spark.operators import geo, recsys
 from etl_embargo_spark.plans import corpus_pipeline
 from etl_embargo_spark.streaming import daily
 
@@ -4905,3 +4905,28 @@ register(
 )
 
 register("q_als", recsys.q_als, None)
+
+register(
+    "q_spatial_join",
+    geo.q_spatial_join,
+    f"""
+    WITH pts AS (
+        SELECT c_custkey AS cust_id,
+               ('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)),
+                    1, 8))::UBIGINT / 4294967296.0
+                   * {geo.GEO_SPAN!r} + {geo.GEO_LAT_BASE!r} AS lat,
+               ('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)),
+                    1, 8))::UBIGINT / 4294967296.0
+                   * {geo.GEO_SPAN!r} + {geo.GEO_LON_BASE!r} AS lon
+        FROM customer
+    )
+    SELECT a.cust_id AS cust_a, b.cust_id AS cust_b,
+           round(sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                      + (a.lon - b.lon) * (a.lon - b.lon)), 6)
+               AS dist_deg
+    FROM pts a JOIN pts b ON a.cust_id < b.cust_id
+    WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon)
+          <= CAST({geo.GEO_RADIUS_DEG * geo.GEO_RADIUS_DEG!r} AS DOUBLE)
+    """,
+)

@@ -826,3 +826,12 @@ class TestRound1LateAdditions:
         assert plan.count("events.parquet") == 1
         assert "Join" not in plan
         assert "Generate" in plan
+
+    def test_spatial_join_no_self_join(self, spark, sf_dir):
+        """q_spatial_join: candidate pairs come from the cell-blocked
+        in-array expansion — ONE customer scan, no join operators at
+        all (the oracle's quadratic self-join is exactly what the plan
+        must avoid)."""
+        plan = _plan(spark, sf_dir, "q_spatial_join")
+        assert plan.count("customer.parquet") == 1
+        assert "Join" not in plan
