@@ -279,6 +279,11 @@ SHOWCASE: dict[str, str] = {
         "the x200 explode partial-aggregates map-side straight to the "
         "B-row replicate relation."
     ),
+    "q_spatial_join": (
+        "Spatial radius join: cell blocking + 3x3 replication + in-array "
+        "pair expansion — one scan, zero self-joins; cost is sum of "
+        "cell^2, never points^2."
+    ),
     "q_theilsen": (
         "Robust regression: the quadratic pair expansion is a "
         "BroadcastNestedLoopJoin over the <=366-day aggregate (lazily "
