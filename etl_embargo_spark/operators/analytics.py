@@ -4088,3 +4088,200 @@ def q_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 6).alias("p_target"),
         n_arm.cast("bigint").alias("n_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split search (1-level tree induction)
+# ---------------------------------------------------------------------------
+
+STUMP_FEATURES = ("l_quantity", "l_discount")
+STUMP_LABEL_FLAG = "R"
+
+
+def q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump induction: for each candidate numeric feature, the
+    single threshold split (x <= t vs x > t) that best separates the
+    binary label (l_returnflag = 'R') by Gini purity — the inner loop of
+    tree/GBDT training, run as one declarative pass.
+
+    Scale shape: the raw rows collapse to per-(feature, value) label
+    counts first (one map-side-combined shuffle; the relation is
+    distinct-value-sized — 50 + 11 values here, and at 100 TB you'd
+    pre-bin continuous features to ~256 quantile bins first, same plan
+    one aggregate earlier).  Candidate thresholds are cumulative window
+    sums over that tiny relation; the per-feature argmax is a
+    partitioned row_number rank-filter (WindowGroupLimit shape).
+
+    Engine determinism: the purity score is ONE IEEE division of two
+    exactly-representable bigints — ((posL²+negL²)·nR + (posR²+negR²)·nL)
+    / (nL·nR) — so both engines produce bit-identical doubles and the
+    argmax tie-break (threshold asc) only matters on true ties.  The
+    integer numerator stays below 2⁵³ through sf1 (n≈6e6 ⇒ ~2.2e20 would
+    overflow at sf100 — switch the squares to decimal(38,0) there)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack(2, 'l_quantity', l_quantity, 'l_discount', l_discount)"
+            " AS (feature, val)"
+        ),
+        (F.col("l_returnflag") == STUMP_LABEL_FLAG).cast("bigint").alias("y"),
+    )
+    per_val = stacked.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wcum = (
+        Window.partitionBy("feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("feature")
+    cum = per_val.select(
+        "feature",
+        "val",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("posl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("pos").over(wall).alias("post"),
+    ).filter(F.col("nl") < F.col("nt"))
+    nl, posl = F.col("nl"), F.col("posl")
+    nt, post = F.col("nt"), F.col("post")
+    negl = nl - posl
+    nr = nt - nl
+    posr = post - posl
+    negr = nr - posr
+    num = (posl * posl + negl * negl) * nr + (posr * posr + negr * negr) * nl
+    purity = num.cast("double") / (nl * nr)
+    parent = (post * post + (nt - post) * (nt - post)).cast("double") / (
+        nt * nt
+    )
+    scored = cum.select(
+        "feature",
+        "val",
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        "nt",
+        purity.alias("purity"),
+        (purity / nt - parent).alias("gain"),
+    )
+    rk = Window.partitionBy("feature").orderBy(
+        F.col("purity").desc(), F.col("val")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.round("val", 2).alias("threshold"),
+            "n_left",
+            "n_right",
+            F.round("purity", 6).alias("purity"),
+            F.round("gain", 9).alias("gain"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square feature screening
+# ---------------------------------------------------------------------------
+
+
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: for each categorical feature
+    (market segment; nationkey mod-5 band), the χ² statistic against the
+    solvency label (c_acctbal > 0) — the standard univariate feature-
+    selection pass before model training.
+
+    Scale shape: rows collapse to contingency cells in one map-side-
+    combined shuffle (the relation is |feature|×|label| cells, ~20
+    rows); marginals are window sums OVER the cell relation; nothing
+    row-sized survives the first aggregate.
+
+    Engine determinism: χ² = N·Σ obs²/(rowT·colT) − N.  Each term is one
+    IEEE division of exact bigints (bit-identical both engines), rounded
+    to 12 dp and summed as decimal(38,12) — decimal sums are associative
+    so partition merge order cannot flip the rounded output."""
+    cust = load_table(spark, sf_dir, "customer")
+    stacked = cust.select(
+        F.expr(
+            "stack(2, 'segment', c_mktsegment,"
+            " 'nation_band', cast(c_nationkey % 5 as string))"
+            " AS (feature, fval)"
+        ),
+        (F.col("c_acctbal") > 0).cast("int").alias("y"),
+    )
+    cells = stacked.groupBy("feature", "fval", "y").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    wf = Window.partitionBy("feature")
+    wrow = Window.partitionBy("feature", "fval")
+    wcol = Window.partitionBy("feature", "y")
+    terms = cells.select(
+        "feature",
+        "fval",
+        "y",
+        "obs",
+        F.sum("obs").over(wrow).alias("row_t"),
+        F.sum("obs").over(wcol).alias("col_t"),
+        F.sum("obs").over(wf).alias("n"),
+    ).select(
+        "feature",
+        "fval",
+        "y",
+        "n",
+        F.round(
+            (F.col("obs") * F.col("obs")).cast("double")
+            / (F.col("row_t") * F.col("col_t")),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("term"),
+    )
+    return terms.groupBy("feature").agg(
+        F.first("n").alias("n"),
+        (
+            (F.countDistinct("fval") - 1) * (F.countDistinct("y") - 1)
+        ).alias("dof"),
+        F.round(
+            (F.sum("term") * F.first("n") - F.first("n")).cast("double"), 6
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE hierarchy walk (SQL-standard WITH RECURSIVE, Spark 4)
+# ---------------------------------------------------------------------------
+
+HIERARCHY_FANOUT = 4  # parent(k) = floor((k-1)/4); node 0 is the root
+
+_HIERARCHY_SQL = """
+WITH RECURSIVE tree AS (
+    SELECT c_custkey AS node, 1 AS depth, c_acctbal AS bal
+    FROM customer WHERE c_custkey = 0
+    UNION ALL
+    SELECT c.c_custkey, t.depth + 1, c.c_acctbal
+    FROM customer c JOIN tree t
+      ON CAST(floor((c.c_custkey - 1) / 4.0) AS BIGINT) = t.node
+    WHERE c.c_custkey > 0
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node,
+       CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM tree GROUP BY depth
+"""
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard recursive CTE (Spark 4's WITH RECURSIVE): walk the
+    synthetic org tree parent(k) = floor((k-1)/4) from the root and
+    report per-depth node counts and exact balance totals — the
+    management-chain / BOM-expansion query shape.
+
+    Scale shape: recursion depth is log₄(n) (~6 at sf0.1); each
+    iteration is one join of the full relation against the
+    previous-depth frontier, so total work is depth × one hash join, and
+    the frontier is always broadcastable.  Balance totals are exact
+    integer cents — no float aggregation anywhere."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_HIERARCHY_SQL)

@@ -666,3 +666,79 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new_docs"),
         F.count_distinct("h").alias("n_new_hashes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi–Sunter-style blocked scoring)
+# ---------------------------------------------------------------------------
+
+# Deterministic "dirty feed" derived from customer: one-third of keys are
+# missing, some names carry a one-character typo, some balances drift.
+LINK_DIRTY_DROP_MOD = 3  # custkey % 3 == 2 absent from the dirty feed
+LINK_NAME_TYPO_MOD = 4  # custkey % 4 == 1 -> last char replaced with 'X'
+LINK_BAL_DRIFT_MOD = 5  # custkey % 5 == 2 -> balance shifted +0.75
+LINK_ID_OFFSET = 1_000_000
+# Agreement/disagreement log-odds weights (exact binary fractions so the
+# score sum is engine-exact) and the review threshold.
+LINK_W_NAME, LINK_W_NAME_MISS = 3.0, -1.0
+LINK_W_BAL, LINK_W_BAL_MISS = 2.0, -0.5
+LINK_THRESHOLD = 2.5  # name agreement required; balance breaks ties
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi–Sunter shape): match a
+    deterministic "dirty CRM feed" (derived from customer with dropped
+    rows, one-character name typos, and balance drift) back to the
+    master by blocked pairwise scoring — name agreement = Levenshtein
+    ≤ 1, balance agreement = |Δ| ≤ 1.0, each contributing a log-odds
+    weight; pairs above threshold are emitted as candidate links.
+
+    Scale shape: the candidate space is bounded by BLOCKING on
+    (nationkey, mktsegment) — the join shuffles each side once on the
+    block key and pair scoring runs inside blocks only (O(Σ b²) with
+    b ≈ n/125, never the global n²).  Levenshtein runs JVM-side in
+    whole-stage codegen.  At 100 TB you'd tighten blocks (add a name
+    prefix term) to hold b constant.
+
+    Engine determinism: weights are exact binary fractions summed per
+    row (no float aggregation); the balance-drift perturbation (+0.75)
+    and the |Δ| ≤ 1.0 compare are exact IEEE ops on identical doubles."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty = cust.filter(k % LINK_DIRTY_DROP_MOD != 2).select(
+        (k + LINK_ID_OFFSET).alias("d_id"),
+        F.when(
+            k % LINK_NAME_TYPO_MOD == 1,
+            F.concat(
+                F.expr("substring(c_name, 1, length(c_name) - 1)"),
+                F.lit("X"),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.when(k % LINK_BAL_DRIFT_MOD == 2, F.col("c_acctbal") + 0.75)
+        .otherwise(F.col("c_acctbal"))
+        .alias("d_bal"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.col("c_mktsegment").alias("d_segment"),
+    )
+    pairs = cust.join(
+        dirty,
+        (F.col("c_nationkey") == F.col("d_nation"))
+        & (F.col("c_mktsegment") == F.col("d_segment")),
+    )
+    lev = F.levenshtein(F.col("c_name"), F.col("d_name"))
+    name_agree = lev <= 1
+    bal_agree = F.abs(F.col("c_acctbal") - F.col("d_bal")) <= 1.0
+    score = F.when(name_agree, F.lit(LINK_W_NAME)).otherwise(
+        F.lit(LINK_W_NAME_MISS)
+    ) + F.when(bal_agree, F.lit(LINK_W_BAL)).otherwise(F.lit(LINK_W_BAL_MISS))
+    return (
+        pairs.select(
+            F.col("c_custkey").alias("master_key"),
+            "d_id",
+            lev.alias("name_lev"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= LINK_THRESHOLD)
+    )

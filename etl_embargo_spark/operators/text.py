@@ -1479,3 +1479,54 @@ def q_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_tf").desc(), F.col("stem"))
         .limit(STEM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease, syllable-heuristic)
+# ---------------------------------------------------------------------------
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability profile: Flesch reading ease over the
+    corpus with the standard vowel-group syllable heuristic — words =
+    letter runs, sentences = [.!?] runs (min 1), syllables ≈ [aeiouy]
+    runs.  The complexity gate a quality pipeline applies next to
+    length/stopword filters.
+
+    Scale shape: three regexp_count projections per document (codegen,
+    one scan, no Python), then one map-side-combined rollup to the
+    per-language relation.
+
+    Engine determinism: each per-document ratio is a chain of correctly
+    rounded IEEE ops on exact integers (identical in both engines); the
+    per-document score is rounded to 6 dp, cast decimal(18,6), and
+    summed as decimals (associative — merge order cannot flip the
+    average), divided once at the end."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+")), F.lit(1)
+    )
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    )
+    syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    wps = words.cast("double") / sents
+    spw = syll.cast("double") / words
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    scored = doc.select(
+        "lang",
+        F.round(flesch, 6).cast("decimal(18,6)").alias("score_d"),
+        F.round(wps, 6).cast("decimal(18,6)").alias("wps_d"),
+        F.round(spw, 6).cast("decimal(18,6)").alias("spw_d"),
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.round(F.sum("score_d").cast("double") / n, 6).alias("avg_flesch"),
+        F.round(F.sum("wps_d").cast("double") / n, 6).alias(
+            "avg_words_per_sentence"
+        ),
+        F.round(F.sum("spw_d").cast("double") / n, 6).alias(
+            "avg_syllables_per_word"
+        ),
+    )

@@ -4930,3 +4930,164 @@ register(
           <= CAST({geo.GEO_RADIUS_DEG * geo.GEO_RADIUS_DEG!r} AS DOUBLE)
     """,
 )
+
+register(
+    "q_stump",
+    analytics.q_stump,
+    f"""
+    WITH stacked AS (
+        SELECT 'l_quantity' AS feature, l_quantity AS val,
+               CAST(l_returnflag = {analytics.STUMP_LABEL_FLAG!r} AS BIGINT)
+                   AS y
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount,
+               CAST(l_returnflag = {analytics.STUMP_LABEL_FLAG!r} AS BIGINT)
+        FROM lineitem
+    ),
+    per_val AS (
+        SELECT feature, val, count(*) AS n, sum(y) AS pos
+        FROM stacked GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT feature, val,
+               sum(n) OVER (PARTITION BY feature ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+               sum(pos) OVER (PARTITION BY feature ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl,
+               sum(n) OVER (PARTITION BY feature) AS nt,
+               sum(pos) OVER (PARTITION BY feature) AS post
+        FROM per_val
+    ),
+    scored AS (
+        SELECT feature, val, nl, nt - nl AS nr, nt, post,
+               CAST((posl * posl + (nl - posl) * (nl - posl)) * (nt - nl)
+                    + ((post - posl) * (post - posl)
+                       + ((nt - nl) - (post - posl))
+                         * ((nt - nl) - (post - posl))) * nl
+                    AS DOUBLE) / (nl * (nt - nl)) AS purity
+        FROM cum WHERE nl < nt
+    )
+    SELECT feature,
+           round(val, 2) AS threshold,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           round(purity, 6) AS purity,
+           round(purity / nt
+                 - CAST(post * post + (nt - post) * (nt - post) AS DOUBLE)
+                   / (nt * nt), 9) AS gain
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY feature ORDER BY purity DESC, val) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+
+register(
+    "q_chi2",
+    analytics.q_chi2,
+    """
+    WITH stacked AS (
+        SELECT 'segment' AS feature, c_mktsegment AS fval,
+               CAST(c_acctbal > 0 AS INT) AS y
+        FROM customer
+        UNION ALL
+        SELECT 'nation_band', CAST(c_nationkey % 5 AS VARCHAR),
+               CAST(c_acctbal > 0 AS INT)
+        FROM customer
+    ),
+    cells AS (
+        SELECT feature, fval, y, count(*) AS obs
+        FROM stacked GROUP BY 1, 2, 3
+    ),
+    terms AS (
+        SELECT feature, fval, y,
+               sum(obs) OVER (PARTITION BY feature) AS n,
+               CAST(round(
+                   CAST(obs * obs AS DOUBLE)
+                   / (sum(obs) OVER (PARTITION BY feature, fval)
+                      * sum(obs) OVER (PARTITION BY feature, y)), 12)
+                   AS DECIMAL(38,12)) AS term
+        FROM cells
+    )
+    SELECT feature,
+           CAST(any_value(n) AS BIGINT) AS n,
+           CAST((count(DISTINCT fval) - 1) * (count(DISTINCT y) - 1)
+                AS BIGINT) AS dof,
+           round(CAST(sum(term) * any_value(n) - any_value(n) AS DOUBLE), 6)
+               AS chi2
+    FROM terms GROUP BY feature
+    """,
+)
+
+register("q_hierarchy_rollup", analytics.q_hierarchy_rollup,
+         analytics._HIERARCHY_SQL)
+
+register(
+    "q_readability",
+    text.q_readability,
+    """
+    WITH scored AS (
+        SELECT lang,
+               CAST(round(206.835
+                   - 1.015 * (CAST(greatest(len(regexp_extract_all(
+                         lower(text), '[a-z]+')), 1) AS DOUBLE)
+                       / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                   - 84.6 * (CAST(len(regexp_extract_all(
+                         lower(text), '[aeiouy]+')) AS DOUBLE)
+                       / greatest(len(regexp_extract_all(
+                             lower(text), '[a-z]+')), 1)), 6)
+                   AS DECIMAL(18,6)) AS score_d,
+               CAST(round(CAST(greatest(len(regexp_extract_all(
+                         lower(text), '[a-z]+')), 1) AS DOUBLE)
+                   / greatest(len(regexp_extract_all(text, '[.!?]+')), 1), 6)
+                   AS DECIMAL(18,6)) AS wps_d,
+               CAST(round(CAST(len(regexp_extract_all(
+                         lower(text), '[aeiouy]+')) AS DOUBLE)
+                   / greatest(len(regexp_extract_all(
+                         lower(text), '[a-z]+')), 1), 6)
+                   AS DECIMAL(18,6)) AS spw_d
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(score_d) AS DOUBLE) / count(*), 6) AS avg_flesch,
+           round(CAST(sum(wps_d) AS DOUBLE) / count(*), 6)
+               AS avg_words_per_sentence,
+           round(CAST(sum(spw_d) AS DOUBLE) / count(*), 6)
+               AS avg_syllables_per_word
+    FROM scored GROUP BY lang
+    """,
+)
+
+register(
+    "q_record_linkage",
+    dedup.q_record_linkage,
+    f"""
+    WITH dirty AS (
+        SELECT c_custkey + {dedup.LINK_ID_OFFSET} AS d_id,
+               CASE WHEN c_custkey % {dedup.LINK_NAME_TYPO_MOD} = 1
+                    THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+                    ELSE c_name END AS d_name,
+               CASE WHEN c_custkey % {dedup.LINK_BAL_DRIFT_MOD} = 2
+                    THEN c_acctbal + 0.75 ELSE c_acctbal END AS d_bal,
+               c_nationkey AS d_nation, c_mktsegment AS d_segment
+        FROM customer
+        WHERE c_custkey % {dedup.LINK_DIRTY_DROP_MOD} <> 2
+    ),
+    pairs AS (
+        SELECT m.c_custkey AS master_key, d.d_id,
+               levenshtein(m.c_name, d.d_name) AS name_lev,
+               (CASE WHEN levenshtein(m.c_name, d.d_name) <= 1
+                     THEN {dedup.LINK_W_NAME!r}
+                     ELSE {dedup.LINK_W_NAME_MISS!r} END
+                + CASE WHEN abs(m.c_acctbal - d.d_bal) <= 1.0
+                       THEN {dedup.LINK_W_BAL!r}
+                       ELSE {dedup.LINK_W_BAL_MISS!r} END) AS score
+        FROM customer m JOIN dirty d
+          ON m.c_nationkey = d.d_nation AND m.c_mktsegment = d.d_segment
+    )
+    SELECT master_key, d_id, CAST(name_lev AS INT) AS name_lev, score
+    FROM pairs WHERE score >= {dedup.LINK_THRESHOLD!r}
+    """,
+)
