@@ -4285,3 +4285,77 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents — no float aggregation anywhere."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_HIERARCHY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Rolling regression (trailing-window beta)
+# ---------------------------------------------------------------------------
+
+BETA_WINDOW = 28  # trailing days per beta estimate
+
+
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day beta of each order-priority's daily revenue against
+    the whole market: trailing-window least-squares slope via the five
+    co-moment sums — the moving-regression surface (factor exposure,
+    elasticity drift) computed without any self-join.
+
+    Scale shape: raw rows collapse once to the per-(priority, day) cent
+    relation (map-side combined); the market series is a window sum OVER
+    that daily relation (days × priorities rows, never raw rows); the
+    five trailing sums are one window pass with a ROWS frame — bounded
+    state, WindowExec streams each partition once.
+
+    Engine determinism: all five co-moment sums accumulate exact
+    decimal(38,0) products of integer cents (associative — no float
+    merge-order hazard); numerator and denominator are cast to double
+    once and divided once."""
+    orders = load_table(spark, sf_dir, "orders")
+    d_int = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    )
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        d_int.alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev"
+        )
+    )
+    wday = Window.partitionBy("d")
+    with_mkt = daily.select(
+        "priority",
+        "d",
+        F.col("rev").cast("decimal(19,0)").alias("y"),
+        F.sum("rev").over(wday).cast("decimal(19,0)").alias("x"),
+    )
+    wtrail = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(-(BETA_WINDOW - 1), Window.currentRow)
+    )
+    wrank = Window.partitionBy("priority").orderBy("d")
+    sums = with_mkt.select(
+        "priority",
+        "d",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wtrail).alias("n"),
+        F.sum("x").over(wtrail).alias("sx"),
+        F.sum("y").over(wtrail).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wtrail).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wtrail).alias("sxx"),
+    ).filter(F.col("rn") >= BETA_WINDOW)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return sums.select(
+        "priority",
+        "d",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / den, 9).alias("beta"),
+    )

@@ -329,3 +329,68 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n2 / n1, 6).alias("conv_1_2"),
         F.round(n3 / n2, 6).alias("conv_2_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics
+# ---------------------------------------------------------------------------
+
+
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival profile: the gap between consecutive
+    same-type events of each user (lag over the per-user-per-type ordered
+    scan), rolled up to count / mean / exact median seconds per type —
+    the cadence fingerprint behind rate-limit tuning and bot detection.
+
+    Scale shape: the lag window is partitioned by (user_id, event_type) —
+    bounded per-key state, one exchange.  The median is the rank-selection
+    pattern over the per-type gap relation (row_number + partition count,
+    pick floor((n+1)/2) and floor(n/2)+1): one more exchange on the
+    ~|events|-sized integer gap relation; at 100 TB you'd pre-bin gaps to
+    log-spaced buckets and take the bucket median — same plan, one
+    aggregate earlier.
+
+    Engine determinism: gaps are exact integer µs (NTZ timestampdiff);
+    mean = one IEEE division of exact bigints; the median picks are
+    integers and their average is one division — nothing accumulates in
+    floating point."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over "
+        "(partition by user_id, event_type order by ts, event_id), ts)"
+    )
+    gaps = ev.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("sum_us"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    wn = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nd"),
+    )
+    picks = ranked.filter(
+        (F.col("rn") == F.floor((F.col("nd") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("nd") / 2) + 1)
+    )
+    med = picks.groupBy("event_type").agg(
+        F.sum("gap_us").alias("med_sum"),
+        F.count(F.lit(1)).alias("med_n"),
+    )
+    return stats.join(med, "event_type").select(
+        "event_type",
+        "n_gaps",
+        F.round(
+            F.col("sum_us") / (F.col("n_gaps") * F.lit(1000000.0)), 6
+        ).alias("avg_gap_s"),
+        F.round(
+            F.col("med_sum") / (F.col("med_n") * F.lit(1000000.0)), 6
+        ).alias("median_gap_s"),
+    )

@@ -5091,3 +5091,79 @@ register(
     FROM pairs WHERE score >= {dedup.LINK_THRESHOLD!r}
     """,
 )
+
+register(
+    "q_interarrival",
+    temporal.q_interarrival,
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               date_diff('microsecond', lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id), ts) AS gap_us
+        FROM events
+    ),
+    g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    stats AS (
+        SELECT event_type, count(*) AS n_gaps, sum(gap_us) AS sum_us
+        FROM g GROUP BY 1
+    ),
+    ranked AS (
+        SELECT event_type, gap_us,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM g
+    ),
+    med AS (
+        SELECT event_type, sum(gap_us) AS med_sum, count(*) AS med_n
+        FROM ranked
+        WHERE rn = CAST(floor((nd + 1) / 2.0) AS BIGINT)
+           OR rn = CAST(floor(nd / 2.0) AS BIGINT) + 1
+        GROUP BY 1
+    )
+    SELECT s.event_type,
+           CAST(s.n_gaps AS BIGINT) AS n_gaps,
+           round(s.sum_us / (s.n_gaps * 1000000.0), 6) AS avg_gap_s,
+           round(m.med_sum / (m.med_n * 1000000.0), 6) AS median_gap_s
+    FROM stats s JOIN med m USING (event_type)
+    """,
+)
+
+register(
+    "q_rolling_beta",
+    analytics.q_rolling_beta,
+    f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                   + day(o_orderdate) AS d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    with_mkt AS (
+        SELECT priority, d,
+               CAST(rev AS DECIMAL(19,0)) AS y,
+               CAST(sum(rev) OVER (PARTITION BY d) AS DECIMAL(19,0)) AS x
+        FROM daily
+    ),
+    sums AS (
+        SELECT priority, d,
+               row_number() OVER (PARTITION BY priority ORDER BY d) AS rn,
+               count(*) OVER wt AS n,
+               sum(x) OVER wt AS sx,
+               sum(y) OVER wt AS sy,
+               sum(x * y) OVER wt AS sxy,
+               sum(x * x) OVER wt AS sxx
+        FROM with_mkt
+        WINDOW wt AS (PARTITION BY priority ORDER BY d
+                      ROWS BETWEEN {analytics.BETA_WINDOW - 1} PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT priority, d,
+           CAST(n AS BIGINT) AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS beta
+    FROM sums WHERE rn >= {analytics.BETA_WINDOW}
+    """,
+)

@@ -315,3 +315,80 @@ class TestErasureSink:
         stats = erase_users(spark, table, [10**12])
         assert stats == {"partitions_rewritten": 0, "rows_erased": 0}
         assert spark.read.parquet(table).count() == n
+
+
+class TestSnapshotTable:
+    """Manifest commit log: atomic versions, append/overwrite, time travel."""
+
+    def test_versions_append_overwrite_time_travel(
+        self, spark, sf_dir, tmp_path
+    ):
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.sinks.snapshots import (
+            history,
+            read_snapshot,
+            write_snapshot,
+        )
+
+        table = str(tmp_path / "snap")
+        nation = load_table(spark, sf_dir, "nation")
+        first = nation.filter("n_nationkey < 10")
+        rest = nation.filter("n_nationkey >= 10")
+
+        v1 = write_snapshot(first, table, mode="append")
+        v2 = write_snapshot(rest, table, mode="append")
+        v3 = write_snapshot(first, table, mode="overwrite")
+        assert (v1, v2, v3) == (1, 2, 3)
+
+        n_first = first.count()
+        n_all = nation.count()
+        # Latest = the overwrite.
+        assert read_snapshot(spark, table).count() == n_first
+        # Time travel: append history intact after the overwrite.
+        assert read_snapshot(spark, table, version=1).count() == n_first
+        assert read_snapshot(spark, table, version=2).count() == n_all
+        hist = history(table)
+        assert [h["version"] for h in hist] == [1, 2, 3]
+        assert hist[1]["n_files"] > hist[0]["n_files"]
+
+    def test_torn_write_invisible(self, spark, sf_dir, tmp_path):
+        """A writer that dies before the manifest rename leaves no
+        readable version — the crashed commit simply doesn't exist."""
+        import json
+        import os
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.sinks.snapshots import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        table = str(tmp_path / "snap")
+        nation = load_table(spark, sf_dir, "nation")
+        write_snapshot(nation, table, mode="append")
+        # Simulate a crash: stage a tmp manifest that never got renamed.
+        tmp = os.path.join(table, "_manifests", ".tmp-v00002.json")
+        with open(tmp, "w") as f:
+            json.dump({"version": 2, "mode": "append", "files": []}, f)
+        assert read_snapshot(spark, table).count() == nation.count()
+        # And the next commit claims version 2 cleanly.
+        v = write_snapshot(nation.limit(1), table, mode="append")
+        assert v == 2
+
+    def test_unknown_version_raises(self, spark, sf_dir, tmp_path):
+        import pytest as _pytest
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.sinks.snapshots import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        table = str(tmp_path / "snap")
+        write_snapshot(
+            load_table(spark, sf_dir, "region"), table, mode="append"
+        )
+        with _pytest.raises(FileNotFoundError):
+            read_snapshot(spark, table, version=7)
+        with _pytest.raises(FileNotFoundError):
+            read_snapshot(spark, str(tmp_path / "missing"))
