@@ -4359,3 +4359,41 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.round(num / den, 9).alias("beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank window surface (percent_rank / cume_dist / nth_value)
+# ---------------------------------------------------------------------------
+
+
+def q_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ANSI window-rank surface in one query: per nation,
+    each customer's percent_rank and cume_dist over account balance plus
+    the nation's runner-up balance via nth_value with an explicit
+    full-partition frame — the percentile-position readout behind
+    "you're in the top X%" features.
+
+    Scale shape: one exchange on the partition key, one sort, all four
+    functions evaluated in a single WindowExec pass (no per-function
+    re-sort: same partitioning + ordering).  nth_value needs the
+    explicit UNBOUNDED FOLLOWING frame — the default running frame
+    would return null for rows ranked above 2.
+
+    Engine determinism: percent_rank = (rank-1)/(n-1) and cume_dist =
+    peers/n are single IEEE divisions of exact integers; balances pass
+    through untouched."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("cust"),
+        F.col("c_acctbal").alias("bal"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.nth_value(F.col("c_acctbal"), 2).over(wfull).alias("runner_up"),
+    )

@@ -5167,3 +5167,23 @@ register(
     FROM sums WHERE rn >= {analytics.BETA_WINDOW}
     """,
 )
+
+register(
+    "q_rank_surface",
+    analytics.q_rank_surface,
+    """
+    SELECT c_nationkey AS nation,
+           c_custkey AS cust,
+           c_acctbal AS bal,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume,
+           nth_value(c_acctbal, 2) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS runner_up
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)

@@ -73,13 +73,18 @@ def _data_files(root: str) -> list[str]:
 
 
 def write_snapshot(
-    df: DataFrame, table_dir: str, mode: str = "append"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    meta: dict[str, Any] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
     ``mode='append'`` extends the parent version's file set;
     ``mode='overwrite'`` replaces it.  Either way old data files are
-    untouched — history stays readable."""
+    untouched — history stays readable.  ``meta`` (e.g. a streaming
+    batch id) is recorded in the manifest — the hook exactly-once sinks
+    key their idempotence on."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     versions = _list_versions(table_dir)
@@ -94,6 +99,7 @@ def write_snapshot(
         "mode": mode,
         "files": files,
         "schema": df.schema.json(),
+        "meta": meta or {},
     }
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
@@ -133,6 +139,7 @@ def history(table_dir: str) -> list[dict[str, Any]]:
             "version": m["version"],
             "mode": m["mode"],
             "n_files": len(m["files"]),
+            "meta": m.get("meta", {}),
         }
         for m in (
             _read_manifest(table_dir, v) for v in _list_versions(table_dir)

@@ -579,3 +579,50 @@ class TestEventTimeTimeoutSessions:
         extra = got - want
         assert not extra, f"stream emitted non-batch sessions: {sorted(extra)[:3]}"
         assert not missing, f"stream missed sessions: {sorted(missing)[:3]}"
+
+
+class TestStreamingSnapshotSink:
+    """foreachBatch → manifest commit log: one version per micro-batch,
+    replayed batches are no-ops, history time-travels per batch."""
+
+    def test_one_version_per_batch_and_time_travel(self, spark, tmp_path):
+        from etl_embargo_spark.sinks.snapshots import (
+            history,
+            read_snapshot,
+        )
+        from etl_embargo_spark.streaming.snapshot_stream import (
+            stream_to_snapshots,
+        )
+
+        src = str(tmp_path / "src")
+        _write_events(spark, src, [(1, "2024-01-01 00:00:00", 1, "a", 1.0)])
+        _write_events(spark, src, [(2, "2024-01-01 00:01:00", 1, "b", 2.0)])
+        _write_events(spark, src, [(3, "2024-01-01 00:02:00", 2, "a", 3.0)])
+
+        table = str(tmp_path / "table")
+        ckpt = str(tmp_path / "ckpt")
+        q = stream_to_snapshots(_stream(spark, src), table, ckpt)
+        q.awaitTermination(120)
+
+        hist = history(table)
+        assert len(hist) == 3  # maxFilesPerTrigger=1 -> 3 micro-batches
+        assert sorted(h["meta"]["batch_id"] for h in hist) == [0, 1, 2]
+        assert read_snapshot(spark, table).count() == 3
+        # Time travel: the table as of the first batch.
+        assert read_snapshot(spark, table, version=1).count() == 1
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        from etl_embargo_spark.catalog import load_table  # noqa: F401
+        from etl_embargo_spark.sinks.snapshots import history
+        from etl_embargo_spark.streaming.snapshot_stream import (
+            snapshot_batch_writer,
+        )
+
+        table = str(tmp_path / "table")
+        batch = spark.createDataFrame([(1,)], "k long")
+        writer = snapshot_batch_writer(table)
+        writer(batch, 0)
+        writer(batch, 0)  # at-least-once replay of the same batch id
+        writer(batch, 1)
+        hist = history(table)
+        assert [h["meta"]["batch_id"] for h in hist] == [0, 1]

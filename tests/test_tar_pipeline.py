@@ -175,3 +175,47 @@ def test_embargo_day_end_to_end(spark, tmp_path):
     # per-partition read prunes
     pub = spark.read.parquet(out).filter(F.col("visibility") == "public")
     assert "PartitionFilters" in pub._jdf.queryExecution().executedPlan().toString()
+
+
+@needs_ref
+def test_tar_python_datasource_matches_mapinpandas(spark):
+    """The Spark 4 Python Data Source connector and the mapInPandas
+    source must agree entry-for-entry, and plan one partition per
+    archive (the gzip-unsplittable parallel grain)."""
+    from etl_embargo_spark.sources.tar_datasource import (
+        make_tar_datasource,
+    )
+    from etl_embargo_spark.sources.tar_source import read_tar_entries
+
+    spark.dataSource.register(make_tar_datasource())
+    ds = spark.read.format("tar_archive").load(INPUT_TGZ)
+    assert ds.rdd.getNumPartitions() == 1  # one archive -> one partition
+
+    got = {r["path"]: r for r in ds.filter("is_regular").collect()}
+    want = {r["path"]: r for r in read_tar_entries(spark, INPUT_TGZ).collect()}
+    assert set(got) == set(want)
+    for path, row in want.items():
+        g = got[path]
+        assert bytes(g["content"] or b"") == bytes(row["content"] or b"")
+        assert g["size"] == row["size"]
+        assert g["mtime"] == row["mtime"]
+        assert g["archive"] == row["archive"]
+
+
+@needs_ref
+def test_tar_python_datasource_glob_and_errors(spark):
+    from etl_embargo_spark.sources.tar_datasource import (
+        make_tar_datasource,
+    )
+
+    spark.dataSource.register(make_tar_datasource())
+    # Directory form: every .tgz in the reference testdata dir.
+    many = spark.read.format("tar_archive").load(REF_TESTDATA)
+    n_archives = many.select("archive").distinct().count()
+    assert n_archives >= 3
+    assert many.rdd.getNumPartitions() == n_archives
+    # No match -> clean error at planning time.
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no archives match"):
+        spark.read.format("tar_archive").load("/nonexistent/*.tgz").count()
