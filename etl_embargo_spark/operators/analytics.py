@@ -4397,3 +4397,243 @@ def q_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.nth_value(F.col("c_acctbal"), 2).over(wfull).alias("runner_up"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation gap fill
+# ---------------------------------------------------------------------------
+
+INTERP_KNOWN_MOD = 3  # days with day-index % 3 == 0 are "observed"
+
+
+def q_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation between sparse observations: the daily
+    revenue series per order priority is deterministically thinned to
+    every third day, and the missing days are reconstructed by linear
+    interpolation between the bracketing observations — the gap-fill
+    step beyond q_date_spine's LOCF/zero-fill.
+
+    Scale shape: interpolation is two window passes over the per-
+    (priority, day) aggregate relation (never raw rows): a PRECEDING
+    frame carrying the last observation forward (last ignorenulls) and a
+    FOLLOWING frame pulling the next observation back (first
+    ignorenulls) — bounded state, one exchange, one sort.
+
+    Engine determinism: observations are integer cents and positions are
+    integer day indexes, so the interpolated value is y0 + (y1−y0)·Δ/span
+    with an exact bigint numerator and ONE IEEE division."""
+    orders = load_table(spark, sf_dir, "orders")
+    d_int = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    )
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"), d_int.alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev"
+        )
+    )
+    wseq = Window.partitionBy("priority").orderBy("d")
+    idx = daily.select(
+        "priority",
+        "d",
+        "rev",
+        F.row_number().over(wseq).alias("i"),
+    ).select(
+        "priority",
+        "d",
+        "i",
+        (F.col("i") % INTERP_KNOWN_MOD == 0).alias("observed"),
+        F.when(F.col("i") % INTERP_KNOWN_MOD == 0, F.col("rev")).alias(
+            "y_obs"
+        ),
+    )
+    wback = (
+        Window.partitionBy("priority")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfwd = (
+        Window.partitionBy("priority")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    braced = idx.select(
+        "priority",
+        "d",
+        "i",
+        "observed",
+        "y_obs",
+        F.last("y_obs", ignorenulls=True).over(wback).alias("y0"),
+        F.last(
+            F.when(F.col("y_obs").isNotNull(), F.col("i")), ignorenulls=True
+        )
+        .over(wback)
+        .alias("i0"),
+        F.first("y_obs", ignorenulls=True).over(wfwd).alias("y1"),
+        F.first(
+            F.when(F.col("y_obs").isNotNull(), F.col("i")), ignorenulls=True
+        )
+        .over(wfwd)
+        .alias("i1"),
+    )
+    interp = F.when(F.col("observed"), F.col("y_obs").cast("double")).otherwise(
+        F.col("y0")
+        + ((F.col("y1") - F.col("y0")) * (F.col("i") - F.col("i0"))).cast(
+            "double"
+        )
+        / (F.col("i1") - F.col("i0"))
+    )
+    return braced.filter(
+        F.col("y0").isNotNull() & F.col("y1").isNotNull()
+    ).select(
+        "priority",
+        "d",
+        "observed",
+        F.round(interp / 100.0, 6).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag: the price at
+    which half the shipped QUANTITY (not half the line items) is cheaper
+    — the robust "typical price" a plain median gets wrong when cheap
+    lines carry big quantities.
+
+    Scale shape: rows collapse to the per-(flag, price) weight relation
+    first (map-side combined); the cumulative-weight scan and the
+    first-crossing pick are one window pass over that collapsed
+    relation.  All weights are exact integers: the crossing test
+    2·cumw ≥ totw never touches floating point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_price = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    cum = per_price.select(
+        "flag",
+        "price",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wall).alias("totw"),
+    ).filter(2 * F.col("cumw") >= F.col("totw"))
+    first = Window.partitionBy("flag").orderBy("price")
+    return (
+        cum.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "flag",
+            F.col("price").alias("weighted_median_price"),
+            F.col("totw").alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential A/B test (SPRT random walk)
+# ---------------------------------------------------------------------------
+
+SPRT_P0, SPRT_P1 = 0.46, 0.54  # tested hypotheses (conversion under H0/H1)
+SPRT_A, SPRT_B = 2.944, -2.944  # ln((1-β)/α), ln(β/(1-α)) at α=β=0.05
+
+
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability-ratio test over the experiment stream: the
+    cumulative log-likelihood ratio walks over users in deterministic
+    order (user_id), and the readout reports each variant's final LLR,
+    its extremes, and the first crossing of either decision boundary —
+    the always-valid alternative to fixed-horizon A/B readouts
+    (q_ab_test / q_sample_size).
+
+    Scale shape: events collapse to per-user conversion flags (one
+    map-side-combined shuffle); the walk is a cumulative window over the
+    per-user relation ordered by user_id — the same legitimate global
+    window as q_ks_test (user-sized, never event-sized; at 100 TB the
+    walk would checkpoint per arrival-day partitions instead).
+
+    Engine determinism: the two per-observation log-likelihood
+    increments are CONSTANTS (ln(p1/p0), ln((1−p1)/(1−p0)) precomputed
+    in Python) scaled by exact integer counts — the cumulative LLR is
+    exact decimal arithmetic, so boundary crossings cannot flip between
+    engines."""
+    import math
+
+    inc_conv = round(math.log(SPRT_P1 / SPRT_P0), 9)
+    inc_fail = round(math.log((1 - SPRT_P1) / (1 - SPRT_P0)), 9)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            > F.sum((F.col("event_type") == "error").cast("int"))
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    walk = per_user.select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        "user_id",
+        "converted",
+        (
+            F.when(
+                F.col("converted") == 1,
+                F.lit(inc_conv).cast("decimal(18,9)"),
+            ).otherwise(F.lit(inc_fail).cast("decimal(18,9)"))
+        ).alias("inc"),
+    )
+    wcum = (
+        Window.partitionBy("variant")
+        .orderBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    llr = walk.select(
+        "variant",
+        "user_id",
+        F.sum("inc").over(wcum).alias("llr"),
+        F.row_number()
+        .over(Window.partitionBy("variant").orderBy("user_id"))
+        .alias("n"),
+    )
+    crossed = F.when(F.col("llr") >= SPRT_A, F.lit("accept_h1")).when(
+        F.col("llr") <= SPRT_B, F.lit("accept_h0")
+    )
+    return llr.select("variant", "n", "llr", crossed.alias("decision")).groupBy(
+        "variant"
+    ).agg(
+        F.max("n").alias("n_users"),
+        F.max("llr").cast("double").alias("max_llr"),
+        F.min("llr").cast("double").alias("min_llr"),
+        F.sum(F.when(F.col("decision").isNotNull(), 1).otherwise(0)).alias(
+            "n_beyond_bounds"
+        ),
+        F.min(F.when(F.col("decision").isNotNull(), F.col("n"))).alias(
+            "first_crossing_n"
+        ),
+        # Decision AT the first crossing: min over a sortable
+        # "zero-padded n : decision" key (portable argmin-by-n).
+        F.substring_index(
+            F.min(
+                F.when(
+                    F.col("decision").isNotNull(),
+                    F.concat(
+                        F.lpad(F.col("n").cast("string"), 12, "0"),
+                        F.lit(":"),
+                        F.col("decision"),
+                    ),
+                )
+            ),
+            ":",
+            -1,
+        ).alias("first_decision"),
+    )

@@ -5187,3 +5187,133 @@ register(
                  ORDER BY c_acctbal DESC, c_custkey)
     """,
 )
+
+register(
+    "q_interp",
+    analytics.q_interp,
+    f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                   + day(o_orderdate) AS d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT priority, d, rev,
+               row_number() OVER (PARTITION BY priority ORDER BY d) AS i
+        FROM daily
+    ),
+    marked AS (
+        SELECT priority, d, i,
+               (i % {analytics.INTERP_KNOWN_MOD} = 0) AS observed,
+               CASE WHEN i % {analytics.INTERP_KNOWN_MOD} = 0
+                    THEN rev END AS y_obs
+        FROM idx
+    ),
+    braced AS (
+        SELECT priority, d, i, observed, y_obs,
+               last_value(y_obs IGNORE NULLS) OVER wb AS y0,
+               last_value(CASE WHEN y_obs IS NOT NULL THEN i END
+                          IGNORE NULLS) OVER wb AS i0,
+               first_value(y_obs IGNORE NULLS) OVER wf AS y1,
+               first_value(CASE WHEN y_obs IS NOT NULL THEN i END
+                           IGNORE NULLS) OVER wf AS i1
+        FROM marked
+        WINDOW wb AS (PARTITION BY priority ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY priority ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT priority, d, observed,
+           round(CASE WHEN observed THEN CAST(y_obs AS DOUBLE)
+                      ELSE y0 + CAST((y1 - y0) * (i - i0) AS DOUBLE)
+                               / (i1 - i0)
+                 END / 100.0, 6) AS revenue
+    FROM braced
+    WHERE y0 IS NOT NULL AND y1 IS NOT NULL
+    """,
+)
+
+register(
+    "q_weighted_median",
+    analytics.q_weighted_median,
+    """
+    WITH per_price AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               sum(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT flag, price,
+               sum(w) OVER (PARTITION BY flag ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumw,
+               sum(w) OVER (PARTITION BY flag) AS totw
+        FROM per_price
+    ),
+    crossing AS (
+        SELECT flag, price, totw,
+               row_number() OVER (PARTITION BY flag ORDER BY price) AS rn
+        FROM cum WHERE 2 * cumw >= totw
+    )
+    SELECT flag, price AS weighted_median_price,
+           CAST(totw AS BIGINT) AS total_qty
+    FROM crossing WHERE rn = 1
+    """,
+)
+
+_SPRT_INC_CONV = __import__("math").log(analytics.SPRT_P1 / analytics.SPRT_P0)
+_SPRT_INC_FAIL = __import__("math").log(
+    (1 - analytics.SPRT_P1) / (1 - analytics.SPRT_P0)
+)
+
+register(
+    "q_sprt",
+    analytics.q_sprt,
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END)
+                    > sum(CASE WHEN event_type = 'error'
+                               THEN 1 ELSE 0 END) AS INT) AS converted
+        FROM events GROUP BY 1
+    ),
+    walk AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant, user_id, converted,
+               CAST(CASE WHEN converted = 1
+                         THEN {round(_SPRT_INC_CONV, 9)!r}
+                         ELSE {round(_SPRT_INC_FAIL, 9)!r} END
+                    AS DECIMAL(18,9)) AS inc
+        FROM per_user
+    ),
+    llr AS (
+        SELECT variant, user_id,
+               sum(inc) OVER (PARTITION BY variant ORDER BY user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+               row_number() OVER (PARTITION BY variant ORDER BY user_id)
+                   AS n
+        FROM walk
+    ),
+    flagged AS (
+        SELECT variant, n, llr,
+               CASE WHEN llr >= {analytics.SPRT_A!r} THEN 'accept_h1'
+                    WHEN llr <= {analytics.SPRT_B!r} THEN 'accept_h0'
+               END AS decision
+        FROM llr
+    )
+    SELECT variant,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(max(llr) AS DOUBLE) AS max_llr,
+           CAST(min(llr) AS DOUBLE) AS min_llr,
+           CAST(sum(CASE WHEN decision IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_beyond_bounds,
+           CAST(min(CASE WHEN decision IS NOT NULL THEN n END) AS BIGINT)
+               AS first_crossing_n,
+           nullif(split_part(min(CASE WHEN decision IS NOT NULL
+                THEN lpad(CAST(n AS VARCHAR), 12, '0') || ':' || decision
+                END), ':', 2), '') AS first_decision
+    FROM flagged GROUP BY variant
+    """,
+)
