@@ -361,8 +361,13 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestampdiff(MICROSECOND, lag(ts) over "
         "(partition by user_id, event_type order by ts, event_id), ts)"
     )
-    gaps = ev.select("event_type", gap.alias("gap_us")).filter(
-        F.col("gap_us").isNotNull()
+    gaps = (
+        ev.select("event_type", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        # consumed twice (mean rollup + median rank-selection): persist
+        # shares the lag-window pass instead of re-running the events
+        # scan + per-user sort per consumer (lazy, no build-time job)
+        .persist()
     )
     stats = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),

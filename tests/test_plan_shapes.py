@@ -835,3 +835,47 @@ class TestRound1LateAdditions:
         plan = _plan(spark, sf_dir, "q_spatial_join")
         assert plan.count("customer.parquet") == 1
         assert "Join" not in plan
+
+
+class TestRound1FinalBatchPlans:
+    def test_stump_argmax_is_window_group_limited(self, spark, sf_dir):
+        """q_stump: the per-feature argmax must be WindowGroupLimit
+        (rank pruned below the shuffle) and the candidate relation is
+        the per-(feature, value) aggregate — partial+final HashAggregate
+        before any window."""
+        plan = _plan(spark, sf_dir, "q_stump")
+        assert "WindowGroupLimit" in plan
+        assert "HashAggregate" in plan
+        assert "Join" not in plan
+
+    def test_weighted_median_crossing_pick_group_limited(
+        self, spark, sf_dir
+    ):
+        """q_weighted_median: first-crossing pick = per-flag rank filter
+        (WindowGroupLimit); cumulative weights run over the per-price
+        aggregate, never raw lineitem rows."""
+        plan = _plan(spark, sf_dir, "q_weighted_median")
+        assert "WindowGroupLimit" in plan
+        assert plan.count("HashAggregate") >= 2  # partial+final collapse
+
+    def test_interarrival_shares_gap_relation(self, spark, sf_dir):
+        """q_interarrival: the lag-window gap relation is persisted and
+        read by both the mean rollup and the median rank-selection —
+        cache reads, not two events scans."""
+        plan = _plan(spark, sf_dir, "q_interarrival")
+        assert plan.count("InMemoryTableScan") >= 2
+
+    def test_rank_surface_single_window_pass(self, spark, sf_dir):
+        """q_rank_surface: all four window functions share one
+        partitioning+ordering — exactly one exchange, no join."""
+        plan = _plan(spark, sf_dir, "q_rank_surface")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+
+    def test_rolling_beta_windows_over_daily_aggregate(self, spark, sf_dir):
+        """q_rolling_beta: the five trailing co-moment sums evaluate in
+        one WindowExec pass over the per-(priority, day) aggregate (a
+        window count of 2: market sum + trailing frame)."""
+        plan = _plan(spark, sf_dir, "q_rolling_beta")
+        assert plan.count("HashAggregate") >= 2
+        assert "Join" not in plan
