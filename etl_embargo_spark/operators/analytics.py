@@ -4637,3 +4637,126 @@ def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             -1,
         ).alias("first_decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA
+# ---------------------------------------------------------------------------
+
+
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across market segments: does mean account balance
+    differ by segment?  Reports between/within sums of squares and the
+    F statistic — the k-group generalization of q_ab_test.
+
+    Scale shape: one map-side-combined shuffle to per-group (n, Σx,
+    Σx²) in exact integer cents; everything after runs on the k-row
+    relation.  The textbook Σnᵍ(x̄ᵍ−x̄)² form needs per-group means
+    (floats); the computational identity SSB = Σ Sᵍ²/nᵍ − S²/n and
+    SSW = Q − Σ Sᵍ²/nᵍ needs only ONE division per group.
+
+    Engine determinism: Sᵍ is exact below 2⁵³, so double·double square
+    + one division is a two-op correctly-rounded chain (identical both
+    engines — a bigint square would overflow past sf0.3); the k
+    per-group terms are rounded to 6 dp and summed as decimals.  F is a
+    four-op IEEE chain over those exact values."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    per_g = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(cents).alias("s_g"),
+        F.sum(cents * cents).alias("q_g"),
+    )
+    term = F.round(
+        F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"), 6
+    ).cast("decimal(28,6)")
+    tot = per_g.select(
+        "n_g", "s_g", "q_g", term.alias("t_g")
+    ).groupBy().agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum("t_g").alias("t"),
+    )
+    grand = F.round(
+        F.col("s").cast("double") * F.col("s") / F.col("n"), 6
+    ).cast("decimal(28,6)")
+    staged = tot.select(
+        "k",
+        "n",
+        (F.col("t") - grand).alias("ssb_c2"),
+        (F.col("q").cast("decimal(28,6)") - F.col("t")).alias("ssw_c2"),
+    )
+    f_stat = (
+        F.col("ssb_c2").cast("double") / (F.col("k") - 1)
+    ) / (F.col("ssw_c2").cast("double") / (F.col("n") - F.col("k")))
+    return staged.select(
+        "k",
+        "n",
+        F.round(F.col("ssb_c2").cast("double") / 10000.0, 4).alias("ssb"),
+        F.round(F.col("ssw_c2").cast("double") / 10000.0, 4).alias("ssw"),
+        F.round(f_stat, 9).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (rank-sum) test
+# ---------------------------------------------------------------------------
+
+MW_SEGMENTS = ("AUTOMOBILE", "FURNITURE")
+
+
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between two customer segments'
+    balance distributions — the non-parametric two-sample test that
+    complements q_ks_test (KS detects any shape difference; U targets
+    stochastic dominance).
+
+    Scale shape: the populations collapse to per-(value) counts for the
+    two groups (map-side combined, distinct-value-sized); midranks are
+    one cumulative window over that value-ordered relation — the same
+    legitimate collapsed-relation window as q_ks_test.
+
+    Engine determinism: tie-averaged midranks are multiples of 0.5 below
+    2⁵², so every product and running sum stays ON the IEEE 0.5-quantum
+    grid — exact regardless of partition merge order.  The normal
+    approximation (no tie correction — see z docstring) is a short
+    correctly-rounded chain: one division into sqrt, one final
+    division."""
+    a, b = MW_SEGMENTS
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(a, b)
+    )
+    vc = cust.groupBy("c_acctbal").agg(
+        F.sum((F.col("c_mktsegment") == a).cast("bigint")).alias("c1"),
+        F.sum((F.col("c_mktsegment") == b).cast("bigint")).alias("c2"),
+    )
+    wprev = Window.orderBy("c_acctbal").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cnt = F.col("c1") + F.col("c2")
+    ranked = vc.select(
+        "c1",
+        "c2",
+        (
+            F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wprev), F.lit(0))
+            + (cnt + 1) / 2.0
+        ).alias("midrank"),
+    )
+    agg = ranked.groupBy().agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * F.col("midrank")).alias("r1"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    sigma = F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("r1").alias("rank_sum_1"),
+        u1.alias("u1"),
+        F.round((u1 - mu) / sigma, 9).alias("z_score"),
+    )

@@ -1530,3 +1530,60 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_syllables_per_word"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+
+def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the language-ID heuristic and the true
+    labels: chance-corrected agreement — the single-number companion to
+    q_confusion's per-class readout (annotation-quality audits live on
+    this statistic).
+
+    Scale shape: one doc_id co-partitioned join of predictions to
+    truth, then everything runs over the |classes|-sized marginal
+    relations (full-outer broadcast join of the two marginals).
+
+    Engine determinism: observed agreement and expected agreement are
+    each ONE IEEE division of exact bigints (pₑ's numerator Σ rowᵍ·colᵍ
+    is an exact integer); kappa is a three-op chain over those two
+    doubles."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    pred = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    j = docs.select("doc_id", F.col("lang").alias("lang_true")).join(
+        pred, "doc_id"
+    )
+    base = j.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("pred_lang") == F.col("lang_true")).cast("bigint")
+        ).alias("agree"),
+    )
+    per_true = j.groupBy(F.col("lang_true").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    per_pred = j.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    marg = per_true.join(F.broadcast(per_pred), "cls", "full_outer").select(
+        (
+            F.coalesce(F.col("n_true"), F.lit(0))
+            * F.coalesce(F.col("n_pred"), F.lit(0))
+        ).alias("prod")
+    )
+    pe_num = marg.groupBy().agg(F.sum("prod").alias("pe_num"))
+    out = base.crossJoin(F.broadcast(pe_num))
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = F.col("pe_num").cast("double") / (F.col("n") * F.col("n"))
+    return out.select(
+        "n",
+        "agree",
+        F.round(po, 9).alias("po"),
+        F.round(pe, 9).alias("pe"),
+        F.round((po - pe) / (1 - pe), 9).alias("kappa"),
+    )

@@ -5317,3 +5317,114 @@ register(
     FROM flagged GROUP BY variant
     """,
 )
+
+register(
+    "q_anova",
+    analytics.q_anova,
+    """
+    WITH per_g AS (
+        SELECT c_mktsegment,
+               count(*) AS n_g,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s_g,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                   * CAST(round(c_acctbal * 100) AS BIGINT)) AS q_g
+        FROM customer GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS k,
+               sum(n_g) AS n,
+               sum(s_g) AS s,
+               sum(q_g) AS q,
+               sum(CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g, 6)
+                        AS DECIMAL(28,6))) AS t
+        FROM per_g
+    ),
+    staged AS (
+        SELECT k, n,
+               t - CAST(round(CAST(s AS DOUBLE) * s / n, 6)
+                        AS DECIMAL(28,6)) AS ssb_c2,
+               CAST(q AS DECIMAL(28,6)) - t AS ssw_c2
+        FROM tot
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(ssb_c2 AS DOUBLE) / 10000.0, 4) AS ssb,
+           round(CAST(ssw_c2 AS DOUBLE) / 10000.0, 4) AS ssw,
+           round((CAST(ssb_c2 AS DOUBLE) / (k - 1))
+                 / (CAST(ssw_c2 AS DOUBLE) / (n - k)), 9) AS f_stat
+    FROM staged
+    """,
+)
+
+register(
+    "q_mannwhitney",
+    analytics.q_mannwhitney,
+    f"""
+    WITH vc AS (
+        SELECT c_acctbal,
+               sum(CAST(c_mktsegment = {analytics.MW_SEGMENTS[0]!r}
+                        AS BIGINT)) AS c1,
+               sum(CAST(c_mktsegment = {analytics.MW_SEGMENTS[1]!r}
+                        AS BIGINT)) AS c2
+        FROM customer
+        WHERE c_mktsegment IN ({analytics.MW_SEGMENTS[0]!r},
+                               {analytics.MW_SEGMENTS[1]!r})
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c1, c2,
+               coalesce(sum(c1 + c2) OVER (ORDER BY c_acctbal
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (c1 + c2 + 1) / 2.0 AS midrank
+        FROM vc
+    ),
+    agg AS (
+        SELECT sum(c1) AS n1, sum(c2) AS n2,
+               sum(c1 * midrank) AS r1
+        FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           r1 AS rank_sum_1,
+           r1 - n1 * (n1 + 1) / 2.0 AS u1,
+           round(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 9) AS z_score
+    FROM agg
+    """,
+)
+
+register(
+    "q_kappa",
+    text.q_kappa,
+    rf"""
+    WITH pred AS ({_LANG_ID_PRED}),
+    j AS (
+        SELECT d.lang AS lang_true, p.pred_lang
+        FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        WHERE d.n_chars > 0
+    ),
+    base AS (
+        SELECT count(*) AS n,
+               sum(CAST(pred_lang = lang_true AS BIGINT)) AS agree
+        FROM j
+    ),
+    per_true AS (
+        SELECT lang_true AS cls, count(*) AS n_true FROM j GROUP BY 1
+    ),
+    per_pred AS (
+        SELECT pred_lang AS cls, count(*) AS n_pred FROM j GROUP BY 1
+    ),
+    pe_num AS (
+        SELECT sum(coalesce(n_true, 0) * coalesce(n_pred, 0)) AS pe_num
+        FROM per_true FULL OUTER JOIN per_pred USING (cls)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(agree AS BIGINT) AS agree,
+           round(CAST(agree AS DOUBLE) / n, 9) AS po,
+           round(CAST(pe_num AS DOUBLE) / (n * n), 9) AS pe,
+           round((CAST(agree AS DOUBLE) / n
+                  - CAST(pe_num AS DOUBLE) / (n * n))
+                 / (1 - CAST(pe_num AS DOUBLE) / (n * n)), 9) AS kappa
+    FROM base CROSS JOIN pe_num
+    """,
+)
