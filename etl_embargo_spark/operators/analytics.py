@@ -4760,3 +4760,73 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1.alias("u1"),
         F.round((u1 - mu) / sigma, 9).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+DID_CUTOVER = "2024-01-16"  # treatment go-live (events span 2024-01)
+
+
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: per-user purchase counts in
+    the pre/post periods around the go-live date, treatment assigned by
+    the deterministic user-id parity; the DiD estimate is (post−pre) of
+    the treated minus (post−pre) of the control — the causal panel
+    estimator that survives level differences between groups (unlike
+    q_ab_test's raw comparison).
+
+    Scale shape: one map-side-combined shuffle to the per-(user,
+    period) count panel, one rollup to the 4 (group, period) cells —
+    nothing after the first aggregate is row-sized.
+
+    Engine determinism: the four cell means are each ONE IEEE division
+    of exact integers; DiD is a three-subtraction chain over identical
+    doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    panel = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2 == 1).alias("treated"),
+            (F.col("ts") >= F.lit(DID_CUTOVER).cast("timestamp_ntz")).alias(
+                "post"
+            ),
+            "user_id",
+        )
+        .groupBy("treated", "post", "user_id")
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
+    cells = panel.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("purchases").alias("total"),
+    )
+    wide = cells.groupBy().agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p),
+                    F.col(c),
+                )
+            ).alias(f"{c}_{'t' if t else 'c'}_{'post' if p else 'pre'}")
+            for t in (True, False)
+            for p in (True, False)
+            for c in ("n_users", "total")
+        ]
+    )
+    mean = {
+        g: F.col(f"total_{g}").cast("double") / F.col(f"n_users_{g}")
+        for g in ("t_pre", "t_post", "c_pre", "c_post")
+    }
+    did = (mean["t_post"] - mean["t_pre"]) - (
+        mean["c_post"] - mean["c_pre"]
+    )
+    return wide.select(
+        F.col("n_users_t_post").alias("n_treated_post"),
+        F.col("n_users_c_post").alias("n_control_post"),
+        F.round(mean["t_pre"], 9).alias("treated_pre"),
+        F.round(mean["t_post"], 9).alias("treated_post"),
+        F.round(mean["c_pre"], 9).alias("control_pre"),
+        F.round(mean["c_post"], 9).alias("control_post"),
+        F.round(did, 9).alias("did_estimate"),
+    )

@@ -5428,3 +5428,49 @@ register(
     FROM base CROSS JOIN pe_num
     """,
 )
+
+register(
+    "q_did",
+    analytics.q_did,
+    f"""
+    WITH panel AS (
+        SELECT (user_id % 2 = 1) AS treated,
+               (ts >= TIMESTAMP {analytics.DID_CUTOVER!r}) AS post,
+               user_id, count(*) AS purchases
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2, 3
+    ),
+    cells AS (
+        SELECT treated, post, count(*) AS n_users, sum(purchases) AS total
+        FROM panel GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+            sum(CASE WHEN treated AND post THEN n_users END) AS nu_t_post,
+            sum(CASE WHEN treated AND post THEN total END) AS to_t_post,
+            sum(CASE WHEN treated AND NOT post THEN n_users END)
+                AS nu_t_pre,
+            sum(CASE WHEN treated AND NOT post THEN total END) AS to_t_pre,
+            sum(CASE WHEN NOT treated AND post THEN n_users END)
+                AS nu_c_post,
+            sum(CASE WHEN NOT treated AND post THEN total END) AS to_c_post,
+            sum(CASE WHEN NOT treated AND NOT post THEN n_users END)
+                AS nu_c_pre,
+            sum(CASE WHEN NOT treated AND NOT post THEN total END)
+                AS to_c_pre
+        FROM cells
+    )
+    SELECT CAST(nu_t_post AS BIGINT) AS n_treated_post,
+           CAST(nu_c_post AS BIGINT) AS n_control_post,
+           round(CAST(to_t_pre AS DOUBLE) / nu_t_pre, 9) AS treated_pre,
+           round(CAST(to_t_post AS DOUBLE) / nu_t_post, 9) AS treated_post,
+           round(CAST(to_c_pre AS DOUBLE) / nu_c_pre, 9) AS control_pre,
+           round(CAST(to_c_post AS DOUBLE) / nu_c_post, 9) AS control_post,
+           round((CAST(to_t_post AS DOUBLE) / nu_t_post
+                  - CAST(to_t_pre AS DOUBLE) / nu_t_pre)
+                 - (CAST(to_c_post AS DOUBLE) / nu_c_post
+                    - CAST(to_c_pre AS DOUBLE) / nu_c_pre), 9)
+               AS did_estimate
+    FROM wide
+    """,
+)

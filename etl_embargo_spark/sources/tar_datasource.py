@@ -46,7 +46,9 @@ def make_tar_datasource():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
+        WriterCommitMessage,
     )
 
     class _ArchivePartition(InputPartition):
@@ -99,6 +101,83 @@ def make_tar_datasource():
                         data,
                     )
 
+    class _TarWriter(DataSourceWriter):
+        """K1/K2 as a connector sink: each task packs its partition's
+        rows into ONE .tgz (rows need ``path`` + ``content``; ``mode`` /
+        ``mtime`` honored when present).  Tasks write to dot-prefixed
+        temp names and ``commit`` renames them in on the driver — the
+        same stage-then-rename protocol as the snapshot sink, so a
+        failed job leaves no visible archives."""
+
+        def __init__(self, options, overwrite: bool):
+            import glob as _glob
+            import os as _os
+
+            self._dir = options.get("path")
+            if not self._dir:
+                raise ValueError("tar_archive write requires .save(<dir>)")
+            _os.makedirs(self._dir, exist_ok=True)
+            if overwrite:
+                for old in _glob.glob(_os.path.join(self._dir, "*.tgz")):
+                    _os.remove(old)
+
+        def write(self, iterator):
+            import gzip as _gzip
+            import io as _io
+            import os as _os
+            import tarfile as _tarfile
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            tmp = _os.path.join(self._dir, f".part-{pid:05d}.tgz.tmp")
+            buf = _io.BytesIO()
+            n = 0
+            with _gzip.GzipFile(
+                fileobj=buf, mode="wb", mtime=0
+            ) as gz, _tarfile.open(fileobj=gz, mode="w") as tar:
+                for row in iterator:
+                    data = bytes(row["content"] or b"")
+                    info = _tarfile.TarInfo(name=row["path"])
+                    info.size = len(data)
+                    if "mode" in row and row["mode"] is not None:
+                        info.mode = int(row["mode"])
+                    if "mtime" in row and row["mtime"] is not None:
+                        import datetime as _dt
+
+                        # naive values are UTC by repo convention
+                        info.mtime = int(
+                            row["mtime"]
+                            .replace(tzinfo=_dt.timezone.utc)
+                            .timestamp()
+                        )
+                    tar.addfile(info, _io.BytesIO(data))
+                    n += 1
+            if n == 0:
+                return WriterCommitMessage()  # empty partition: no file
+            with open(tmp, "wb") as f:
+                f.write(buf.getvalue())
+            msg = WriterCommitMessage()
+            msg.tmp_path = tmp  # type: ignore[attr-defined]
+            msg.n_entries = n  # type: ignore[attr-defined]
+            return msg
+
+        def commit(self, messages):
+            import os as _os
+
+            for m in messages:
+                tmp = getattr(m, "tmp_path", None)
+                if tmp:
+                    _os.rename(tmp, tmp[:-4].replace("/.part-", "/part-"))
+
+        def abort(self, messages):
+            import os as _os
+
+            for m in messages:
+                tmp = getattr(m, "tmp_path", None)
+                if tmp and _os.path.exists(tmp):
+                    _os.remove(tmp)
+
     class TarArchiveDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -109,5 +188,8 @@ def make_tar_datasource():
 
         def reader(self, schema):
             return _TarReader(self.options)
+
+        def writer(self, schema, overwrite: bool):
+            return _TarWriter(self.options, overwrite)
 
     return TarArchiveDataSource

@@ -219,3 +219,52 @@ def test_tar_python_datasource_glob_and_errors(spark):
 
     with _pytest.raises(Exception, match="no archives match"):
         spark.read.format("tar_archive").load("/nonexistent/*.tgz").count()
+
+
+@needs_ref
+def test_tar_python_datasource_writer_roundtrip(spark, tmp_path):
+    """df.write.format('tar_archive') → re-read → identical content sets
+    (K1/K2 as a connector sink); commit is stage-then-rename so no
+    .tmp files survive a successful job."""
+    import os
+
+    from etl_embargo_spark.sources.tar_datasource import (
+        make_tar_datasource,
+    )
+    from etl_embargo_spark.sources.tar_source import read_tar_entries
+
+    spark.dataSource.register(make_tar_datasource())
+    entries = read_tar_entries(spark, INPUT_TGZ).select(
+        "path", "content", "mode", "mtime"
+    )
+    out = str(tmp_path / "packed")
+    entries.repartition(3).write.format("tar_archive").mode("append").save(
+        out
+    )
+
+    archives = [f for f in os.listdir(out) if f.endswith(".tgz")]
+    assert 1 <= len(archives) <= 3
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+    back = (
+        spark.read.format("tar_archive")
+        .load(out)
+        .filter("is_regular")
+        .collect()
+    )
+    want = {r["path"]: r for r in entries.collect()}
+    got = {r["path"]: r for r in back}
+    assert set(got) == set(want)
+    for path, row in want.items():
+        assert bytes(got[path]["content"]) == bytes(row["content"])
+        assert got[path]["mtime"] == row["mtime"]
+        assert got[path]["mode"] == row["mode"]
+
+    # Overwrite replaces the archive set.
+    entries.limit(5).repartition(1).write.format("tar_archive").mode(
+        "overwrite"
+    ).save(out)
+    assert (
+        spark.read.format("tar_archive").load(out).filter("is_regular")
+        .count() == 5
+    )
