@@ -229,3 +229,111 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.filter(hi_bucket > lo_bucket).select(
         "doc_id", "source", "n_chars", hi_bucket.cast("int").alias("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation readout
+# ---------------------------------------------------------------------------
+
+CV_FOLDS = 5
+
+
+def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the mean-predictor baseline: orders
+    are assigned to 5 folds by the engine-independent md5 bucket; each
+    fold is scored by the global-mean model FIT ON THE OTHER FOLDS
+    (leave-fold-out mean via the algebraic complement (S−S_f)/(n−n_f) —
+    no per-fold refit pass), reporting per-fold MAE — the
+    baseline-vs-model scaffold every evaluation pipeline starts from.
+
+    Scale shape: fold sums are one map-side-combined shuffle; the
+    complement means come from a 5-row crossJoin-broadcast of the
+    global totals; the MAE pass is the only row-sized re-aggregation
+    (one more shuffle on fold).  The orders relation is persisted —
+    both passes read the cache, not the scan twice.
+
+    Engine determinism: fold means are ONE division of exact cent
+    sums; per-row |y − ŷ| is a correctly-rounded chain on identical
+    doubles, rounded to 4 dp and decimal-summed (associative), divided
+    once for the MAE."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            hash_bucket(F.col("o_orderkey").cast("string"), CV_FOLDS)
+            .cast("int")
+            .alias("fold"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+        )
+        .persist()
+    )
+    per_fold = orders.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_f"), F.sum("y").alias("s_f")
+    )
+    totals = orders.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    models = per_fold.crossJoin(F.broadcast(totals)).select(
+        "fold",
+        "n_f",
+        (
+            (F.col("s") - F.col("s_f")).cast("double")
+            / (F.col("n") - F.col("n_f"))
+        ).alias("yhat"),
+    )
+    scored = orders.join(F.broadcast(models), "fold").select(
+        "fold",
+        "n_f",
+        "yhat",
+        F.round(F.abs(F.col("y") - F.col("yhat")), 4)
+        .cast("decimal(28,4)")
+        .alias("err"),
+    )
+    return scored.groupBy("fold").agg(
+        F.first("n_f").alias("n_rows"),
+        F.round(F.first("yhat") / 100.0, 6).alias("model_mean"),
+        F.round(
+            F.sum("err").cast("double") / F.first("n_f") / 100.0, 6
+        ).alias("mae"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring balance audit
+# ---------------------------------------------------------------------------
+
+RING_NODES = 32
+
+
+def q_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring balance audit: customers mapped to 32
+    virtual nodes by md5 bucket, reporting each node's load share and
+    its ratio to the uniform ideal — the load-skew readout you check
+    before keying a shuffle, a cache, or a shard map on a hash ring.
+
+    Scale shape: a pure-projection bucket assignment (no shuffle to
+    assign), one map-side-combined count per node, then window shares
+    over the 32-row relation.
+
+    Engine determinism: loads are exact integers; share and imbalance
+    are one IEEE division each (n·32 and n_node·32 stay exact
+    integers)."""
+    cust = load_table(spark, sf_dir, "customer")
+    ring = cust.select(
+        hash_bucket(F.col("c_custkey").cast("string"), RING_NODES)
+        .cast("int")
+        .alias("node")
+    )
+    per_node = ring.groupBy("node").agg(F.count(F.lit(1)).alias("n_keys"))
+    wall = Window.partitionBy()
+    return per_node.select(
+        "node",
+        "n_keys",
+        F.round(
+            F.col("n_keys").cast("double") / F.sum("n_keys").over(wall), 9
+        ).alias("share"),
+        F.round(
+            (F.col("n_keys") * RING_NODES).cast("double")
+            / F.sum("n_keys").over(wall),
+            9,
+        ).alias("imbalance"),
+    )

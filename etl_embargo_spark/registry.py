@@ -5474,3 +5474,56 @@ register(
     FROM wide
     """,
 )
+
+register(
+    "q_cv_folds",
+    sampling.q_cv_folds,
+    f"""
+    WITH orders_f AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                     1, 8))::UBIGINT % {sampling.CV_FOLDS} AS INT) AS fold,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    per_fold AS (
+        SELECT fold, count(*) AS n_f, sum(y) AS s_f
+        FROM orders_f GROUP BY 1
+    ),
+    totals AS (SELECT count(*) AS n, sum(y) AS s FROM orders_f),
+    models AS (
+        SELECT fold, n_f,
+               CAST(s - s_f AS DOUBLE) / (n - n_f) AS yhat
+        FROM per_fold CROSS JOIN totals
+    ),
+    scored AS (
+        SELECT o.fold, m.n_f, m.yhat,
+               CAST(round(abs(o.y - m.yhat), 4) AS DECIMAL(28,4)) AS err
+        FROM orders_f o JOIN models m USING (fold)
+    )
+    SELECT fold,
+           CAST(any_value(n_f) AS BIGINT) AS n_rows,
+           round(any_value(yhat) / 100.0, 6) AS model_mean,
+           round(CAST(sum(err) AS DOUBLE) / any_value(n_f) / 100.0, 6)
+               AS mae
+    FROM scored GROUP BY fold
+    """,
+)
+
+register(
+    "q_hash_ring",
+    sampling.q_hash_ring,
+    f"""
+    WITH ring AS (
+        SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                     1, 8))::UBIGINT % {sampling.RING_NODES} AS INT) AS node
+        FROM customer
+    ),
+    per_node AS (SELECT node, count(*) AS n_keys FROM ring GROUP BY 1)
+    SELECT node,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           round(CAST(n_keys AS DOUBLE) / sum(n_keys) OVER (), 9) AS share,
+           round(CAST(n_keys * {sampling.RING_NODES} AS DOUBLE)
+                 / sum(n_keys) OVER (), 9) AS imbalance
+    FROM per_node
+    """,
+)
