@@ -289,6 +289,35 @@ SHOWCASE: dict[str, str] = {
         "BroadcastNestedLoopJoin over the <=366-day aggregate (lazily "
         "checkpointed, shared by three consumers) — never raw rows."
     ),
+    "q_stump": (
+        "Tree-split search: raw rows collapse to the per-(feature, value) "
+        "aggregate before any window; the per-feature argmax is "
+        "WindowGroupLimit — the exchange never carries raw rows."
+    ),
+    "q_rolling_beta": (
+        "Moving regression: five trailing co-moment sums in ONE WindowExec "
+        "pass over the per-(priority, day) aggregate; exact decimal "
+        "accumulation, single final division."
+    ),
+    "q_hierarchy_rollup": (
+        "Recursive CTE (Spark 4 WITH RECURSIVE): log4(n) iterations, each "
+        "one hash join of the relation against the previous frontier — "
+        "the frontier stays broadcastable at any scale."
+    ),
+    "q_record_linkage": (
+        "Blocked probabilistic linkage: pair scoring confined to "
+        "(nation, segment) blocks — one shuffle per side, Levenshtein in "
+        "whole-stage codegen, never a global cross join."
+    ),
+    "q_weighted_median": (
+        "Weighted quantile: cumulative weights over the per-price "
+        "aggregate; the crossing pick is a WindowGroupLimit rank filter."
+    ),
+    "q_interarrival": (
+        "Gap statistics: the lag-window gap relation is persisted and "
+        "shared by the mean rollup and the median rank-selection — one "
+        "events scan, cache reads after."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
