@@ -154,6 +154,25 @@ HEADLINE = [
     "q_target_encode",
     "q_woe_iv",
     "q_anomaly_seasonal",
+    "q_stump",
+    "q_chi2",
+    "q_hierarchy_rollup",
+    "q_readability",
+    "q_record_linkage",
+    "q_interarrival",
+    "q_rolling_beta",
+    "q_interp",
+    "q_weighted_median",
+    "q_sprt",
+    "q_rank_surface",
+    "q_anova",
+    "q_mannwhitney",
+    "q_kappa",
+    "q_did",
+    "q_cv_folds",
+    "q_hash_ring",
+    "q_freshness",
+    "q_runs_test",
 ]
 
 

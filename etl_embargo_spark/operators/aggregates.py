@@ -141,3 +141,41 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("bigint").alias("n_violations"),
         (F.col("n_violations") == 0).cast("int").alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table freshness audit
+# ---------------------------------------------------------------------------
+
+
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-freshness SLO audit: per fact table, the row count, the
+    most recent event date (yyyymmdd int), and the distinct-day span —
+    the staleness dashboard a daily-cadence pipeline (the reference's
+    cron contract, /root/reference/deploy/cron.yaml:2-5) alarms on.
+
+    Scale shape: three independent full-scan aggregates (map-side
+    combined to one row each) unioned at the end — each scan reads ONLY
+    its date column (column pruning does the work; see ReadSchema in
+    PLANS.md).  All outputs are exact integers."""
+    def _audit(df: DataFrame, name: str, day_int) -> DataFrame:
+        return df.select(day_int.alias("d")).groupBy().agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("d").alias("last_day"),
+            F.countDistinct("d").alias("n_days"),
+        ).select("table_name", "n_rows", "last_day", "n_days")
+
+    def _dint(c):
+        return (
+            F.year(c) * 10000 + F.month(c) * 100 + F.dayofmonth(c)
+        ).cast("int")
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _audit(orders, "orders", _dint(F.col("o_orderdate")))
+        .unionAll(_audit(li, "lineitem", _dint(F.col("l_shipdate"))))
+        .unionAll(_audit(ev, "events", _dint(F.col("ts"))))
+    )

@@ -4830,3 +4830,71 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean["c_post"], 9).alias("control_post"),
         F.round(did, 9).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test
+# ---------------------------------------------------------------------------
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-revenue direction sequence:
+    are up-days and down-days randomly interleaved, or does the series
+    trend/mean-revert?  The independence check a forecasting pipeline
+    runs before trusting residuals.
+
+    Scale shape: one map-side-combined collapse to the daily relation;
+    the direction signs, run boundaries (lag compare), and counts are
+    one window pass over days — never raw rows.
+
+    Engine determinism: signs come from exact integer cent comparisons;
+    R, n₁, n₂ are integers; the normal approximation is a short
+    correctly-rounded chain (two divisions, one sqrt) over identical
+    doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev"
+        )
+    )
+    wseq = Window.orderBy("d")
+    signs = daily.select(
+        "d",
+        (F.col("rev") > F.lag("rev").over(wseq)).cast("int").alias("up"),
+        F.lag("rev").over(wseq).isNotNull().alias("has_prev"),
+    ).filter("has_prev")
+    runs = signs.select(
+        "up",
+        (
+            F.col("up")
+            != F.coalesce(
+                F.lag("up").over(Window.orderBy("d")), F.lit(-1)
+            )
+        )
+        .cast("bigint")
+        .alias("new_run"),
+    )
+    agg = runs.groupBy().agg(
+        F.sum("new_run").alias("r"),
+        F.sum("up").alias("n1"),
+        F.sum(1 - F.col("up")).alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1
+    sigma = F.sqrt(
+        (2.0 * n1 * n2) * (2.0 * n1 * n2 - n) / (n * n * (n - 1))
+    )
+    return agg.select(
+        r.alias("n_runs"),
+        n1.alias("n_up"),
+        n2.alias("n_down"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round((r - mu) / sigma, 9).alias("z_score"),
+    )

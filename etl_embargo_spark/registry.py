@@ -5527,3 +5527,71 @@ register(
     FROM per_node
     """,
 )
+
+register(
+    "q_freshness",
+    aggregates.q_freshness,
+    """
+    SELECT 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                    + day(o_orderdate)) AS INT) AS last_day,
+           CAST(count(DISTINCT year(o_orderdate) * 10000
+                    + month(o_orderdate) * 100 + day(o_orderdate))
+                AS BIGINT) AS n_days
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(max(year(l_shipdate) * 10000 + month(l_shipdate) * 100
+                    + day(l_shipdate)) AS INT),
+           CAST(count(DISTINCT year(l_shipdate) * 10000
+                    + month(l_shipdate) * 100 + day(l_shipdate)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events',
+           CAST(count(*) AS BIGINT),
+           CAST(max(year(ts) * 10000 + month(ts) * 100 + day(ts)) AS INT),
+           CAST(count(DISTINCT year(ts) * 10000 + month(ts) * 100
+                    + day(ts)) AS BIGINT)
+    FROM events
+    """,
+)
+
+register(
+    "q_runs_test",
+    analytics.q_runs_test,
+    """
+    WITH daily AS (
+        SELECT year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                   + day(o_orderdate) AS d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    signs AS (
+        SELECT d,
+               CAST(rev > lag(rev) OVER (ORDER BY d) AS INT) AS up,
+               lag(rev) OVER (ORDER BY d) IS NOT NULL AS has_prev
+        FROM daily
+    ),
+    runs AS (
+        SELECT up,
+               CAST(up <> coalesce(lag(up) OVER (ORDER BY d), -1)
+                    AS BIGINT) AS new_run
+        FROM signs WHERE has_prev
+    ),
+    agg AS (
+        SELECT sum(new_run) AS r, sum(up) AS n1, sum(1 - up) AS n2
+        FROM runs
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_up,
+           CAST(n2 AS BIGINT) AS n_down,
+           round(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_runs,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt((2.0 * n1 * n2) * (2.0 * n1 * n2 - (n1 + n2))
+                        / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1))), 9)
+               AS z_score
+    FROM agg
+    """,
+)
