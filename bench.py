@@ -173,6 +173,7 @@ HEADLINE = [
     "q_hash_ring",
     "q_freshness",
     "q_runs_test",
+    "q_equidepth",
 ]
 
 

@@ -179,3 +179,54 @@ def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_audit(li, "lineitem", _dint(F.col("l_shipdate"))))
         .unionAll(_audit(ev, "events", _dint(F.col("ts"))))
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (ANALYZE-style optimizer statistics)
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_BUCKETS = 8
+
+
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics: an 8-bucket equi-depth histogram
+    of l_extendedprice (plus per-bucket ndv) — the selectivity input a
+    cost-based optimizer keeps per column, and the complement of
+    q_histogram's equi-WIDTH bins (equi-depth puts equal row mass, not
+    equal value range, in each bucket — robust to skew).
+
+    Scale shape: values collapse to the per-value count relation first
+    (map-side combined); bucket assignment is exact integer arithmetic
+    floor(cum_before·K / total) over ONE cumulative window on that
+    collapsed relation; the per-bucket rollup is a second tiny shuffle.
+    At 100 TB the same plan runs on a sampled or pre-binned value
+    relation — the bucketing stays integer-exact either way.
+
+    Engine determinism: bucket boundaries come from integer cumulative
+    counts — no percentile interpolation, no floats anywhere except the
+    pass-through price bounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_val = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    assigned = per_val.select(
+        "v",
+        "cnt",
+        F.floor(
+            F.coalesce(F.sum("cnt").over(wprev), F.lit(0))
+            * EQUIDEPTH_BUCKETS
+            / F.sum("cnt").over(wall)
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("ndv"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )

@@ -5595,3 +5595,29 @@ register(
     FROM agg
     """,
 )
+
+register(
+    "q_equidepth",
+    aggregates.q_equidepth,
+    f"""
+    WITH per_val AS (
+        SELECT l_extendedprice AS v, count(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    assigned AS (
+        SELECT v, cnt,
+               CAST(floor(coalesce(sum(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)
+                   * {aggregates.EQUIDEPTH_BUCKETS}
+                   / sum(cnt) OVER ()) AS INT) AS bucket
+        FROM per_val
+    )
+    SELECT bucket,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS ndv,
+           min(v) AS lo,
+           max(v) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+)
