@@ -174,6 +174,7 @@ HEADLINE = [
     "q_freshness",
     "q_runs_test",
     "q_equidepth",
+    "q_table_checksum",
 ]
 
 

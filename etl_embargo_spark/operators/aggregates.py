@@ -230,3 +230,57 @@ def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive table checksum (migration fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint per table: Σ of each row's
+    32-bit md5 prefix (exact decimal sum) over engine-stable column
+    renderings — the cheap "does the copy equal the source" check a
+    migration (the reference's sync/compare jobs, J3/J5) runs without
+    sorting either side.  Equal checksums + equal counts ⇒ near-certain
+    content equality; any single-row difference flips the sum.
+
+    Scale shape: a pure projection (hash per row, no shuffle to
+    compute) feeding one map-side-combined global sum per table —
+    commutative, so partitioning and row order are irrelevant by
+    construction.
+
+    Engine determinism: only integer/string columns join the hashed
+    rendering (float formatting differs across engines); the 32-bit
+    prefix keeps every addend exactly representable and the decimal(38)
+    sum is associative."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _sum32(df: DataFrame, name: str, key: F.Column) -> DataFrame:
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast(
+            "decimal(38,0)"
+        )
+        return df.groupBy().agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).cast("decimal(38,0)").alias("checksum"),
+        ).select("table_name", "n_rows", "checksum")
+
+    cust_key = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        F.col("c_mktsegment"),
+    )
+    orders_key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    return _sum32(cust, "customer", cust_key).unionAll(
+        _sum32(orders, "orders", orders_key)
+    )

@@ -5621,3 +5621,26 @@ register(
     FROM assigned GROUP BY bucket
     """,
 )
+
+register(
+    "q_table_checksum",
+    aggregates.q_table_checksum,
+    """
+    SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+                   CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+                   || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),
+                   1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
+    FROM customer
+    UNION ALL
+    SELECT 'orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                   || '|' || o_orderpriority),
+                   1, 8))::UBIGINT) AS DECIMAL(38,0))
+    FROM orders
+    """,
+)
