@@ -1295,127 +1295,138 @@ def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def porter_stem(word: str) -> str:
-    """Porter (1980) stemmer, pure Python — the classic suffix-stripping
-    normalizer (see the published algorithm; no external library, so the
-    executor closure ships by value).  Lowercase ASCII input expected."""
-    if len(word) <= 2:
-        return word
+def _make_porter_stem():
+    """Factory wrapper so the stemmer pickles BY VALUE (nested
+    qualname is not importable, so cloudpickle serializes the code
+    object) — executor workers need no repo on sys.path (the
+    module-level original broke the driver-harness sweep run from a
+    different cwd with ModuleNotFoundError)."""
+    def porter_stem(word: str) -> str:
+        """Porter (1980) stemmer, pure Python — the classic suffix-stripping
+        normalizer (see the published algorithm; no external library, so the
+        executor closure ships by value).  Lowercase ASCII input expected."""
+        if len(word) <= 2:
+            return word
 
-    def is_cons(w: str, i: int) -> bool:
-        c = w[i]
-        if c in "aeiou":
-            return False
-        if c == "y":
-            return i == 0 or not is_cons(w, i - 1)
-        return True
+        def is_cons(w: str, i: int) -> bool:
+            c = w[i]
+            if c in "aeiou":
+                return False
+            if c == "y":
+                return i == 0 or not is_cons(w, i - 1)
+            return True
 
-    def measure(stem: str) -> int:
-        # number of VC sequences
-        m = 0
-        prev_v = False
-        for i in range(len(stem)):
-            v = not is_cons(stem, i)
-            if prev_v and not v:
-                m += 1
-            prev_v = v
-        return m
+        def measure(stem: str) -> int:
+            # number of VC sequences
+            m = 0
+            prev_v = False
+            for i in range(len(stem)):
+                v = not is_cons(stem, i)
+                if prev_v and not v:
+                    m += 1
+                prev_v = v
+            return m
 
-    def has_vowel(stem: str) -> bool:
-        return any(not is_cons(stem, i) for i in range(len(stem)))
+        def has_vowel(stem: str) -> bool:
+            return any(not is_cons(stem, i) for i in range(len(stem)))
 
-    def ends_double_cons(w: str) -> bool:
-        return (
-            len(w) >= 2
-            and w[-1] == w[-2]
-            and is_cons(w, len(w) - 1)
-        )
+        def ends_double_cons(w: str) -> bool:
+            return (
+                len(w) >= 2
+                and w[-1] == w[-2]
+                and is_cons(w, len(w) - 1)
+            )
 
-    def cvc(w: str) -> bool:
-        if len(w) < 3:
-            return False
-        return (
-            is_cons(w, len(w) - 3)
-            and not is_cons(w, len(w) - 2)
-            and is_cons(w, len(w) - 1)
-            and w[-1] not in "wxy"
-        )
+        def cvc(w: str) -> bool:
+            if len(w) < 3:
+                return False
+            return (
+                is_cons(w, len(w) - 3)
+                and not is_cons(w, len(w) - 2)
+                and is_cons(w, len(w) - 1)
+                and w[-1] not in "wxy"
+            )
 
-    w = word
-    # step 1a
-    if w.endswith("sses"):
-        w = w[:-2]
-    elif w.endswith("ies"):
-        w = w[:-2]
-    elif w.endswith("ss"):
-        pass
-    elif w.endswith("s"):
-        w = w[:-1]
-    # step 1b
-    if w.endswith("eed"):
-        if measure(w[:-3]) > 0:
+        w = word
+        # step 1a
+        if w.endswith("sses"):
+            w = w[:-2]
+        elif w.endswith("ies"):
+            w = w[:-2]
+        elif w.endswith("ss"):
+            pass
+        elif w.endswith("s"):
             w = w[:-1]
-    else:
-        flag = False
-        if w.endswith("ed") and has_vowel(w[:-2]):
-            w, flag = w[:-2], True
-        elif w.endswith("ing") and has_vowel(w[:-3]):
-            w, flag = w[:-3], True
-        if flag:
-            if w.endswith(("at", "bl", "iz")):
-                w = w + "e"
-            elif ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+        # step 1b
+        if w.endswith("eed"):
+            if measure(w[:-3]) > 0:
                 w = w[:-1]
-            elif measure(w) == 1 and cvc(w):
-                w = w + "e"
-    # step 1c
-    if w.endswith("y") and has_vowel(w[:-1]):
-        w = w[:-1] + "i"
-    # step 2
-    for suf, rep in (
-        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
-        ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
-        ("alli", "al"), ("entli", "ent"), ("eli", "e"),
-        ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
-        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
-        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
-        ("iviti", "ive"), ("biliti", "ble"),
-    ):
-        if w.endswith(suf):
-            if measure(w[: -len(suf)]) > 0:
-                w = w[: -len(suf)] + rep
-            break
-    # step 3
-    for suf, rep in (
-        ("icate", "ic"), ("ative", ""), ("alize", "al"),
-        ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""),
-    ):
-        if w.endswith(suf):
-            if measure(w[: -len(suf)]) > 0:
-                w = w[: -len(suf)] + rep
-            break
-    # step 4
-    for suf in (
-        "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
-        "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
-        "ous", "ive", "ize",
-    ):
-        if w.endswith(suf):
-            stem = w[: -len(suf)]
-            if suf == "ion" and not stem.endswith(("s", "t")):
+        else:
+            flag = False
+            if w.endswith("ed") and has_vowel(w[:-2]):
+                w, flag = w[:-2], True
+            elif w.endswith("ing") and has_vowel(w[:-3]):
+                w, flag = w[:-3], True
+            if flag:
+                if w.endswith(("at", "bl", "iz")):
+                    w = w + "e"
+                elif ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                    w = w[:-1]
+                elif measure(w) == 1 and cvc(w):
+                    w = w + "e"
+        # step 1c
+        if w.endswith("y") and has_vowel(w[:-1]):
+            w = w[:-1] + "i"
+        # step 2
+        for suf, rep in (
+            ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+            ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+            ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+            ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+            ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+            ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+            ("iviti", "ive"), ("biliti", "ble"),
+        ):
+            if w.endswith(suf):
+                if measure(w[: -len(suf)]) > 0:
+                    w = w[: -len(suf)] + rep
                 break
-            if measure(stem) > 1:
-                w = stem
-            break
-    # step 5a
-    if w.endswith("e"):
-        m = measure(w[:-1])
-        if m > 1 or (m == 1 and not cvc(w[:-1])):
+        # step 3
+        for suf, rep in (
+            ("icate", "ic"), ("ative", ""), ("alize", "al"),
+            ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""),
+        ):
+            if w.endswith(suf):
+                if measure(w[: -len(suf)]) > 0:
+                    w = w[: -len(suf)] + rep
+                break
+        # step 4
+        for suf in (
+            "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+            "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+            "ous", "ive", "ize",
+        ):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if suf == "ion" and not stem.endswith(("s", "t")):
+                    break
+                if measure(stem) > 1:
+                    w = stem
+                break
+        # step 5a
+        if w.endswith("e"):
+            m = measure(w[:-1])
+            if m > 1 or (m == 1 and not cvc(w[:-1])):
+                w = w[:-1]
+        # step 5b
+        if measure(w) > 1 and ends_double_cons(w) and w.endswith("l"):
             w = w[:-1]
-    # step 5b
-    if measure(w) > 1 and ends_double_cons(w) and w.endswith("l"):
-        w = w[:-1]
-    return w
+        return w
+
+    return porter_stem
+
+
+porter_stem = _make_porter_stem()
 
 
 STEM_TOP = 30
