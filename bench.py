@@ -175,6 +175,7 @@ HEADLINE = [
     "q_runs_test",
     "q_equidepth",
     "q_table_checksum",
+    "q_mann_kendall",
 ]
 
 

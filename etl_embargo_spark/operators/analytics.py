@@ -4898,3 +4898,79 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 6).alias("expected_runs"),
         F.round((r - mu) / sigma, 9).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on monthly revenue: S = Σ
+    sign(x_j − x_i) over all ordered month pairs, tie-corrected normal
+    approximation — the non-parametric "is this series trending"
+    companion to q_theilsen's slope (same pair discipline, sign-only).
+
+    Scale shape: raw rows collapse to the ~|months| relation first; the
+    quadratic pair expansion is a broadcast self-join over that bounded
+    aggregate (the q_theilsen rule: pairs over aggregates, never rows);
+    the tie term re-aggregates the same persisted relation.
+
+    Engine determinism: S and both variance terms are exact integers;
+    z is one continuity-corrected subtraction and one division into a
+    correctly-rounded sqrt."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+                "m"
+            )
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("rev")
+        )
+        # consumed 3x (both pair legs + tie rollup): share the aggregate
+        .persist()
+    )
+    a, b = monthly.alias("a"), F.broadcast(monthly.alias("b"))
+    s_stat = (
+        a.join(b, F.col("a.m") < F.col("b.m"))
+        .select(
+            F.signum(
+                (F.col("b.rev") - F.col("a.rev")).cast("double")
+            ).cast("bigint").alias("sgn")
+        )
+        .groupBy()
+        .agg(F.sum("sgn").alias("s"), F.count(F.lit(1)).alias("n_pairs"))
+    )
+    ties = (
+        monthly.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    j = s_stat.crossJoin(F.broadcast(ties))
+    n, s = F.col("n"), F.col("s")
+    var = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    ).cast("double") / 18.0
+    z = (
+        F.when(s > 0, (s - 1).cast("double") / F.sqrt(var))
+        .when(s < 0, (s + 1).cast("double") / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        n.alias("n_months"),
+        F.col("n_pairs"),
+        s.alias("s_stat"),
+        F.round(var, 6).alias("var_s"),
+        F.round(z, 9).alias("z_score"),
+    )

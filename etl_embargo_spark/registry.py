@@ -5644,3 +5644,39 @@ register(
     FROM orders
     """,
 )
+
+register(
+    "q_mann_kendall",
+    analytics.q_mann_kendall,
+    """
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 100 + month(o_orderdate) AS m,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    s_stat AS (
+        SELECT CAST(sum(CAST(sign(CAST(b.rev - a.rev AS DOUBLE))
+                             AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS n_pairs
+        FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    ties AS (
+        SELECT count(*) AS n_distinct, sum(t) AS n,
+               sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+        FROM (SELECT rev, count(*) AS t FROM monthly GROUP BY 1)
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(s AS BIGINT) AS s_stat,
+           round(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                 / 18.0, 6) AS var_s,
+           round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                          / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                                      AS DOUBLE) / 18.0)
+                      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                          / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                                      AS DOUBLE) / 18.0)
+                      ELSE 0.0 END, 9) AS z_score
+    FROM s_stat CROSS JOIN ties
+    """,
+)
