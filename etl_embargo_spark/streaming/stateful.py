@@ -23,21 +23,37 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
 
 
-def _update_user_totals(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Accumulate (count, sum(value)) per user across micro-batches and emit
-    the running totals once per batch the user appears in."""
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
-    )
+def _make_update_user_totals():
+    """Factory: the kernel pickles BY VALUE (see CLAUDE.md closure rule —
+    a module-level kernel breaks on workers without this repo on
+    sys.path)."""
+
+    def _update_user_totals(
+        key: tuple,
+        pdfs,
+        state: GroupState,
+    ):
+        """Accumulate (count, sum(value)) per user across micro-batches
+        and emit the running totals once per batch the user appears in."""
+        import pandas as _pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return _update_user_totals
+
+
+_update_user_totals = _make_update_user_totals()
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -74,63 +90,76 @@ SESSION_STATE = "start_ms bigint, last_ms bigint, n bigint"
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
 
-def _session_rows(key, closed) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "user_id": [key[0]] * len(closed),
-            "session_start": [
-                pd.Timestamp(s, unit="us") for s, _, _ in closed
-            ],
-            "session_end": [
-                pd.Timestamp(e, unit="us") for _, e, _ in closed
-            ],
-            "n_events": [n for _, _, n in closed],
-        }
-    )
+def _make_close_sessions(gap_us: int):
+    """Factory: kernel + its row helper both nested so cloudpickle ships
+    them by value (a by-value kernel that CALLS a module-level helper
+    still breaks — the helper pickles by reference)."""
 
+    def _session_rows(key, closed):
+        import pandas as _pd
 
-def _close_sessions(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user gap sessionizer with EVENT-TIME TIMEOUT: sessions close
-    when a later event arrives more than the gap after the last one
-    (in-batch or cross-batch), or when the WATERMARK passes
-    last_event + gap with no new data (the timeout path — the state
-    cannot otherwise know the user went quiet)."""
-    if state.hasTimedOut:
-        start, last, n = state.get
-        state.remove()
-        yield _session_rows(key, [(start, last, n)])
-        return
-    ts_us: list[int] = []
-    for pdf in pdfs:
-        ts_us.extend(
-            int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+        return _pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [
+                    _pd.Timestamp(s, unit="us") for s, _, _ in closed
+                ],
+                "session_end": [
+                    _pd.Timestamp(e, unit="us") for _, e, _ in closed
+                ],
+                "n_events": [n for _, _, n in closed],
+            }
         )
-    ts_us.sort()
-    cur = list(state.get) if state.exists else None
-    closed = []
-    for t in ts_us:
-        if cur is None:
-            cur = [t, t, 1]
-        elif t - cur[1] > _GAP_US:
-            closed.append(tuple(cur))
-            cur = [t, t, 1]
-        else:
-            cur[1] = t
-            cur[2] += 1
-    state.update(tuple(cur))
-    # clamp: if the open session is already older than the watermark
-    # (data arrived out of batch-time order), the earliest legal
-    # timeout is watermark+1 — setting an earlier one is an error
-    wm_ms = state.getCurrentWatermarkMs()
-    state.setTimeoutTimestamp(
-        max((cur[1] + _GAP_US) // 1000, wm_ms + 1)
-    )
-    if closed:
-        yield _session_rows(key, closed)
+
+    def _close_sessions(
+        key: tuple,
+        pdfs,
+        state: GroupState,
+    ):
+        """Per-user gap sessionizer with EVENT-TIME TIMEOUT: sessions
+        close when a later event arrives more than the gap after the
+        last one (in-batch or cross-batch), or when the WATERMARK passes
+        last_event + gap with no new data (the timeout path — the state
+        cannot otherwise know the user went quiet)."""
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _session_rows(key, [(start, last, n)])
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(
+                int(t.value // 1000) for t in _pd.to_datetime(pdf["ts"])
+            )
+        ts_us.sort()
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t in ts_us:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > gap_us:
+                closed.append(tuple(cur))
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        state.update(tuple(cur))
+        # clamp: if the open session is already older than the watermark
+        # (data arrived out of batch-time order), the earliest legal
+        # timeout is watermark+1 — setting an earlier one is an error
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max((cur[1] + gap_us) // 1000, wm_ms + 1)
+        )
+        if closed:
+            yield _session_rows(key, closed)
+
+    return _close_sessions
+
+
+_close_sessions = _make_close_sessions(_GAP_US)
 
 
 def session_close_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
