@@ -360,3 +360,48 @@ class TestWeightedSampleInvariance:
             .collect()
         }
         assert base == relaid
+
+
+class TestSnapshotModel:
+    """Model-based property: any sequence of append/overwrite commits of
+    small integer batches must make every historical version read back
+    exactly what the Python list model says it held — manifests never
+    lose, duplicate, or leak rows across versions."""
+
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["append", "overwrite"]),
+                st.lists(
+                    st.integers(min_value=0, max_value=99),
+                    min_size=1,
+                    max_size=5,
+                ),
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_history_matches_model(self, spark, tmp_path_factory, ops):
+        from collections import Counter
+
+        from etl_embargo_spark.sinks.snapshots import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        table = str(tmp_path_factory.mktemp("snapmodel"))
+        model: list[Counter] = []
+        for mode, batch in ops:
+            df = spark.createDataFrame([(v,) for v in batch], "v int")
+            write_snapshot(df, table, mode=mode)
+            prev = model[-1] if (model and mode == "append") else Counter()
+            model.append(prev + Counter(batch))
+        for version, want in enumerate(model, start=1):
+            got = Counter(
+                r["v"]
+                for r in read_snapshot(spark, table, version=version)
+                .collect()
+            )
+            assert got == want, (version, got, want)
