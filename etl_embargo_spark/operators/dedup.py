@@ -727,8 +727,11 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_nationkey") == F.col("d_nation"))
         & (F.col("c_mktsegment") == F.col("d_segment")),
     )
-    lev = F.levenshtein(F.col("c_name"), F.col("d_name"))
-    name_agree = lev <= 1
+    # bounded edit distance: O(len·k) per pair instead of O(len²), and
+    # every output row has lev <= 1 so the -1 overflow sentinel never
+    # reaches the result (kept rows carry the exact distance)
+    lev = F.levenshtein(F.col("c_name"), F.col("d_name"), 2)
+    name_agree = (lev >= 0) & (lev <= 1)
     bal_agree = F.abs(F.col("c_acctbal") - F.col("d_bal")) <= 1.0
     score = F.when(name_agree, F.lit(LINK_W_NAME)).otherwise(
         F.lit(LINK_W_NAME_MISS)
