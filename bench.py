@@ -176,6 +176,8 @@ HEADLINE = [
     "q_equidepth",
     "q_table_checksum",
     "q_mann_kendall",
+    "q_media_storage",
+    "q_join_size",
 ]
 
 

@@ -244,3 +244,39 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Media storage profile
+# ---------------------------------------------------------------------------
+
+SIZE_BANDS = (256, 512, 1024, 2048)  # payload-size band edges, bytes
+
+
+def q_media_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-planning profile of the media corpus: per (media type,
+    payload-size band) the object count, total bytes, and largest
+    payload — the capacity/layout readout (row-group sizing, blob
+    externalization threshold) a multimodal lakehouse keeps per
+    modality.
+
+    Scale shape: byte length is a scan-side projection (no decode, no
+    Python); one map-side-combined rollup to the |types|×|bands|
+    relation.  Banding is fixed CASE thresholds — exact integers,
+    portable everywhere."""
+    media = synthetic_media(spark, sf_dir)
+    nb = F.length(F.col("content"))
+    band = (
+        F.when(nb < SIZE_BANDS[0], F.lit(f"<{SIZE_BANDS[0]}"))
+        .when(nb < SIZE_BANDS[1], F.lit(f"<{SIZE_BANDS[1]}"))
+        .when(nb < SIZE_BANDS[2], F.lit(f"<{SIZE_BANDS[2]}"))
+        .when(nb < SIZE_BANDS[3], F.lit(f"<{SIZE_BANDS[3]}"))
+        .otherwise(F.lit(f">={SIZE_BANDS[3]}"))
+    )
+    return media.select(
+        "media_type", band.alias("size_band"), nb.alias("nb")
+    ).groupBy("media_type", "size_band").agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.sum("nb").alias("total_bytes"),
+        F.max("nb").alias("max_bytes"),
+    )

@@ -136,3 +136,57 @@ def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, fact, dim in edges
     ]
     return functools.reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation (pre-join cost model)
+# ---------------------------------------------------------------------------
+
+
+def q_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation: |A ⋈ B| computed EXACTLY without
+    executing the join — Σ over shared keys of cntA(k)·cntB(k), for the
+    three candidate lineitem join edges (orders FK, part and supplier
+    many-to-many) plus each edge's worst single-key contribution — the
+    cost-model input that says "this equi-join fans out 7×, broadcast
+    something else" before any shuffle is paid (the q_skew_profile
+    companion, aggregated to a decision number).
+
+    Scale shape: each side collapses to per-key counts first (map-side
+    combined); the count relations join on the key (distinct-key-sized,
+    never row-sized) and one final rollup emits a 3-row answer.
+
+    Engine determinism: everything is exact integer counts and
+    products."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    def _edge(a: DataFrame, acol: str, b: DataFrame, bcol: str,
+              name: str) -> DataFrame:
+        ca = a.groupBy(F.col(acol).alias("k")).agg(
+            F.count(F.lit(1)).alias("ca")
+        )
+        cb = b.groupBy(F.col(bcol).alias("k")).agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        prod = ca.join(cb, "k").select(
+            (F.col("ca") * F.col("cb")).alias("p")
+        )
+        return prod.groupBy().agg(
+            F.lit(name).alias("join_edge"),
+            F.count(F.lit(1)).alias("n_shared_keys"),
+            F.sum("p").alias("est_rows"),
+            F.max("p").alias("max_key_rows"),
+        ).select("join_edge", "n_shared_keys", "est_rows", "max_key_rows")
+
+    return (
+        _edge(li, "l_orderkey", orders, "o_orderkey", "lineitem-orders")
+        .unionAll(_edge(li, "l_partkey", part, "p_partkey", "lineitem-part"))
+        .unionAll(
+            _edge(
+                li, "l_suppkey", supplier, "s_suppkey", "lineitem-supplier"
+            )
+        )
+    )

@@ -5680,3 +5680,66 @@ register(
     FROM s_stat CROSS JOIN ties
     """,
 )
+
+_BANDS = multimodal.SIZE_BANDS
+
+register(
+    "q_media_storage",
+    multimodal.q_media_storage,
+    f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    )
+    SELECT media_type,
+           CASE WHEN nb < {_BANDS[0]} THEN '<{_BANDS[0]}'
+                WHEN nb < {_BANDS[1]} THEN '<{_BANDS[1]}'
+                WHEN nb < {_BANDS[2]} THEN '<{_BANDS[2]}'
+                WHEN nb < {_BANDS[3]} THEN '<{_BANDS[3]}'
+                ELSE '>={_BANDS[3]}' END AS size_band,
+           CAST(count(*) AS BIGINT) AS n_objects,
+           CAST(sum(nb) AS BIGINT) AS total_bytes,
+           CAST(max(nb) AS BIGINT) AS max_bytes
+    FROM media GROUP BY 1, 2
+    """,
+)
+
+register(
+    "q_join_size",
+    skew.q_join_size,
+    """
+    WITH e1 AS (
+        SELECT 'lineitem-orders' AS join_edge,
+               CAST(count(*) AS BIGINT) AS n_shared_keys,
+               CAST(sum(ca * cb) AS BIGINT) AS est_rows,
+               CAST(max(ca * cb) AS BIGINT) AS max_key_rows
+        FROM (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem
+              GROUP BY 1) a
+        JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM orders
+              GROUP BY 1) b USING (k)
+    ),
+    e2 AS (
+        SELECT 'lineitem-part',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(ca * cb) AS BIGINT),
+               CAST(max(ca * cb) AS BIGINT)
+        FROM (SELECT l_partkey AS k, count(*) AS ca FROM lineitem
+              GROUP BY 1) a
+        JOIN (SELECT p_partkey AS k, count(*) AS cb FROM part
+              GROUP BY 1) b USING (k)
+    ),
+    e3 AS (
+        SELECT 'lineitem-supplier',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(ca * cb) AS BIGINT),
+               CAST(max(ca * cb) AS BIGINT)
+        FROM (SELECT l_suppkey AS k, count(*) AS ca FROM lineitem
+              GROUP BY 1) a
+        JOIN (SELECT s_suppkey AS k, count(*) AS cb FROM supplier
+              GROUP BY 1) b USING (k)
+    )
+    SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+    """,
+)
