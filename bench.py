@@ -178,6 +178,7 @@ HEADLINE = [
     "q_mann_kendall",
     "q_media_storage",
     "q_join_size",
+    "q_average_precision",
 ]
 
 

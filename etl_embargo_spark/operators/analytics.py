@@ -4974,3 +4974,55 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_s"),
         F.round(z, 9).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Average precision (PR-curve summary)
+# ---------------------------------------------------------------------------
+
+
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision of the event ``value`` score for predicting
+    purchases — the precision-recall companion to q_auc's ROC view
+    (AP weights early-rank errors where ROC AUC is prevalence-blind,
+    the readout that matters for rare-positive retrieval).
+
+    Tie convention: scores collapse to descending tie groups and every
+    positive in a group is credited the precision AT THE GROUP'S END
+    (cum_pos/cum_tot over the collapsed relation) — deterministic under
+    any row order, no arbitrary within-tie ranking.
+
+    Scale shape: the same collapsed per-score relation and single
+    cumulative window as q_auc.  Engine determinism: each group's
+    precision is ONE division of exact integers; the pos-weighted terms
+    are rounded to 9 dp and decimal-summed; one final division by P."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == AUC_POSITIVE).cast("bigint")).alias(
+            "pos"
+        ),
+        F.count(F.lit(1)).alias("tot"),
+    )
+    wincl = Window.orderBy(F.col("value").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    terms = vc.select(
+        "pos",
+        F.sum("pos").over(wincl).alias("cum_pos"),
+        F.sum("tot").over(wincl).alias("cum_tot"),
+    ).select(
+        "pos",
+        F.round(
+            F.col("pos")
+            * (F.col("cum_pos").cast("double") / F.col("cum_tot")),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("term"),
+    )
+    return terms.groupBy().agg(
+        F.sum("pos").alias("n_pos"),
+        F.round(
+            F.sum("term").cast("double") / F.sum("pos"), 9
+        ).alias("avg_precision"),
+    )

@@ -5743,3 +5743,37 @@ register(
     SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
     """,
 )
+
+register(
+    "q_average_precision",
+    analytics.q_average_precision,
+    f"""
+    WITH vc AS (
+        SELECT value,
+               sum(CAST(event_type = {analytics.AUC_POSITIVE!r}
+                        AS BIGINT)) AS pos,
+               count(*) AS tot
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT pos,
+               sum(pos) OVER (ORDER BY value DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_pos,
+               sum(tot) OVER (ORDER BY value DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tot
+        FROM vc
+    ),
+    terms AS (
+        SELECT pos,
+               CAST(round(pos * (CAST(cum_pos AS DOUBLE) / cum_tot), 9)
+                    AS DECIMAL(28,9)) AS term
+        FROM cum
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           round(CAST(sum(term) AS DOUBLE) / sum(pos), 9)
+               AS avg_precision
+    FROM terms
+    """,
+)
