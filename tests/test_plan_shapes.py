@@ -879,3 +879,45 @@ class TestRound1FinalBatchPlans:
         plan = _plan(spark, sf_dir, "q_rolling_beta")
         assert plan.count("HashAggregate") >= 2
         assert "Join" not in plan
+
+
+class TestOpsFinalPlans:
+    def test_join_size_never_joins_facts(self, spark, sf_dir):
+        """q_join_size: the cardinality estimate must come from joins of
+        per-key COUNT relations — the fact tables themselves never meet
+        (no row-sized join anywhere)."""
+        plan = _plan(spark, sf_dir, "q_join_size")
+        # every join input is a HashAggregate output (count relations)
+        assert plan.count("HashAggregate") >= 12  # partial+final x 3 edges x 2 sides
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_equidepth_windows_over_value_relation(self, spark, sf_dir):
+        """q_equidepth: bucketing windows run over the per-value
+        aggregate, never raw lineitem rows."""
+        plan = _plan(spark, sf_dir, "q_equidepth")
+        assert plan.count("HashAggregate") >= 2
+        assert "Join" not in plan
+
+    def test_mann_kendall_pairs_broadcast_over_aggregate(
+        self, spark, sf_dir
+    ):
+        """q_mann_kendall: the quadratic sign-pair expansion must be a
+        broadcast join over the persisted monthly aggregate (the
+        q_theilsen rule)."""
+        plan = _plan(spark, sf_dir, "q_mann_kendall")
+        assert "SortMergeJoin" not in plan
+        assert plan.count("InMemoryTableScan") >= 3
+
+    def test_media_storage_no_python(self, spark, sf_dir):
+        """q_media_storage: byte-length profiling is pure codegen — no
+        Arrow/Python evaluation anywhere in the plan."""
+        plan = _plan(spark, sf_dir, "q_media_storage")
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+    def test_table_checksum_single_agg_per_table(self, spark, sf_dir):
+        """q_table_checksum: one map-side-combined global aggregate per
+        table, no shuffle of raw rows beyond the 1-row partials."""
+        plan = _plan(spark, sf_dir, "q_table_checksum")
+        assert "Join" not in plan
+        assert plan.count("HashAggregate") >= 4
