@@ -318,6 +318,21 @@ SHOWCASE: dict[str, str] = {
         "shared by the mean rollup and the median rank-selection — one "
         "events scan, cache reads after."
     ),
+    "q_join_size": (
+        "Pre-join cost model: |A JOIN B| computed from joins of per-key "
+        "COUNT relations — the fact tables never meet; every join input "
+        "is an aggregate output."
+    ),
+    "q_equidepth": (
+        "ANALYZE statistics: integer cumulative-count bucketing over the "
+        "collapsed per-value relation — the CBO histogram build without "
+        "percentile interpolation."
+    ),
+    "q_table_checksum": (
+        "Migration fingerprint: commutative per-row hash sum — pure "
+        "projection into one map-side-combined global aggregate per "
+        "table, order-independent by construction."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
