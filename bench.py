@@ -179,6 +179,7 @@ HEADLINE = [
     "q_media_storage",
     "q_join_size",
     "q_average_precision",
+    "q_wasserstein",
 ]
 
 

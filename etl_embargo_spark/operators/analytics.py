@@ -5026,3 +5026,63 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").cast("double") / F.sum("pos"), 9
         ).alias("avg_precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 (earth mover's) distance
+# ---------------------------------------------------------------------------
+
+W1_SEGMENTS = ("BUILDING", "HOUSEHOLD")
+
+
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 distance between two segments' balance
+    distributions: ∫|F₁−F₂| dv over the value axis — the "how much work
+    to morph one distribution into the other" drift metric that sees
+    magnitude where KS (q_ks_test) sees only the worst point and PSI
+    (q_psi) needs binning.
+
+    Scale shape: the populations collapse to per-(cent-value) counts
+    (map-side combined, distinct-value-sized); the two CDFs and the
+    next-value gap are one window pass over that collapsed relation.
+
+    Engine determinism: each segment term |F₁−F₂|·Δv is the exact
+    integer |c1cum·n₂ − c2cum·n₁| times an exact integer cent gap,
+    accumulated as decimal(38,0) (overflow-safe past sf1 where the
+    bigint form would wrap); ONE final division by n₁·n₂."""
+    a, b = W1_SEGMENTS
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(a, b)
+    )
+    vc = cust.groupBy(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.sum((F.col("c_mktsegment") == a).cast("bigint")).alias("c1"),
+        F.sum((F.col("c_mktsegment") == b).cast("bigint")).alias("c2"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    wseq = Window.orderBy("v")
+    staged = vc.select(
+        "v",
+        F.sum("c1").over(wcum).alias("f1"),
+        F.sum("c2").over(wcum).alias("f2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+        (F.lead("v").over(wseq) - F.col("v")).alias("dv"),
+    ).filter(F.col("dv").isNotNull())
+    term = (
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        .cast("decimal(38,0)")
+        * F.col("dv")
+    )
+    return staged.groupBy("n1", "n2").agg(
+        F.round(
+            F.sum(term).cast("double")
+            / (F.col("n1") * F.col("n2"))
+            / 100.0,
+            6,
+        ).alias("w1_dollars")
+    )

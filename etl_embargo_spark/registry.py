@@ -5777,3 +5777,39 @@ register(
     FROM terms
     """,
 )
+
+register(
+    "q_wasserstein",
+    analytics.q_wasserstein,
+    f"""
+    WITH vc AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+               sum(CAST(c_mktsegment = {analytics.W1_SEGMENTS[0]!r}
+                        AS BIGINT)) AS c1,
+               sum(CAST(c_mktsegment = {analytics.W1_SEGMENTS[1]!r}
+                        AS BIGINT)) AS c2
+        FROM customer
+        WHERE c_mktsegment IN ({analytics.W1_SEGMENTS[0]!r},
+                               {analytics.W1_SEGMENTS[1]!r})
+        GROUP BY 1
+    ),
+    staged AS (
+        SELECT v,
+               sum(c1) OVER wc AS f1,
+               sum(c2) OVER wc AS f2,
+               sum(c1) OVER () AS n1,
+               sum(c2) OVER () AS n2,
+               lead(v) OVER (ORDER BY v) - v AS dv
+        FROM vc
+        WINDOW wc AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           round(CAST(sum(CAST(abs(f1 * n2 - f2 * n1) AS DECIMAL(38,0))
+                          * dv) AS DOUBLE)
+                 / (n1 * n2) / 100.0, 6) AS w1_dollars
+    FROM staged WHERE dv IS NOT NULL
+    GROUP BY n1, n2
+    """,
+)
