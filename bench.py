@@ -180,6 +180,8 @@ HEADLINE = [
     "q_join_size",
     "q_average_precision",
     "q_wasserstein",
+    "q_hhi",
+    "q_cohens_d",
 ]
 
 

@@ -5086,3 +5086,112 @@ def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w1_dollars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration index
+# ---------------------------------------------------------------------------
+
+
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: the Herfindahl–Hirschman index of
+    supplier revenue shares within each nation — HHI = Σ shareᵢ²,
+    the antitrust-style "is this market dominated by few players"
+    readout that complements q_gini's inequality curve.
+
+    Scale shape: revenue collapses to the per-(nation, supplier) cent
+    relation (one map-side-combined shuffle); the share-square identity
+    Σ(sᵢ/S)² = (Σ sᵢ²)/S² needs only per-nation sums — no per-row
+    share division ever happens.
+
+    Engine determinism: revenue terms follow the repo's decimal(18,4)
+    cast-before-sum rule; sᵢ becomes an exact decimal(19,0) integer in
+    10⁻⁴ units whose square is decimal(38,0) — legal width in BOTH
+    engines and exact past sf1 (a bigint square overflows there).  HHI
+    is ONE division of the two exact totals (shares cancel units)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == supp["s_suppkey"],
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
+                * 10000
+            )
+            .cast("decimal(19,0)")
+            .alias("s_i")
+        )
+    )
+    return rev.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(
+            (F.sum(F.col("s_i") * F.col("s_i"))).cast("double")
+            / (F.sum("s_i").cast("double") * F.sum("s_i").cast("double")),
+            9,
+        ).alias("hhi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size
+# ---------------------------------------------------------------------------
+
+
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between the two Mann–Whitney segments' balances: the
+    standardized mean difference (pooled-SD denominator) — the effect
+    SIZE companion to the significance tests (q_mannwhitney / q_anova
+    say "different"; d says "by how much, in SD units").
+
+    Scale shape: one map-side-combined pass to per-group (n, Σx, Σx²)
+    in exact cents; everything after is scalar arithmetic on 6 numbers.
+
+    Engine determinism: means and the pooled variance come from the
+    computational identity Σx² − (Σx)²/n with one division per term
+    (squares as double products of exact ints — identical both
+    engines); d is a short correctly-rounded chain ending in one
+    division by a sqrt."""
+    a, b = MW_SEGMENTS
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(a, b)
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    g = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("q"),
+    )
+    wide = g.groupBy().agg(
+        *[
+            F.sum(
+                F.when(F.col("c_mktsegment") == seg, F.col(c))
+            ).alias(f"{c}{i}")
+            for i, seg in ((1, a), (2, b))
+            for c in ("n", "s", "q")
+        ]
+    )
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
+    ss1 = q1 - s1.cast("double") * s1 / n1
+    ss2 = q2 - s2.cast("double") * s2 / n2
+    pooled_sd = F.sqrt((ss1 + ss2) / (n1 + n2 - 2))
+    d = (s1.cast("double") / n1 - s2.cast("double") / n2) / pooled_sd
+    return wide.select(
+        n1.alias("n_a"),
+        n2.alias("n_b"),
+        F.round(s1.cast("double") / n1 / 100.0, 6).alias("mean_a"),
+        F.round(s2.cast("double") / n2 / 100.0, 6).alias("mean_b"),
+        F.round(d, 9).alias("cohens_d"),
+    )

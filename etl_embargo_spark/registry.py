@@ -5813,3 +5813,67 @@ register(
     GROUP BY n1, n2
     """,
 )
+
+register(
+    "q_hhi",
+    analytics.q_hhi,
+    """
+    WITH rev AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) * 10000
+                    AS DECIMAL(19,0)) AS s_i
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(CAST(sum(s_i * s_i) AS DOUBLE)
+                 / (CAST(sum(s_i) AS DOUBLE) * CAST(sum(s_i) AS DOUBLE)),
+                 9) AS hhi
+    FROM rev GROUP BY nation
+    """,
+)
+
+register(
+    "q_cohens_d",
+    analytics.q_cohens_d,
+    f"""
+    WITH g AS (
+        SELECT c_mktsegment,
+               count(*) AS n,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                   * CAST(round(c_acctbal * 100) AS BIGINT)) AS q
+        FROM customer
+        WHERE c_mktsegment IN ({analytics.MW_SEGMENTS[0]!r},
+                               {analytics.MW_SEGMENTS[1]!r})
+        GROUP BY 1
+    ),
+    wide AS (
+        SELECT
+            sum(CASE WHEN c_mktsegment = {analytics.MW_SEGMENTS[0]!r}
+                     THEN n END) AS n1,
+            sum(CASE WHEN c_mktsegment = {analytics.MW_SEGMENTS[0]!r}
+                     THEN s END) AS s1,
+            sum(CASE WHEN c_mktsegment = {analytics.MW_SEGMENTS[0]!r}
+                     THEN q END) AS q1,
+            sum(CASE WHEN c_mktsegment = {analytics.MW_SEGMENTS[1]!r}
+                     THEN n END) AS n2,
+            sum(CASE WHEN c_mktsegment = {analytics.MW_SEGMENTS[1]!r}
+                     THEN s END) AS s2,
+            sum(CASE WHEN c_mktsegment = {analytics.MW_SEGMENTS[1]!r}
+                     THEN q END) AS q2
+        FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           round(CAST(s1 AS DOUBLE) / n1 / 100.0, 6) AS mean_a,
+           round(CAST(s2 AS DOUBLE) / n2 / 100.0, 6) AS mean_b,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+                         + (q2 - CAST(s2 AS DOUBLE) * s2 / n2))
+                        / (n1 + n2 - 2)), 9) AS cohens_d
+    FROM wide
+    """,
+)
