@@ -182,6 +182,8 @@ HEADLINE = [
     "q_wasserstein",
     "q_hhi",
     "q_cohens_d",
+    "q_simpson",
+    "q_theil",
 ]
 
 

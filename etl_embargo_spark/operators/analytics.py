@@ -5195,3 +5195,157 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s2.cast("double") / n2 / 100.0, 6).alias("mean_b"),
         F.round(d, 9).alias("cohens_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox detector
+# ---------------------------------------------------------------------------
+
+SIMPSON_STRATA_MOD = 3  # user_id % 3 strata
+
+
+def q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the A/B readout: the variant
+    conversion-rate difference computed overall AND within each
+    user-id stratum, flagging strata whose sign disagrees with the
+    aggregate — the classic confounding trap every experiment review
+    checks before trusting q_ab_test's pooled number.
+
+    Scale shape: one map-side-combined collapse to per-(stratum,
+    variant) conversion counts (strata × 2 rows); the overall row is a
+    second rollup of that tiny relation, unioned in.
+
+    Engine determinism: every rate is ONE division of exact integers;
+    the sign comparison cross-multiplies integer counts — no float
+    decides the flag."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            > F.sum((F.col("event_type") == "error").cast("int"))
+        )
+        .cast("int")
+        .alias("conv")
+    )
+    cells = per_user.groupBy(
+        (F.col("user_id") % SIMPSON_STRATA_MOD).cast("int").alias(
+            "stratum"
+        ),
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c"))
+    wide = cells.groupBy("stratum").agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    overall = wide.groupBy().agg(
+        F.lit(-1).alias("stratum"),
+        F.sum("n0").alias("n0"),
+        F.sum("c0").alias("c0"),
+        F.sum("n1").alias("n1"),
+        F.sum("c1").alias("c1"),
+    ).select("stratum", "n0", "c0", "n1", "c1")
+    both = wide.select("stratum", "n0", "c0", "n1", "c1").unionAll(overall)
+    # integer cross-multiplied sign of (c1/n1 - c0/n0)
+    sign = F.signum(
+        (F.col("c1") * F.col("n0") - F.col("c0") * F.col("n1")).cast(
+            "double"
+        )
+    ).cast("int")
+    return both.select(
+        "stratum",
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(F.col("c0").cast("double") / F.col("n0"), 6).alias(
+            "rate0"
+        ),
+        F.round(F.col("c1").cast("double") / F.col("n1"), 6).alias(
+            "rate1"
+        ),
+        sign.alias("diff_sign"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality decomposition
+# ---------------------------------------------------------------------------
+
+
+def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer spend, decomposed into within-
+    nation and between-nation components (T = T_within + T_between up
+    to the 9-dp term quantization) — the decomposable inequality index
+    q_gini cannot give (Gini does not additively split by subgroup).
+
+    Scale shape: spend collapses to the per-customer cent relation,
+    national totals to a |nations| relation broadcast back; each row
+    contributes one ln term.  Everything after the first aggregate is
+    customer-sized, then nation-sized.
+
+    Engine determinism: each (xᵢ/x̄)·ln(xᵢ/x̄) term is a short
+    correctly-rounded chain over identical doubles, rounded to 9 dp and
+    decimal-summed per the transcendental-term rule; the final scalars
+    are single divisions."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    spend = (
+        orders.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("x")
+        )
+        .join(
+            F.broadcast(cust),
+            F.col("cust") == F.col("c_custkey"),
+        )
+        .select("cust", F.col("c_nationkey").alias("nation"), "x")
+    )
+    tot = spend.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    with_tot = spend.crossJoin(F.broadcast(tot))
+    ratio = F.col("x") * F.col("n") / F.col("s").cast("double")
+    term = F.round(ratio * F.log(ratio), 9).cast("decimal(28,9)")
+    t_total = with_tot.select(term.alias("t"), "n").groupBy("n").agg(
+        F.sum("t").alias("sum_t")
+    )
+    per_nation = spend.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("x").alias("s_g")
+    )
+    nat_tot = per_nation.crossJoin(F.broadcast(tot))
+    gratio = (
+        F.col("s_g").cast("double")
+        / F.col("s")
+        * F.col("n")
+        / F.col("n_g")
+    )
+    gterm = F.round(
+        F.col("s_g").cast("double") / F.col("s") * F.log(gratio), 9
+    ).cast("decimal(28,9)")
+    t_between = nat_tot.select(gterm.alias("g")).groupBy().agg(
+        F.sum("g").alias("sum_g")
+    )
+    return (
+        t_total.crossJoin(F.broadcast(t_between))
+        .select(
+            "n",
+            F.round(F.col("sum_t").cast("double") / F.col("n"), 9).alias(
+                "theil_total"
+            ),
+            F.col("sum_g").cast("double").alias("theil_between"),
+        )
+        .select(
+            F.col("n").alias("n_customers"),
+            "theil_total",
+            F.round("theil_between", 9).alias("theil_between"),
+            F.round(
+                F.col("theil_total") - F.col("theil_between"), 9
+            ).alias("theil_within"),
+        )
+    )

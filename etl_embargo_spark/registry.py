@@ -5877,3 +5877,83 @@ register(
     FROM wide
     """,
 )
+
+register(
+    "q_simpson",
+    analytics.q_simpson,
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END)
+                    > sum(CASE WHEN event_type = 'error'
+                               THEN 1 ELSE 0 END) AS INT) AS conv
+        FROM events GROUP BY 1
+    ),
+    cells AS (
+        SELECT CAST(user_id % {analytics.SIMPSON_STRATA_MOD} AS INT)
+                   AS stratum,
+               CAST(user_id % 2 AS INT) AS variant,
+               count(*) AS n, sum(conv) AS c
+        FROM per_user GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT stratum,
+               sum(CASE WHEN variant = 0 THEN n END) AS n0,
+               sum(CASE WHEN variant = 0 THEN c END) AS c0,
+               sum(CASE WHEN variant = 1 THEN n END) AS n1,
+               sum(CASE WHEN variant = 1 THEN c END) AS c1
+        FROM cells GROUP BY 1
+    ),
+    stacked AS (
+        SELECT stratum, n0, c0, n1, c1 FROM wide
+        UNION ALL
+        SELECT -1, sum(n0), sum(c0), sum(n1), sum(c1) FROM wide
+    )
+    SELECT stratum,
+           CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+           CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+           CAST(sign(CAST(c1 * n0 - c0 * n1 AS DOUBLE)) AS INT)
+               AS diff_sign
+    FROM stacked
+    """,
+)
+
+register(
+    "q_theil",
+    analytics.q_theil,
+    """
+    WITH spend AS (
+        SELECT o.o_custkey AS cust, c.c_nationkey AS nation,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT count(*) AS n, sum(x) AS s FROM spend),
+    t_total AS (
+        SELECT any_value(t2.n) AS n,
+               sum(CAST(round((x * t2.n) / CAST(t2.s AS DOUBLE)
+                       * ln((x * t2.n) / CAST(t2.s AS DOUBLE)), 9)
+                   AS DECIMAL(28,9))) AS sum_t
+        FROM spend CROSS JOIN tot t2
+    ),
+    per_nation AS (
+        SELECT nation, count(*) AS n_g, sum(x) AS s_g
+        FROM spend GROUP BY 1
+    ),
+    t_between AS (
+        SELECT sum(CAST(round(CAST(s_g AS DOUBLE) / t2.s
+                       * ln(CAST(s_g AS DOUBLE) / t2.s * t2.n / n_g), 9)
+                   AS DECIMAL(28,9))) AS sum_g
+        FROM per_nation CROSS JOIN tot t2
+    )
+    SELECT CAST(t_total.n AS BIGINT) AS n_customers,
+           round(CAST(sum_t AS DOUBLE) / t_total.n, 9) AS theil_total,
+           round(CAST(sum_g AS DOUBLE), 9) AS theil_between,
+           round(round(CAST(sum_t AS DOUBLE) / t_total.n, 9)
+                 - round(CAST(sum_g AS DOUBLE), 9), 9) AS theil_within
+    FROM t_total CROSS JOIN t_between
+    """,
+)
