@@ -51,6 +51,27 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rows_checksum(*cols) -> F.Column:
+    """Order-insensitive, partition-layout-independent checksum of a row
+    set: SUM of per-row xxhash64 over the ':'-joined column values.
+
+    Scale rationale: the obvious alternative (md5 over an
+    ``array_sort(collect_list(...))``) materializes a whole group in one
+    task — ruinous for large groups at 100 TB.  A sum of per-row hashes is
+    commutative/associative, gets map-side partial aggregation, and the
+    decimal accumulator makes it bit-exact regardless of merge order.
+    Returned as a string so cross-engine comparison never routes the
+    >64-bit total through a float.
+
+    Used by the checksum-rollup form of rows-only queries whose detail
+    output is deterministic but not SQL-expressible (LSH candidates, IPv6
+    normalization, tar round-trips): the rollup is pinned as a literal
+    DuckDB oracle, giving the driver a real hash-checked row while the
+    detail form keeps its pytest oracle."""
+    joined = F.concat_ws(":", *[F.col(c) if isinstance(c, str) else c for c in cols])
+    return F.sum(F.xxhash64(joined).cast("decimal(20,0)")).cast("string")
+
+
 def observed_metrics(df: DataFrame, name: str = "etl_metrics") -> DataFrame:
     """Live-counter form of A3: ``df.observe`` attaches the counters to the
     job without a second scan — the Spark-native Prometheus analog

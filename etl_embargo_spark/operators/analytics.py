@@ -210,12 +210,13 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: Greenwald-Khanna quantile sketch per group — mergeable,
     bounded-memory (vs exact percentile = full sort).  pytest bounds the
-    rank error vs exact quantiles."""
+    rank error vs exact quantiles.  Scalar columns only (no array output):
+    the driver's cross-engine hasher requires hashable cells."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.95, 0.99], 10000
-        ).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

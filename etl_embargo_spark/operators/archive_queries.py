@@ -14,8 +14,8 @@ from etl_embargo_spark.functions.ipv6 import normalize_ipv6
 from etl_embargo_spark.sources.tar_source import ENTRY_SCHEMA, _make_exploder
 
 
-def q_ipv6_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 rows-only — normalize constructed IPv6 strings, including the
+def ipv6_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 detail form — normalize constructed IPv6 strings, including the
     sidestream ``:::`` malformation and garbage inputs → null."""
     li = spread_for_cpu(load_table(spark, sf_dir, "lineitem"), spark)
     raw = F.when(
@@ -39,11 +39,30 @@ def q_ipv6_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/K1 rows-only — pack document rows into .tgz blobs (one archive per
-    doc_id bucket), explode them back with the tar-entry source kernel, and
-    return the recovered entries.  Verifies the pack/explode machinery on
-    driver data without touching the filesystem."""
+def q_ipv6_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 registered form — checksum rollup of :func:`ipv6_normalized` per
+    input family (raw form index): (form, n_rows, raw_sum, norm_sum).
+    The pandas-UDF normalization is not ANSI-SQL-expressible, but it IS
+    deterministic, so the rollup gets a pinned literal DuckDB oracle and
+    the driver a real hash-checked row; the 60k-row detail keeps its
+    pytest oracle."""
+    from etl_embargo_spark.operators.aggregates import rows_checksum
+
+    d = ipv6_normalized(spark, sf_dir)
+    return d.groupBy(
+        (F.col("l_linenumber") % 4).cast("int").alias("form")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rows_checksum("l_orderkey", "l_linenumber", "raw_ip").alias("raw_sum"),
+        rows_checksum("l_orderkey", "l_linenumber", "norm_ip").alias("norm_sum"),
+    )
+
+
+def tar_roundtrip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/K1 detail form — pack document rows into .tgz blobs (one archive
+    per doc_id bucket), explode them back with the tar-entry source kernel,
+    and return the recovered entries.  Verifies the pack/explode machinery
+    on driver data without touching the filesystem."""
     # no spread_for_cpu here: the pack kernel runs inside
     # groupBy("bucket").applyInPandas, whose own shuffle fixes parallelism
     # at the 16 bucket groups — a pre-repartition would be a wasted shuffle
@@ -83,3 +102,18 @@ def q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     entries = archives.mapInPandas(_make_exploder(), schema=ENTRY_SCHEMA)
     return entries.select("archive", "path", "basename", "size")
+
+
+def q_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/K1 registered form — per-archive checksum rollup of
+    :func:`tar_roundtrip_entries`: (archive, n_entries, entries_sum).
+    Deterministic (fixed mtime, sorted members), so the rollup is pinned
+    as a literal DuckDB oracle; the entry-level detail keeps its golden
+    content-set pytest."""
+    from etl_embargo_spark.operators.aggregates import rows_checksum
+
+    e = tar_roundtrip_entries(spark, sf_dir)
+    return e.groupBy("archive").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        rows_checksum("path", "basename", "size").alias("entries_sum"),
+    )

@@ -325,26 +325,28 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread_for_cpu(load_table(spark, sf_dir, "embeddings"), spark)
     evals, evecs, total = pca_fit(emb)
+    # loadings serialized as CSV (repr round-trips doubles exactly): the
+    # driver's cross-engine hasher requires hashable (scalar) cells
     rows = [
         (
             int(i),
             round(float(evals[i]), 6),
             round(float(evals[i]) / total, 6),
             int(np.abs(evecs[i]).argmax()),
-            [round(float(x), 6) for x in evecs[i]],
+            ",".join(repr(round(float(x), 6)) for x in evecs[i]),
         )
         for i in range(evecs.shape[0])
     ]
     return spark.createDataFrame(
         rows,
         "component int, eigenvalue double, explained_ratio double, "
-        "top_dim int, loadings array<double>",
+        "top_dim int, loadings_csv string",
     )
 
 
 
-def q_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: PCA whitening of the embedding table — every vector
+def whitening_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (array form, pytest-facing): PCA whitening of the embedding table — every vector
     projected onto the top-PCA_TOP components and scaled by 1/√λ, the
     standard decorrelation step before ANN indexing or linear probes.
 
@@ -394,6 +396,21 @@ def q_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select("vec_id", "embedding").mapInPandas(
         _make(wmat), schema=schema
+    )
+
+
+def q_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of the whitening transform: scalar columns only
+    (driver hasher constraint) — the whitened coordinate vector is
+    serialized as CSV of its rounded values; the array form stays
+    available via :func:`whitening_vectors`."""
+    w = whitening_vectors(spark, sf_dir)
+    return w.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("white", lambda v: v.cast("string"))
+        ).alias("white_csv"),
+        "white_norm",
     )
 
 

@@ -218,10 +218,10 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataF
     return jaccard_verify_on_shingles(shingle_sets(docs), pairs, threshold)
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard ≥ 0.5 (rows-only:
-    the murmur permutation family is Spark-specific; pytest holds the
-    recall oracle vs brute-force Jaccard).
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard ≥ 0.5 (detail
+    form: the murmur permutation family is Spark-specific; pytest holds
+    the recall oracle vs brute-force Jaccard).
 
     The shingle stage is computed ONCE and persisted (MEMORY_AND_DISK):
     it feeds the signature pipeline and both verify sides, which would
@@ -241,6 +241,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs 0.7s at sf0.1), and row order is not part of any contract (the
     # driver's value hash is order-insensitive)
     return jaccard_verify_on_shingles(sh, cands, threshold=0.5)
+
+
+def _pair_checksum_rollup(pairs: DataFrame, a_col: str, groups: int = 4) -> DataFrame:
+    """Checksum-rollup form of a deterministic pair list: group by
+    ``a_col % groups`` and emit (grp, n_pairs, pairs_sum).  The detail
+    output stays pytest-checked; this form's few rows are pinnable as a
+    literal DuckDB oracle so the driver gets a real hash-checked row (the
+    pair semantics themselves are not ANSI-SQL-expressible).  See
+    aggregates.rows_checksum for why a hash-sum, not a sorted-list md5."""
+    from etl_embargo_spark.operators.aggregates import rows_checksum
+
+    return pairs.groupBy(
+        (F.col(a_col) % groups).cast("int").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        rows_checksum(*pairs.columns).alias("pairs_sum"),
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered checksum-rollup of :func:`minhash_pairs` (pinned oracle;
+    detail pairs keep their pytest recall oracle)."""
+    return _pair_checksum_rollup(minhash_pairs(spark, sf_dir), "doc_a")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,11 +559,16 @@ def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; pytest oracle)."""
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (detail form; pytest oracle)."""
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
-    # unsorted on purpose — see q_dedup_minhash
+    # unsorted on purpose — see minhash_pairs
     return simhash_near_dups(simhash_signatures(docs))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered checksum-rollup of :func:`simhash_pairs` (pinned oracle)."""
+    return _pair_checksum_rollup(simhash_pairs(spark, sf_dir), "doc_a")
 
 
 def embedding_near_dups(
@@ -628,14 +656,20 @@ def embedding_near_dups(
     return cosine_score_pairs(pairs, emb).filter(F.col("cosine") >= threshold)
 
 
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (rows-only; pytest oracle checks recall vs
-    the brute-force pairs).  Threshold 0.45: the synthetic embeddings top
-    out near cosine 0.51, so a 0.9 near-dup threshold would make this query
-    vacuously empty at every SF."""
+def embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (detail form; pytest oracle checks recall
+    vs the brute-force pairs).  Threshold 0.45: the synthetic embeddings
+    top out near cosine 0.51, so a 0.9 near-dup threshold would make this
+    query vacuously empty at every SF."""
     emb = spread_for_cpu(load_table(spark, sf_dir, "embeddings"), spark)
-    # unsorted on purpose — see q_dedup_minhash
+    # unsorted on purpose — see minhash_pairs
     return embedding_near_dups(emb, threshold=0.45)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered checksum-rollup of :func:`embedding_pairs` (pinned
+    oracle)."""
+    return _pair_checksum_rollup(embedding_pairs(spark, sf_dir), "vec_a")
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

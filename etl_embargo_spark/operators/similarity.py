@@ -213,10 +213,20 @@ def knn_join(emb: DataFrame, k: int = 5) -> DataFrame:
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: approximate per-vector top-5 neighbors (pytest checks
-    recall vs the brute-force neighbor lists)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join(emb, k=5)
+    """Registered checksum-rollup of :func:`knn_join` (pytest checks the
+    detail neighbor lists' recall vs brute force): per-vector top-5
+    neighbor rows grouped by vec_id % 8 into (grp, n_rows, rows_sum) —
+    deterministic (seeded planes, per-pair cosine, tie-broken ranks), so
+    pinnable as a literal DuckDB oracle."""
+    from etl_embargo_spark.operators.aggregates import rows_checksum
+
+    nn = knn_join(load_table(spark, sf_dir, "embeddings"), k=5)
+    return nn.groupBy((F.col("vec_id") % 8).cast("int").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rows_checksum("vec_id", "neighbor_id", "rank", "cosine").alias(
+            "rows_sum"
+        ),
+    )
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
@@ -251,12 +261,93 @@ def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
 
 
+def ivf_assign_lazy(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """``ivf_assign`` without a driver-known dim: the seeded sign matrix is
+    generated IN-kernel from the first batch's vector width (lazy,
+    empty-safe), so building the plan needs no Spark job to discover the
+    embedding dimension.  Same centroids as :func:`ivf_assign` — both call
+    ``default_rng(SIGN_SEED)`` on an (n_centroids × dim) shape."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(emb.schema.fields) + [StructField("centroid_id", IntegerType())]
+    )
+
+    def _make_assign(k, seed):
+        # nested factory: ships by value (cloudpickle); no repo import
+        def _assign(batches):
+            import numpy as _np
+
+            cm = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
+                if cm is None:
+                    rng = _np.random.default_rng(seed)
+                    cm = (
+                        rng.integers(0, 2, size=(k, e.shape[1])) * 2 - 1
+                    ).astype(_np.float64)
+                pdf = pdf.copy()
+                pdf["centroid_id"] = (e @ cm.T).argmax(axis=1).astype("int32")
+                yield pdf
+
+        return _assign
+
+    return emb.mapInPandas(_make_assign(n_centroids, SIGN_SEED), schema=out_schema)
+
+
+def query_probe_set(qrow: DataFrame, n_centroids: int, nprobe: int) -> DataFrame:
+    """Rank the seeded centroids against a ONE-ROW query relation and emit
+    the nprobe nearest centroid ids — the plan-side replacement for
+    ``probe_order`` (which needs the query vector as a driver-side list).
+    Output: (centroid_id int), ≤ nprobe rows; meant to be broadcast into
+    the bucket-pruning join."""
+    def _make(k, p, seed):
+        def _probes(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = _np.asarray(pdf["qvec"].iloc[0], dtype=_np.float64)
+                rng = _np.random.default_rng(seed)
+                cm = (
+                    rng.integers(0, 2, size=(k, q.size)) * 2 - 1
+                ).astype(_np.float64)
+                order = _np.argsort(-(cm @ q), kind="stable")[:p]
+                yield _pd.DataFrame({"centroid_id": order.astype("int32")})
+
+        return _probes
+
+    return qrow.mapInPandas(
+        _make(n_centroids, nprobe, SIGN_SEED), schema="centroid_id int"
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN top-10 for vec_id 0 (rows-only; pytest checks
-    recall vs brute force)."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    query = _query_vector(spark, sf_dir, 0)
-    return ivf_topk(spark, emb, query, k=10, n_centroids=16, nprobe=4)
+    recall vs brute force, and parity with the eager ``ivf_topk`` path).
+
+    Job-free build: the query vector rides the plan as a broadcast one-row
+    relation (as in ``q_topk_similarity``), bucket assignment generates the
+    seeded centroids in-kernel from the batch dim, and the probe set is a
+    broadcast ≤nprobe-row relation joined into the bucket filter — no
+    ``.first()`` at construction time."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    assigned = ivf_assign_lazy(emb.filter(F.col("vec_id") != 0), n_centroids=16)
+    probes = query_probe_set(qrow, n_centroids=16, nprobe=4)
+    pruned = assigned.join(F.broadcast(probes), "centroid_id")
+    e, q = F.col("embedding"), F.col("qvec")
+    cos = _dot(e, q) / (_norm(e) * _norm(q))
+    scored = pruned.join(F.broadcast(qrow)).select(
+        "vec_id", F.round(cos, 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
 
 
 def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:

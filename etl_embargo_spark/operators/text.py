@@ -187,11 +187,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprint (rows-only): Karp-Rabin rolling hash
-    over characters, window-minimum selection (Schleimer et al., SIGMOD'03
-    'Winnowing: Local Algorithms for Document Fingerprinting').  Arrow
-    batches; numpy does the rolling arithmetic."""
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (array form, pytest-facing): Karp-
+    Rabin rolling hash over characters, window-minimum selection
+    (Schleimer et al., SIGMOD'03 'Winnowing: Local Algorithms for Document
+    Fingerprinting').  Arrow batches; numpy does the rolling arithmetic."""
     docs = spread_for_cpu(
         load_table(spark, sf_dir, "documents"), spark
     ).filter(F.col("n_chars") > 0)
@@ -252,6 +252,29 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         _fingerprint, schema="doc_id long, fingerprint array<long>"
     ).select("doc_id", F.size("fingerprint").alias("n_grams"), "fingerprint")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of the winnowing fingerprint: per-doc fingerprints
+    reduced to a checksum rollup (grp = doc_id % 16 → n_docs, total_grams,
+    docs_sum).  The winnowing itself is not ANSI-SQL-expressible but IS
+    deterministic, so the rollup gets a pinned literal DuckDB oracle; the
+    array form stays available via :func:`doc_fingerprints` (pytest
+    oracle)."""
+    from etl_embargo_spark.operators.aggregates import rows_checksum
+
+    fp = doc_fingerprints(spark, sf_dir).select(
+        "doc_id",
+        "n_grams",
+        F.md5(
+            F.concat_ws(",", F.transform("fingerprint", lambda v: v.cast("string")))
+        ).alias("fp_md5"),
+    )
+    return fp.groupBy((F.col("doc_id") % 16).cast("int").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        rows_checksum("doc_id", "n_grams", "fp_md5").alias("docs_sum"),
+    )
 
 
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

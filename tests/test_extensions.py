@@ -34,7 +34,7 @@ class TestMinHash:
     def test_recall_vs_brute_force(self, spark, sf_dir):
         """Every pair with true Jaccard ≥ 0.7 must be recalled by the LSH
         candidates; reported pairs (≥ 0.5 post-verify) must be truly ≥ 0.5."""
-        from etl_embargo_spark.operators.dedup import q_dedup_minhash
+        from etl_embargo_spark.operators.dedup import minhash_pairs
 
         texts = _doc_texts(spark, sf_dir)
         sets = {d: _shingle_set(t) for d, t in texts.items()}
@@ -49,7 +49,7 @@ class TestMinHash:
 
         got = {
             (r["doc_a"], r["doc_b"]): r["jaccard"]
-            for r in q_dedup_minhash(spark, sf_dir).collect()
+            for r in minhash_pairs(spark, sf_dir).collect()
         }
         # precision: everything reported really has Jaccard >= 0.5
         for (a, b), j in got.items():
@@ -66,10 +66,10 @@ class TestSimHash:
     def test_near_dups_are_similar(self, spark, sf_dir):
         """SimHash pairs within the default radius should share vocabulary:
         verify reported pairs do overlap, and identical texts are found."""
-        from etl_embargo_spark.operators.dedup import q_dedup_simhash
+        from etl_embargo_spark.operators.dedup import simhash_pairs
 
         texts = _doc_texts(spark, sf_dir)
-        rows = q_dedup_simhash(spark, sf_dir).collect()
+        rows = simhash_pairs(spark, sf_dir).collect()
         for r in rows[:50]:
             ta = set(texts[r["doc_a"]].lower().split())
             tb = set(texts[r["doc_b"]].lower().split())
@@ -92,7 +92,7 @@ class TestSimHash:
 class TestEmbeddingDedup:
     def test_recall_vs_brute_force(self, spark, sf_dir):
         from etl_embargo_spark.catalog import load_table
-        from etl_embargo_spark.operators.dedup import q_dedup_embedding
+        from etl_embargo_spark.operators.dedup import embedding_pairs
 
         emb = {
             r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
@@ -111,7 +111,7 @@ class TestEmbeddingDedup:
         assert true_pairs, "data should contain pairs above the 0.45 threshold"
         got = {
             (r["vec_a"], r["vec_b"]): r["cosine"]
-            for r in q_dedup_embedding(spark, sf_dir).collect()
+            for r in embedding_pairs(spark, sf_dir).collect()
         }
         assert got, "LSH should surface at least some qualifying pairs"
         # precision is exact (per-pair cosine verified in-engine)
@@ -173,18 +173,18 @@ class TestANN:
 
 class TestFingerprint:
     def test_deterministic_and_shift_invariant(self, spark, sf_dir):
-        from etl_embargo_spark.operators.text import q_doc_fingerprint
+        from etl_embargo_spark.operators.text import doc_fingerprints
 
-        a = {r["doc_id"]: tuple(r["fingerprint"]) for r in q_doc_fingerprint(spark, sf_dir).collect()}
-        b = {r["doc_id"]: tuple(r["fingerprint"]) for r in q_doc_fingerprint(spark, sf_dir).collect()}
+        a = {r["doc_id"]: tuple(r["fingerprint"]) for r in doc_fingerprints(spark, sf_dir).collect()}
+        b = {r["doc_id"]: tuple(r["fingerprint"]) for r in doc_fingerprints(spark, sf_dir).collect()}
         assert a == b  # deterministic
         assert all(len(v) > 0 for v in a.values())
 
     def test_identical_texts_same_fingerprint(self, spark, sf_dir):
-        from etl_embargo_spark.operators.text import q_doc_fingerprint
+        from etl_embargo_spark.operators.text import doc_fingerprints
 
         texts = _doc_texts(spark, sf_dir)
-        fps = {r["doc_id"]: tuple(r["fingerprint"]) for r in q_doc_fingerprint(spark, sf_dir).collect()}
+        fps = {r["doc_id"]: tuple(r["fingerprint"]) for r in doc_fingerprints(spark, sf_dir).collect()}
         by_text = {}
         for d, t in texts.items():
             if t:
@@ -1255,11 +1255,14 @@ class TestPca:
         for i, r in enumerate(rows):
             assert r.eigenvalue == round(float(evals[i]), 6)
             assert r.explained_ratio == round(float(evals[i]) / total, 6)
-            assert r.loadings == [round(float(x), 6) for x in evecs[i]]
+            got_loadings = [float(x) for x in r.loadings_csv.split(",")]
+            assert got_loadings == [round(float(x), 6) for x in evecs[i]]
         # descending spectrum + (near-)orthonormal loadings
         got = [r.eigenvalue for r in rows]
         assert got == sorted(got, reverse=True)
-        V = np.array([r.loadings for r in rows])
+        V = np.array(
+            [[float(x) for x in r.loadings_csv.split(",")] for r in rows]
+        )
         assert np.allclose(V @ V.T, np.eye(PCA_TOP), atol=1e-4)
 
 
@@ -1273,7 +1276,7 @@ class TestWhitening:
         from etl_embargo_spark.catalog import load_table
         from etl_embargo_spark.operators.clustering import (
             pca_fit,
-            q_whitening,
+            whitening_vectors,
         )
 
         emb_df = load_table(spark, sf_dir, "embeddings")
@@ -1286,7 +1289,7 @@ class TestWhitening:
         }
         got = {
             r.vec_id: np.asarray(r.white)
-            for r in q_whitening(spark, sf_dir).collect()
+            for r in whitening_vectors(spark, sf_dir).collect()
         }
         assert set(got) == set(X)
         for vid, v in list(X.items())[:50]:

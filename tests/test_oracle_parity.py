@@ -29,6 +29,36 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     )
 
 
+def _pinned_names() -> list[str]:
+    try:
+        from etl_embargo_spark.pins import PINS
+    except ImportError:
+        return []
+    return sorted(PINS.keys())
+
+
+@pytest.mark.parametrize("name", _pinned_names())
+def test_pinned_oracle_matches_at_driver_sf(spark, name):
+    """Pinned literal oracles (tools/pin_oracles.py) must match the live
+    query at sf0.01 — the exact SF the driver's correctness gate runs at.
+    (sf0.001 is covered by test_query_matches_oracle via the shared
+    fixtures.)  A semantic change to a pinned query without regenerating
+    pins fails HERE, before it can reach the driver."""
+    from etl_embargo_spark.parity import duckdb_connection
+
+    sf = "/root/testdata/sf0.01"
+    fn = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    spark_pdf = fn(spark, sf).toPandas()
+    oracle_pdf = duckdb_connection(sf).execute(sql).fetchdf()
+    report = compare(name, spark_pdf, oracle_pdf)
+    assert report.ok, (
+        f"{name}: rows spark={report.spark_rows} oracle={report.oracle_rows} "
+        f"schema_match={report.schema_match} values_match={report.values_match}\n"
+        + "\n".join(report.mismatches)
+    )
+
+
 def test_every_query_has_rows(spark, sf_dir):
     """Each registered query should be non-degenerate at the smallest SF."""
     for name, fn in registry.queries().items():

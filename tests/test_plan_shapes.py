@@ -415,14 +415,11 @@ class TestJobFreeBuilders:
         at once.  Exempt: queries reading events (its TIMESTAMP(NANOS)
         legacy path needs one footer-inference job per load — see
         catalog._declared_ddl) and the documented set below."""
-        # iterative algorithms materialize rounds at build by design;
-        # q_ann_ivf's centroid PROBE selection needs the query vector on
-        # the driver (it parameterizes which bucket filters exist at all)
+        # iterative algorithms materialize rounds at build by design
         exempt = {
             "q_corpus_dedup",
             "q_dedup_clusters",
             "q_pagerank",
-            "q_ann_ivf",
             # iterative / driver-merged by design:
             "q_bpe_train",   # N merge rounds, each materializes pair counts
             "q_cms_topk",    # per-partition CMS partials merged on the driver
