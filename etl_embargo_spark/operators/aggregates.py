@@ -88,6 +88,25 @@ def observed_metrics(df: DataFrame, name: str = "etl_metrics") -> DataFrame:
     )
 
 
+def observe_with_collector(df: DataFrame, observation) -> DataFrame:
+    """Consumer side of A3's live counters (the reference exposes them via
+    a Prometheus HTTP server, /root/reference/metrics/metrics.go:79-102):
+    attach the same counter expressions to a ``pyspark.sql.Observation``,
+    whose ``get`` yields the values after any action on the returned
+    DataFrame — PySpark's listener-backed observe consumption path, with
+    no second scan of the data."""
+    return df.observe(
+        observation,
+        F.count(F.lit(1)).alias("files_total"),
+        F.sum(F.when(F.col("visibility") == "public", 1).otherwise(0)).alias(
+            "files_public"
+        ),
+        F.sum(F.when(F.col("visibility") == "private", 1).otherwise(0)).alias(
+            "files_private"
+        ),
+    )
+
+
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 

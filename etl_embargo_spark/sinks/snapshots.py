@@ -90,6 +90,18 @@ def write_snapshot(
     versions = _list_versions(table_dir)
     version = (versions[-1] + 1) if versions else 1
     data_dir = os.path.join(table_dir, "data", f"v{version:05d}")
+    # Crash recovery: a writer that died between the parquet write and the
+    # manifest rename leaves an orphaned data/v{N} dir with NO committed
+    # manifest — invisible garbage by construction (readers resolve via
+    # manifests only), but it would wedge this write's mode("error").
+    # The version was chosen from committed manifests, so an existing dir
+    # here can only be such an orphan: delete it.
+    if os.path.isdir(data_dir) and not os.path.exists(
+        _manifest_path(table_dir, version)
+    ):
+        import shutil
+
+        shutil.rmtree(data_dir)
     df.write.mode("error").parquet(data_dir)
     files = [os.path.relpath(p, table_dir) for p in _data_files(data_dir)]
     if mode == "append" and versions:
@@ -126,8 +138,12 @@ def read_snapshot(
     manifest = _read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, p) for p in manifest["files"]]
     if not paths:
+        # manifest["schema"] is a StructType.json() string — createDataFrame
+        # would try to parse a plain string as DDL, so rebuild the type
+        from pyspark.sql.types import StructType
+
         return spark.createDataFrame(
-            [], schema=manifest["schema"]
+            [], schema=StructType.fromJson(json.loads(manifest["schema"]))
         )
     return spark.read.parquet(*paths)
 

@@ -51,13 +51,26 @@ def make_tar_datasource():
         WriterCommitMessage,
     )
 
+    def _local_path(p):
+        """Resolve an explicit-scheme ``file://`` URI (the form Hadoop
+        paths use — what the built-in parquet/binaryFile sources accept
+        natively) to a plain local path; other schemes would route
+        through an fsspec handle here without touching the partition
+        planning (see module docstring)."""
+        if p and p.startswith("file:"):
+            from urllib.parse import urlparse
+            from urllib.request import url2pathname
+
+            return url2pathname(urlparse(p).path)
+        return p
+
     class _ArchivePartition(InputPartition):
         def __init__(self, archive_path: str):
             self.archive_path = archive_path
 
     class _TarReader(DataSourceReader):
         def __init__(self, options):
-            self._path = options.get("path")
+            self._path = _local_path(options.get("path"))
             if not self._path:
                 raise ValueError("tar_archive requires .load(<path or glob>)")
 
@@ -110,16 +123,23 @@ def make_tar_datasource():
         failed job leaves no visible archives."""
 
         def __init__(self, options, overwrite: bool):
-            import glob as _glob
             import os as _os
+            import uuid as _uuid
 
-            self._dir = options.get("path")
+            self._dir = _local_path(options.get("path"))
             if not self._dir:
                 raise ValueError("tar_archive write requires .save(<dir>)")
             _os.makedirs(self._dir, exist_ok=True)
-            if overwrite:
-                for old in _glob.glob(_os.path.join(self._dir, "*.tgz")):
-                    _os.remove(old)
+            # Overwrite is deferred to commit() (stage-then-swap): deleting
+            # here would run at writer-construction/plan time, so a job
+            # that then failed would have already destroyed the old
+            # archives with abort() unable to restore them.
+            self._overwrite = overwrite
+            # Per-job token in every final filename: without it a second
+            # append job reuses the same partition ids and its commit
+            # renames silently clobber the previous job's archives (the
+            # FileCommitProtocol jobId analog).
+            self._job = _uuid.uuid4().hex[:8]
 
         def write(self, iterator):
             import gzip as _gzip
@@ -130,7 +150,9 @@ def make_tar_datasource():
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            tmp = _os.path.join(self._dir, f".part-{pid:05d}.tgz.tmp")
+            tmp = _os.path.join(
+                self._dir, f".part-{self._job}-{pid:05d}.tgz.tmp"
+            )
             buf = _io.BytesIO()
             n = 0
             with _gzip.GzipFile(
@@ -163,8 +185,15 @@ def make_tar_datasource():
             return msg
 
         def commit(self, messages):
+            import glob as _glob
             import os as _os
 
+            if self._overwrite:
+                # the destructive half of overwrite happens only at the
+                # commit point, after every task staged successfully —
+                # a failed job leaves the previous archives intact
+                for old in _glob.glob(_os.path.join(self._dir, "*.tgz")):
+                    _os.remove(old)
             for m in messages:
                 tmp = getattr(m, "tmp_path", None)
                 if tmp:

@@ -375,6 +375,59 @@ class TestSnapshotTable:
         v = write_snapshot(nation.limit(1), table, mode="append")
         assert v == 2
 
+    def test_orphaned_data_dir_recovered(self, spark, sf_dir, tmp_path):
+        """A writer that died BETWEEN the parquet write and the manifest
+        rename leaves an orphaned data/v{N} dir; the next write must
+        reclaim that version instead of wedging on mode('error')."""
+        import os
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.sinks.snapshots import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        table = str(tmp_path / "snap")
+        nation = load_table(spark, sf_dir, "nation")
+        write_snapshot(nation, table, mode="append")
+        # Simulate the crash: data for v2 fully written, no manifest.
+        nation.limit(3).write.parquet(
+            os.path.join(table, "data", "v00002")
+        )
+        v = write_snapshot(nation.limit(1), table, mode="append")
+        assert v == 2
+        # the committed v2 contains the NEW write, not the orphan's rows
+        assert (
+            read_snapshot(spark, table, version=2).count()
+            == nation.count() + 1
+        )
+
+    def test_empty_file_list_version_readable(self, spark, sf_dir, tmp_path):
+        """A committed version whose manifest pins zero files must read as
+        an empty DataFrame with the manifest schema (StructType.json
+        round-trip), not raise a DDL ParseException."""
+        import json
+        import os
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.sinks.snapshots import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        table = str(tmp_path / "snap")
+        nation = load_table(spark, sf_dir, "nation")
+        write_snapshot(nation, table, mode="append")
+        m1 = os.path.join(table, "_manifests", "v00001.json")
+        with open(m1) as f:
+            manifest = json.load(f)
+        manifest.update({"version": 2, "mode": "overwrite", "files": []})
+        with open(os.path.join(table, "_manifests", "v00002.json"), "w") as f:
+            json.dump(manifest, f)
+        empty = read_snapshot(spark, table, version=2)
+        assert empty.count() == 0
+        assert empty.schema == nation.schema
+
     def test_unknown_version_raises(self, spark, sf_dir, tmp_path):
         import pytest as _pytest
 
