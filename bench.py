@@ -184,6 +184,10 @@ HEADLINE = [
     "q_cohens_d",
     "q_simpson",
     "q_theil",
+    # round 2: job-free IVF ANN, LSH kNN rollup, real PPM/WAV decode
+    "q_ann_ivf",
+    "q_knn_join",
+    "q_media_features",
 ]
 
 

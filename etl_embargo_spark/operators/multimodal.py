@@ -1,17 +1,26 @@
-"""Multimodal column plumbing (north-star extension).
+"""Multimodal columns (north-star extension): decode, feature-extract,
+resize, frame-sample over opaque ``binary`` payloads with typed metadata
+(the same shape as the reference's tar-entry content, SURVEY D3).
 
-Image/audio/video payloads are opaque ``binary`` columns plus typed metadata
-(the same shape as the reference's tar-entry content, SURVEY D3).  The
-Spark-side machinery here — schemas, partitioning, mapInPandas batch shape,
-feature-array output — is real and tested; the actual codec step is STUBBED
-(this container has no image/audio libraries) behind
-``decoder_available()`` / a deterministic fake, clearly marked below.
+Codec reality in this container (no PIL/ffmpeg installed):
 
-Pipeline shape at 100 TB: media rows are grouped into size-bounded batches
-(Arrow), decode/feature-extract runs vectorized per batch, output is a typed
-feature struct — the same mapInPandas pattern as the tar exploder, which is
-exactly how a real decode (PIL/ffmpeg/torchvision) plugs in: replace
-``_fake_decode`` and keep every schema and partition decision.
+* **REAL decoders** for the formats decodable with numpy + stdlib alone:
+  binary netpbm images (P6 PPM / P5 PGM — header parse + ``frombuffer``)
+  and PCM WAV audio (RIFF chunk walk).  Feature vectors for those rows are
+  computed from actual decoded pixels / samples, and resize really
+  resamples PPM pixels (nearest-neighbor).
+* **STUB fallback** for compressed codecs (JPEG/PNG/MP4...): deterministic
+  byte statistics, clearly tagged ``codec='opaque'`` in the output.  A
+  PIL/ffmpeg kernel drops into ``_decode_one`` keeping the same
+  (bytes → codec, w, h, n_frames, features[]) contract.
+
+Pipeline shape at 100 TB: media rows stream through Arrow-batched
+mapInPandas kernels; only fixed-width features/metadata ever shuffle, the
+payload column is pruned immediately after the kernel that needs it.
+
+All kernel helpers are defined NESTED inside their factories so cloudpickle
+ships them by value (the driver harness runs without this repo importable
+on workers).
 """
 
 from __future__ import annotations
@@ -27,14 +36,17 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, media_type string, n_bytes long, "
+    "media_id long, media_type string, codec string, n_bytes long, "
     "width int, height int, n_frames int, features array<float>"
 )
 
+WAV_RATE = 8000  # synthetic corpus sample rate (Hz)
+
 
 def decoder_available() -> bool:
-    """True when a real image codec is importable.  STUB GATE: in this
-    container it is always False and the deterministic fake is used."""
+    """True when a compressed-format image codec is importable.  In this
+    container it is False; the numpy/stdlib decoders below still handle
+    netpbm and PCM WAV for real."""
     try:  # pragma: no cover - environment-dependent
         import PIL.Image  # noqa: F401
 
@@ -44,20 +56,84 @@ def decoder_available() -> bool:
 
 
 def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive a media table from ``documents``: the text bytes play the role
-    of an encoded payload; type/declared dims are deterministic per doc."""
+    """Derive a media table from ``documents`` with REAL payloads where a
+    library-free encoder exists: image rows carry a valid binary P6 PPM
+    (pixels = the text bytes tiled to w×h×3), audio rows a valid PCM16
+    mono WAV, video rows an opaque payload (no container format is
+    writable without ffmpeg).  Deterministic per doc_id."""
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
-    mtype = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        mtype.alias("media_type"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
-        ((F.col("doc_id") % 8 + 1) * 64).cast("int").alias("declared_w"),
-        ((F.col("doc_id") % 4 + 1) * 64).cast("int").alias("declared_h"),
-    )
+    base = docs.select("doc_id", "text")
+
+    def _make_payloads(rate):
+        def _payloads(batches):
+            import struct as _struct
+
+            import numpy as _np
+            import pandas as _pd
+
+            def ppm(doc_id, text):
+                w = (doc_id % 8 + 1) * 4
+                h = (doc_id % 4 + 1) * 4
+                need = w * h * 3
+                raw = _np.frombuffer(
+                    (text or "x").encode("utf-8"), dtype=_np.uint8
+                )
+                pixels = _np.resize(raw, need)  # tile/truncate to fit
+                return (
+                    f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes(),
+                    w,
+                    h,
+                )
+
+            def wav(doc_id, text):
+                raw = _np.frombuffer(
+                    (text or "x").encode("utf-8"), dtype=_np.uint8
+                )
+                n = int(min(max(raw.size, 16), 2000))
+                # center bytes around 0 and widen to int16 PCM
+                samples = (
+                    (_np.resize(raw, n).astype(_np.int16) - 128) * 64
+                )
+                data = samples.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                )
+                return hdr + data, n
+
+            for pdf in batches:
+                out = {
+                    "media_id": [], "media_type": [], "content": [],
+                    "declared_w": [], "declared_h": [],
+                }
+                for _, r in pdf.iterrows():
+                    did = int(r["doc_id"])
+                    # same mapping as the original element_at expression:
+                    # doc_id%3 = 0 → image, 1 → audio, 2 → video
+                    kind = ("image", "audio", "video")[did % 3]
+                    if kind == "image":
+                        content, w, h = ppm(did, r["text"])
+                    elif kind == "audio":
+                        content, _n = wav(did, r["text"])
+                        w, h = 0, 0
+                    else:
+                        content = (r["text"] or "x").encode("utf-8")
+                        w = (did % 8 + 1) * 64
+                        h = (did % 4 + 1) * 64
+                    out["media_id"].append(did)
+                    out["media_type"].append(kind)
+                    out["content"].append(content)
+                    out["declared_w"].append(w)
+                    out["declared_h"].append(h)
+                yield _pd.DataFrame(out)
+
+        return _payloads
+
+    return base.mapInPandas(_make_payloads(WAV_RATE), schema=MEDIA_SCHEMA)
 
 
 def extract_features(
@@ -65,104 +141,220 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas.
 
-    REAL: batch iteration, schema contract, Arrow transfer, output shape.
-    STUB: ``_fake_decode`` stands in for the codec — a deterministic
-    byte-statistics 'decoder' so tests are reproducible.  A real decoder
-    must keep the same (bytes → width, height, n_frames, features[])
-    contract.
+    Per-row dispatch on magic bytes: ``P6``/``P5`` netpbm and RIFF/WAVE
+    payloads are REALLY decoded (dims/samples from the payload itself,
+    features from pixel/sample statistics); anything else falls back to
+    the deterministic byte-statistics stub, tagged ``codec='opaque'``.
 
-    ``use_real_codec`` defaults to ``decoder_available()``; the real path
-    is NOT implemented in this container and raises loudly rather than
-    silently emitting fake features where real ones were expected.
-    """
+    ``use_real_codec=False`` forces the stub for every row (plumbing
+    tests); ``True`` demands a real decode and raises on unrecognized
+    payloads instead of silently emitting fake features."""
     if use_real_codec is None:
-        use_real_codec = decoder_available()
-    if use_real_codec:
-        raise NotImplementedError(
-            "real codec path not implemented here: swap _fake_decode for a "
-            "PIL/ffmpeg kernel keeping the same contract"
-        )
+        strict = False
+    else:
+        strict = bool(use_real_codec)
+    force_fake = use_real_codec is False
 
-    def _extract(batches):
-        import numpy as _np
-        import pandas as _pd
+    def _make_extract(strict_mode, fake_only):
+        def _extract(batches):
+            import numpy as _np
+            import pandas as _pd
 
-        def _fake_decode(content, media_type, declared_w, declared_h):
-            # STUB decoder: deterministic statistics of the payload bytes.
-            # Raise NotImplementedError here if a hard failure is preferred
-            # over fake features when no codec is installed.
-            arr = _np.frombuffer(bytes(content), dtype=_np.uint8)
-            if arr.size == 0:
-                arr = _np.zeros(1, dtype=_np.uint8)
-            n_frames = 1 if media_type == "image" else int(arr.size % 30 + 1)
-            feats = _np.array(
-                [
-                    arr.size,
-                    float(arr.mean()),
-                    float(arr.std()),
-                    float(arr.min()),
-                    float(arr.max()),
-                    float(_np.median(arr)),
-                    float((arr > 127).mean()),
-                    float(arr[:64].sum() % 997),
-                ],
-                dtype=_np.float32,
-            )
-            return int(declared_w), int(declared_h), n_frames, feats
-
-        for pdf in batches:
-            rows = {
-                "media_id": [], "media_type": [], "n_bytes": [],
-                "width": [], "height": [], "n_frames": [], "features": [],
-            }
-            for _, r in pdf.iterrows():
-                w, h, nf, feats = _fake_decode(
-                    r["content"], r["media_type"], r["declared_w"], r["declared_h"]
+            def decode_ppm(b):
+                # P6 header: magic, whitespace, w, h, maxval, single ws
+                parts = b.split(maxsplit=4)
+                w, h = int(parts[1]), int(parts[2])
+                # pixel block starts after the single whitespace byte
+                # following maxval
+                hdr_len = len(b) - (w * h * 3)
+                px = _np.frombuffer(b[hdr_len:], dtype=_np.uint8).reshape(
+                    h, w, 3
                 )
-                rows["media_id"].append(r["media_id"])
-                rows["media_type"].append(r["media_type"])
-                rows["n_bytes"].append(len(bytes(r["content"])))
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["n_frames"].append(nf)
-                rows["features"].append(feats)
-            yield _pd.DataFrame(rows)
+                rgb = px.astype(_np.float64)
+                feats = _np.array(
+                    [
+                        w, h,
+                        rgb[..., 0].mean(), rgb[..., 1].mean(),
+                        rgb[..., 2].mean(),
+                        rgb.std(),
+                        rgb.max(),
+                        # ITU-R 601 luma from real channel planes
+                        (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                         + 0.114 * rgb[..., 2]).mean(),
+                    ],
+                    dtype=_np.float32,
+                )
+                return "ppm", w, h, 1, feats
 
-    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+            def decode_wav(b):
+                import struct as _struct
+
+                # RIFF chunk walk: find fmt and data
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                pos, rate, data = 12, 0, b""
+                while pos + 8 <= len(b):
+                    cid = b[pos:pos + 4]
+                    clen = _struct.unpack("<I", b[pos + 4:pos + 8])[0]
+                    body = b[pos + 8:pos + 8 + clen]
+                    if cid == b"fmt ":
+                        rate = _struct.unpack("<I", body[4:8])[0]
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + clen + (clen % 2)
+                samples = _np.frombuffer(data, dtype=_np.int16).astype(
+                    _np.float64
+                )
+                n = samples.size
+                zc = (
+                    float((_np.diff(_np.signbit(samples)) != 0).mean())
+                    if n > 1
+                    else 0.0
+                )
+                feats = _np.array(
+                    [
+                        rate,
+                        n,
+                        n / rate if rate else 0.0,
+                        _np.sqrt((samples ** 2).mean()) if n else 0.0,
+                        zc,
+                        _np.abs(samples).mean() if n else 0.0,
+                        _np.abs(samples).max() if n else 0.0,
+                        0.0,
+                    ],
+                    dtype=_np.float32,
+                )
+                return "wav-pcm", 0, 0, n, feats
+
+            def decode_fake(b, media_type, declared_w, declared_h):
+                arr = _np.frombuffer(b, dtype=_np.uint8)
+                if arr.size == 0:
+                    arr = _np.zeros(1, dtype=_np.uint8)
+                n_frames = (
+                    1 if media_type == "image" else int(arr.size % 30 + 1)
+                )
+                feats = _np.array(
+                    [
+                        arr.size,
+                        float(arr.mean()),
+                        float(arr.std()),
+                        float(arr.min()),
+                        float(arr.max()),
+                        float(_np.median(arr)),
+                        float((arr > 127).mean()),
+                        float(arr[:64].sum() % 997),
+                    ],
+                    dtype=_np.float32,
+                )
+                return (
+                    "opaque",
+                    int(declared_w),
+                    int(declared_h),
+                    n_frames,
+                    feats,
+                )
+
+            def decode_one(b, media_type, declared_w, declared_h):
+                if not fake_only:
+                    if b[:2] in (b"P6", b"P5"):
+                        return decode_ppm(b)
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        return decode_wav(b)
+                if strict_mode:
+                    raise NotImplementedError(
+                        "no real codec for this payload (compressed "
+                        "formats need PIL/ffmpeg); swap decode_one's "
+                        "fallback keeping the same contract"
+                    )
+                return decode_fake(b, media_type, declared_w, declared_h)
+
+            for pdf in batches:
+                rows = {
+                    "media_id": [], "media_type": [], "codec": [],
+                    "n_bytes": [], "width": [], "height": [],
+                    "n_frames": [], "features": [],
+                }
+                for _, r in pdf.iterrows():
+                    b = bytes(r["content"])
+                    codec, w, h, nf, feats = decode_one(
+                        b, r["media_type"], r["declared_w"], r["declared_h"]
+                    )
+                    rows["media_id"].append(r["media_id"])
+                    rows["media_type"].append(r["media_type"])
+                    rows["codec"].append(codec)
+                    rows["n_bytes"].append(len(b))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(nf)
+                    rows["features"].append(feats)
+                yield _pd.DataFrame(rows)
+
+        return _extract
+
+    return media.mapInPandas(
+        _make_extract(strict, force_fake), schema=FEATURE_SCHEMA
+    )
 
 
 def resize_media(
     media: DataFrame, target_w: int, target_h: int
 ) -> DataFrame:
-    """Resize plumbing: recompute dimension metadata and hand each payload
-    to the (stubbed) resampling kernel via mapInPandas.
+    """Resize (fit-within, never upscale) via mapInPandas.
 
-    REAL: schema/batch contract, aspect-ratio arithmetic (fit-within,
-    never upscale), Arrow transfer.  STUB: the pixel resample itself —
-    payload bytes pass through unchanged; a real implementation swaps the
-    kernel body for PIL/ffmpeg and keeps the contract.
-    """
+    P6 PPM payloads are REALLY resampled (nearest-neighbor index
+    striding on the decoded pixel array, header rewritten); other
+    payloads pass through with scaled dimension metadata only — the
+    PIL/ffmpeg slot, same contract."""
 
-    def _resize(batches):
-        import pandas as _pd
+    def _make_resize(tw, th):
+        def _resize(batches):
+            import numpy as _np
+            import pandas as _pd
 
-        for pdf in batches:
-            scale_w = pdf["declared_w"].clip(upper=target_w) / pdf["declared_w"]
-            scale_h = pdf["declared_h"].clip(upper=target_h) / pdf["declared_h"]
-            scale = scale_w.combine(scale_h, min)
-            out = _pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    # STUB: real kernel resamples; plumbing passes through
-                    "content": pdf["content"],
-                    "declared_w": (pdf["declared_w"] * scale).astype("int32"),
-                    "declared_h": (pdf["declared_h"] * scale).astype("int32"),
+            def resample_ppm(b):
+                parts = b.split(maxsplit=4)
+                w, h = int(parts[1]), int(parts[2])
+                hdr_len = len(b) - (w * h * 3)
+                px = _np.frombuffer(b[hdr_len:], dtype=_np.uint8).reshape(
+                    h, w, 3
+                )
+                scale = min(tw / w, th / h, 1.0)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                yi = (_np.arange(nh) * (h / nh)).astype(int)
+                xi = (_np.arange(nw) * (w / nw)).astype(int)
+                out = px[yi][:, xi]
+                return (
+                    f"P6\n{nw} {nh}\n255\n".encode("ascii") + out.tobytes(),
+                    nw,
+                    nh,
+                )
+
+            for pdf in batches:
+                out = {
+                    "media_id": [], "media_type": [], "content": [],
+                    "declared_w": [], "declared_h": [],
                 }
-            )
-            yield out
+                for _, r in pdf.iterrows():
+                    b = bytes(r["content"])
+                    w, h = int(r["declared_w"]), int(r["declared_h"])
+                    if b[:2] == b"P6":
+                        content, nw, nh = resample_ppm(b)
+                    elif w <= 0 or h <= 0:
+                        # dimensionless payload (audio): nothing to scale
+                        content, nw, nh = b, w, h
+                    else:
+                        scale = min(tw / w, th / h, 1.0)
+                        content = b
+                        nw, nh = int(w * scale), int(h * scale)
+                    out["media_id"].append(r["media_id"])
+                    out["media_type"].append(r["media_type"])
+                    out["content"].append(content)
+                    out["declared_w"].append(nw)
+                    out["declared_h"].append(nh)
+                yield _pd.DataFrame(out)
 
-    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+        return _resize
+
+    return media.mapInPandas(_make_resize(target_w, target_h), schema=MEDIA_SCHEMA)
 
 
 def frame_sample(features: DataFrame, every_n: int = 5) -> DataFrame:
@@ -178,11 +370,13 @@ def frame_sample(features: DataFrame, every_n: int = 5) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only driver query: synthetic media → feature extraction →
-    per-type rollup of byte/frame counts (the plumbing end-to-end)."""
+    """Rows-only driver query: synthetic media → per-row codec dispatch
+    (real PPM/WAV decode, stub for opaque) → per-(type, codec) rollup of
+    byte/frame counts.  The codec column proves which rows took the real
+    decode path."""
     media = synthetic_media(spark, sf_dir)
     feats = extract_features(media)
-    return feats.groupBy("media_type").agg(
+    return feats.groupBy("media_type", "codec").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
         F.sum("n_frames").alias("total_frames"),
@@ -194,13 +388,13 @@ FRAME_EVERY_N = 5
 
 def q_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only driver query for the full multimodal chain: synthesize →
-    resize (fit-within 128×128) → decode/feature-extract → sample every
-    5th frame of the video rows → per-media accounting (frames sampled,
-    highest index).  Every stage is the Arrow-batched plumbing the real
-    codecs plug into; pytest pins the sampled-frame arithmetic
+    resize (fit-within 16×16: PPM pixels really resampled) → decode /
+    feature-extract → sample every 5th frame of the video rows →
+    per-media accounting (frames sampled, highest index).  pytest pins
+    the sampled-frame arithmetic and the real-resample dims
     (tests/test_extensions.py)."""
     media = synthetic_media(spark, sf_dir)
-    resized = resize_media(media, target_w=128, target_h=128)
+    resized = resize_media(media, target_w=16, target_h=16)
     feats = extract_features(resized)
     sampled = frame_sample(feats, every_n=FRAME_EVERY_N)
     return sampled.groupBy("media_id").agg(
