@@ -184,10 +184,13 @@ HEADLINE = [
     "q_cohens_d",
     "q_simpson",
     "q_theil",
-    # round 2: job-free IVF ANN, LSH kNN rollup, real PPM/WAV decode
+    # round 2: job-free IVF ANN, LSH kNN rollup, real PPM/WAV decode,
+    # ExactSubstr-style duplicated-span scan, PII scrub
     "q_ann_ivf",
     "q_knn_join",
     "q_media_features",
+    "q_substr_dedup",
+    "q_pii_scrub",
 ]
 
 

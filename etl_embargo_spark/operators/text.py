@@ -1621,3 +1621,69 @@ def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 9).alias("pe"),
         F.round((po - pe) / (1 - pe), 9).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicated-span scan (Lee et al., ACL'22)
+# ---------------------------------------------------------------------------
+
+SUBSTR_NGRAM = 8  # window width in tokens
+SUBSTR_MAX_TOKENS = 256  # per-doc cap (logged in the docstring, not silent)
+
+
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span scan ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al., ACL'22): every
+    overlapping SUBSTR_NGRAM-token window of each document is hashed, and
+    a window is *duplicated* when its gram occurs in ≥ 2 distinct
+    documents.  Per document: window count, duplicated-window count, and
+    the duplicated fraction — the removal-candidate mass an ExactSubstr
+    cut would target.  (The paper builds a corpus-wide suffix array; at
+    Spark scale the standard approximation is fixed-width window hashing,
+    which finds every duplicated span of ≥ SUBSTR_NGRAM tokens.)
+
+    Windows are capped at the first SUBSTR_MAX_TOKENS tokens per doc —
+    an explicit scan bound, not a silent truncation.
+
+    Scale shape: the exploded relation is one 16-byte md5 per token
+    position (documents themselves never shuffle); the per-gram
+    doc-frequency aggregate gets map-side partials, and the dup-gram
+    probe is a shuffle join on the hash.  dup_frac is ONE IEEE division
+    of two exact bigints — engine-identical."""
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents"), spark
+    ).filter(F.col("n_chars") > 0)
+    toks = docs.select(
+        "doc_id", F.slice(_tokens(), 1, SUBSTR_MAX_TOKENS).alias("t")
+    ).filter(F.size("t") >= SUBSTR_NGRAM)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - SUBSTR_NGRAM),
+                lambda i: F.md5(
+                    F.array_join(F.slice("t", i + 1, F.lit(SUBSTR_NGRAM)), " ")
+                ),
+            )
+        ).alias("g"),
+    ).persist()  # 3 consumers (dup grams, per-doc totals, dup probe):
+    # without the cache the tokenize+hash scan executes three times
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    hits = (
+        grams.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    n_dup = F.coalesce("n_dup_windows", F.lit(0))
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        n_dup.alias("n_dup_windows"),
+        (n_dup.cast("double") / F.col("n_windows")).alias("dup_frac"),
+    )
