@@ -454,12 +454,39 @@ def q_media_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
     externalization threshold) a multimodal lakehouse keeps per
     modality.
 
-    Scale shape: byte length is a scan-side projection (no decode, no
-    Python); one map-side-combined rollup to the |types|×|bands|
-    relation.  Banding is fixed CASE thresholds — exact integers,
-    portable everywhere."""
-    media = synthetic_media(spark, sf_dir)
-    nb = F.length(F.col("content"))
+    Scale shape: byte length derives from metadata alone (dims for PPM,
+    clamped sample count for WAV, raw length for opaque) — the payload
+    column is never materialized, the whole query is JVM-side codegen
+    (guarded by tests/test_plan_shapes.py), and the arithmetic is
+    cross-checked against length(content) of the real payloads in
+    tests/test_extensions.py.  One map-side-combined rollup to the
+    |types|×|bands| relation; banding is fixed CASE thresholds — exact
+    integers, portable everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (d % 3 + 1).cast("int"),
+    )
+    w = (d % 8 + 1) * 4
+    h = (d % 4 + 1) * 4
+    raw_len = F.when(
+        F.col("text").isNull() | (F.col("text") == ""), F.lit(1)
+    ).otherwise(F.octet_length("text"))
+    nb = (
+        F.when(
+            mtype == "image",
+            F.lit(9) + F.length(w.cast("string")) + F.length(h.cast("string"))
+            + w * h * 3,
+        )
+        .when(
+            mtype == "audio",
+            F.lit(44) + 2 * F.least(F.greatest(raw_len, F.lit(16)), F.lit(2000)),
+        )
+        .otherwise(raw_len)
+    )
+    media = docs.select(mtype.alias("media_type"), nb.alias("nb_meta"))
+    nb = F.col("nb_meta")
     band = (
         F.when(nb < SIZE_BANDS[0], F.lit(f"<{SIZE_BANDS[0]}"))
         .when(nb < SIZE_BANDS[1], F.lit(f"<{SIZE_BANDS[1]}"))

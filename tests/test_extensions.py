@@ -256,6 +256,44 @@ class TestMultimodal:
                 assert r["codec"] == "opaque"
         assert n_ppm > 0 and n_wav > 0
 
+    def test_storage_profile_matches_real_payload_lengths(self, spark, sf_dir):
+        """q_media_storage derives byte sizes from metadata alone (pure
+        codegen, no payload materialization) — its arithmetic must agree
+        exactly with length(content) of the actually-synthesized
+        payloads."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.operators.multimodal import (
+            q_media_storage,
+            synthetic_media,
+        )
+
+        real = (
+            synthetic_media(spark, sf_dir)
+            .select("media_type", F.length("content").alias("nb"))
+            .groupBy("media_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("nb").alias("total"),
+                F.max("nb").alias("mx"),
+            )
+        )
+        want = {r["media_type"]: r for r in real.collect()}
+        got = (
+            q_media_storage(spark, sf_dir)
+            .groupBy("media_type")
+            .agg(
+                F.sum("n_objects").alias("n"),
+                F.sum("total_bytes").alias("total"),
+                F.max("max_bytes").alias("mx"),
+            )
+            .collect()
+        )
+        assert len(got) == len(want)
+        for r in got:
+            w = want[r["media_type"]]
+            assert (r["n"], r["total"], r["mx"]) == (w["n"], w["total"], w["mx"])
+
     def test_resize_really_resamples_ppm(self, spark, sf_dir):
         """fit-within 8×8 must rewrite PPM payloads: new header dims ≤ 8,
         pixel block shrunk to w*h*3, aspect preserved."""
