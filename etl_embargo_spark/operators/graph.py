@@ -89,13 +89,33 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
     )
 
 
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only (iterative): PageRank over the co-purchase part graph;
-    pytest holds a pure-Python power-iteration oracle on the same edges
+def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase part graph (detail form); pytest
+    holds a pure-Python power-iteration oracle on the same edges
     (tests/test_extensions.py::TestPageRank)."""
     li = load_table(spark, sf_dir, "lineitem")
     ranks = pagerank(copurchase_edges(li))
     return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered checksum-rollup of :func:`pagerank_ranks` (the node-level
+    ranks stay pytest-checked): per id%8 group the node count, rank mass,
+    and an order-insensitive hash-sum — small enough to pin as a literal
+    DuckDB oracle at every SF (the detail relation is |parts|-sized and
+    outgrows the pin cap at sf0.01)."""
+    from etl_embargo_spark.operators.aggregates import rows_checksum
+
+    r = pagerank_ranks(spark, sf_dir)
+    return r.groupBy((F.col("id") % 8).cast("int").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        # exact decimal sum (order-independent), ONE cast to double at the
+        # end — decimals don't go to the hash compare (CLAUDE.md rule)
+        F.sum(F.col("rank").cast("decimal(18,8)"))
+        .cast("double")
+        .alias("rank_mass"),
+        rows_checksum("id", "rank").alias("rows_sum"),
+    )
 
 TRIANGLE_MIN_SUPPORT = 2
 

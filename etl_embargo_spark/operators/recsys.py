@@ -157,12 +157,11 @@ def als_fit(inter: DataFrame, n_rounds: int = ALS_ROUNDS):
     )
 
 
-def q_als(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only (iterative — not SQL-expressible): ALS matrix
-    factorization of the user×part purchase-count matrix; every
-    observed interaction scored with the fitted factors plus the exact
-    decimal global RMSE.  Pytest replays init, every solve and the
-    scoring in numpy and checks predictions exactly
+def als_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS matrix factorization of the user×part purchase-count matrix
+    (detail form): every observed interaction scored with the fitted
+    factors plus the exact decimal global RMSE.  Pytest replays init,
+    every solve and the scoring in numpy and checks predictions exactly
     (tests/test_extensions.py::TestALS)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -221,4 +220,21 @@ def q_als(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("rmse"),
+    )
+
+
+def q_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered checksum-rollup of :func:`als_scores` (the ~60k-row
+    interaction detail stays pytest-checked): per user%8 group the
+    interaction count, an order-insensitive hash-sum of the scored rows,
+    and the shared global RMSE — small enough to pin as a literal DuckDB
+    oracle (the quantized fit is partition-layout independent, same
+    contract as kmeans_fit)."""
+    from etl_embargo_spark.operators.aggregates import rows_checksum
+
+    s = als_scores(spark, sf_dir)
+    return s.groupBy((F.col("user") % 8).cast("int").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_interactions"),
+        rows_checksum("user", "item", "r", "pred").alias("rows_sum"),
+        F.max("rmse").alias("rmse"),
     )

@@ -111,10 +111,20 @@ STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.25}
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: seeded per-language sample of documents (50% en, 25%
-    others); pytest bounds the realized per-stratum fractions."""
+    """Deterministic stratified sample of documents (50% en, 25% other
+    languages) by per-stratum md5-bucket thresholding — reproducible
+    across engines, runs, and partition layouts, which is the property a
+    100 TB corpus split actually needs (``sampleBy``'s partition-seeded
+    RNG reshuffles stratum membership whenever the layout changes; that
+    API form stays available as :func:`stratified_sample` with its
+    Bernoulli-tolerance pytest).  Exact-match DuckDB oracle via the
+    shared 32-bit md5-bucket construction (see ``hash_bucket``)."""
     docs = load_table(spark, sf_dir, "documents")
-    return stratified_sample(docs, STRATA_FRACTIONS).select("doc_id", "lang")
+    bucket = hash_bucket(
+        F.concat_ws("-", F.lit("strat"), F.col("doc_id").cast("string"))
+    )
+    thresh = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(25))
+    return docs.select("doc_id", "lang").filter(bucket < thresh)
 
 
 MIX_BUCKETS = 10000

@@ -730,7 +730,7 @@ class TestPageRank:
             PR_DAMPING,
             PR_ITERS,
             copurchase_edges,
-            q_pagerank,
+            pagerank_ranks,
         )
 
         li = load_table(spark, sf_dir, "lineitem")
@@ -754,7 +754,7 @@ class TestPageRank:
                 for v in nodes
             }
 
-        got = {r.id: r.rank for r in q_pagerank(spark, sf_dir).collect()}
+        got = {r.id: r.rank for r in pagerank_ranks(spark, sf_dir).collect()}
         assert set(got) == set(rank)
         for v in nodes:
             assert abs(got[v] - rank[v]) < 1e-6, v
@@ -1745,10 +1745,10 @@ class TestALS:
             ALS_LAMBDA,
             ALS_QUANTUM,
             ALS_ROUNDS,
-            q_als,
+            als_scores,
         )
 
-        rows = q_als(spark, sf_dir).collect()
+        rows = als_scores(spark, sf_dir).collect()
         li = load_table(spark, sf_dir, "lineitem").collect()
         orders = {
             r.o_orderkey: r.o_custkey
