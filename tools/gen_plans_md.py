@@ -333,6 +333,23 @@ SHOWCASE: dict[str, str] = {
         "projection into one map-side-combined global aggregate per "
         "table, order-independent by construction."
     ),
+    "q_ann_ivf": (
+        "Job-free IVF ANN: in-kernel seeded centroid assignment "
+        "(MapInPandas over the one scan), probe set and query vector as "
+        "BROADCAST one-row/nprobe-row relations, TakeOrderedAndProject "
+        "top-k — zero driver-side jobs at build, no cross join."
+    ),
+    "q_substr_dedup": (
+        "ExactSubstr window-hash scan: gram relation persisted once "
+        "(InMemoryTableScan under all 3 consumers), per-gram doc-"
+        "frequency map-side combined, dup probe is a hash join on the "
+        "16-byte gram key — documents themselves never shuffle."
+    ),
+    "q_knn_join": (
+        "LSH kNN self-join: candidates from bucket groupBy-expand (no "
+        "self-join of the bucketed relation), exact cosine Arrow-batched "
+        "on candidates only, per-vector rank window hits WindowGroupLimit."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
