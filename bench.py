@@ -191,6 +191,7 @@ HEADLINE = [
     "q_media_features",
     "q_substr_dedup",
     "q_pii_scrub",
+    "q_contrastive_pairs",
 ]
 
 

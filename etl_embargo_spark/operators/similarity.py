@@ -593,3 +593,66 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (embedding-training data op)
+# ---------------------------------------------------------------------------
+
+CONTRASTIVE_POS_T = 0.40  # ≥ → positive (corpus cosine ceiling ~0.51)
+CONTRASTIVE_NEG_T = 0.20  # < → usable hard negative
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) training triples for
+    contrastive embedding fine-tuning: positives are LSH candidates with
+    cosine ≥ CONTRASTIVE_POS_T; hard negatives are candidates that
+    COLLIDED in some LSH table (so they look similar to the index) yet
+    score below CONTRASTIVE_NEG_T — exactly the negatives that teach a
+    bi-encoder the most (harder than random, cheaper than full mining).
+    Per anchor: the best positive and the highest-scoring usable
+    negative, ties broken on vec_id.
+
+    Scale shape: candidates come from the multi-table hyperplane LSH
+    bucket expansion (never an all-pairs join); exact cosine is
+    Arrow-batched on candidates only; the per-anchor argmax is a rank
+    window (WindowGroupLimit).  Deterministic (seeded planes, per-pair
+    math, tie-broken ranks) → pinned oracle; pytest replays the triple
+    selection exactly from the scored candidate list."""
+    from pyspark.sql import Window
+
+    from etl_embargo_spark.operators.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=-1.0)
+    directed = pairs.unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "cosine",
+        )
+    ).persist()  # 2 consumers (positive argmax, negative argmax)
+    w = Window.partitionBy("vec_a").orderBy(
+        F.col("cosine").desc(), F.col("vec_b")
+    )
+    pos = (
+        directed.filter(F.col("cosine") >= CONTRASTIVE_POS_T)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_a").alias("anchor"),
+            F.col("vec_b").alias("pos_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    neg = (
+        directed.filter(F.col("cosine") < CONTRASTIVE_NEG_T)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_a").alias("anchor"),
+            F.col("vec_b").alias("neg_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor")

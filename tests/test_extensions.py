@@ -1802,3 +1802,43 @@ class TestALS:
         # rmse sanity: the fit reconstructs observed counts well
         assert rows[0].rmse < 0.5
         assert len(rows) == len(inter)
+
+
+class TestContrastivePairs:
+    def test_triples_replay_from_scored_candidates(self, spark, sf_dir):
+        """q_contrastive_pairs must equal an exact pandas replay of the
+        triple selection over the scored LSH candidate list: best positive
+        (cosine >= POS_T) and highest negative (cosine < NEG_T) per
+        anchor, ties on vec_id, anchors needing both."""
+        from collections import defaultdict
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.dedup import embedding_near_dups
+        from etl_embargo_spark.operators.similarity import (
+            CONTRASTIVE_NEG_T,
+            CONTRASTIVE_POS_T,
+            q_contrastive_pairs,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pairs = embedding_near_dups(emb, threshold=-1.0).collect()
+        directed = defaultdict(list)
+        for r in pairs:
+            directed[r["vec_a"]].append((r["vec_b"], r["cosine"]))
+            directed[r["vec_b"]].append((r["vec_a"], r["cosine"]))
+        want = {}
+        for a, lst in directed.items():
+            pos = [(c, b) for b, c in lst if c >= CONTRASTIVE_POS_T]
+            neg = [(c, b) for b, c in lst if c < CONTRASTIVE_NEG_T]
+            if pos and neg:
+                pc, pb = max(pos, key=lambda t: (t[0], -t[1]))
+                nc, nb = max(neg, key=lambda t: (t[0], -t[1]))
+                want[a] = (pb, pc, nb, nc)
+        got = {
+            r["anchor"]: (r["pos_id"], r["pos_cos"], r["neg_id"], r["neg_cos"])
+            for r in q_contrastive_pairs(spark, sf_dir).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+        for pb, pc, nb, nc in got.values():
+            assert pc >= CONTRASTIVE_POS_T > CONTRASTIVE_NEG_T > nc

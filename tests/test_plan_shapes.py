@@ -912,6 +912,33 @@ class TestOpsFinalPlans:
         assert "ArrowEvalPython" not in plan
         assert "MapInPandas" not in plan
 
+    def test_ann_ivf_broadcasts_probes_and_query(self, spark, sf_dir):
+        """q_ann_ivf: the probe set and query vector must ride the plan as
+        broadcast relations (no shuffle of the fact side for either), the
+        global top-k must be TakeOrderedAndProject, and there must be no
+        cartesian surprise beyond the broadcast one-row join."""
+        plan = _plan(spark, sf_dir, "q_ann_ivf")
+        assert "TakeOrderedAndProject" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastExchange") >= 2  # probes + qvec
+        assert "CartesianProduct" not in plan
+
+    def test_substr_dedup_caches_grams_once(self, spark, sf_dir):
+        """q_substr_dedup: the gram relation must be cached and read by
+        its three consumers (totals, dup grams, dup probe) — without the
+        cache the tokenize+hash explode executes three times."""
+        plan = _plan(spark, sf_dir, "q_substr_dedup")
+        assert plan.count("InMemoryTableScan") >= 3
+        assert "SortMergeJoin" not in plan  # dup probe joins on the hash
+
+    def test_knn_join_has_no_self_join_or_cartesian(self, spark, sf_dir):
+        """q_knn_join: candidates come from bucket groupBy-expand, never a
+        bucketed self-join or cross join; the per-vector top-k must be a
+        rank filter (WindowGroupLimit), not a global sort."""
+        plan = _plan(spark, sf_dir, "q_knn_join")
+        assert "CartesianProduct" not in plan
+        assert "WindowGroupLimit" in plan
+
     def test_table_checksum_single_agg_per_table(self, spark, sf_dir):
         """q_table_checksum: one map-side-combined global aggregate per
         table, no shuffle of raw rows beyond the 1-row partials."""
