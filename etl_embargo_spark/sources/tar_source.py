@@ -70,8 +70,21 @@ def _make_walker():
     return _walk
 
 
-def _make_exploder():
-    """Build the mapInPandas generator (self-contained for pickling)."""
+QUARANTINE_SCHEMA = ENTRY_SCHEMA + ", error string"
+
+
+def _make_exploder(quarantine: bool = False):
+    """Build the mapInPandas generator (self-contained for pickling).
+
+    ``quarantine=False`` (default): a corrupt archive raises and fails the
+    task — corruption upstream of a boundary you control means a bug, stop
+    (the same doctrine as formats.py's FAILFAST readers).
+    ``quarantine=True``: entry rows gain an ``error`` column (null for
+    good rows); a corrupt archive yields ONE marker row carrying the
+    archive name and the decode error instead of killing the batch — at
+    100 TB a 1e-8 archive-corruption rate is still daily occurrences, and
+    one bad blob must not wedge the day's partition (the reference's
+    skip-vs-error variants, embargo.go:279-299)."""
     walk = _make_walker()
     cols = [f.strip().split(" ")[0] for f in ENTRY_SCHEMA.split(",")]
 
@@ -83,15 +96,36 @@ def _make_exploder():
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                rows = list(walk(row["path"], row["content"]))
-                if rows:
-                    yield _pd.DataFrame(rows, columns=cols)
+                if quarantine:
+                    try:
+                        rows = list(walk(row["path"], row["content"]))
+                    except Exception as exc:
+                        name = str(row["path"]).rsplit("/", 1)[-1]
+                        yield _pd.DataFrame(
+                            [
+                                (name, None, None, None, None, None, None,
+                                 None, f"{type(exc).__name__}: {exc}")
+                            ],
+                            columns=cols + ["error"],
+                        )
+                        continue
+                    if rows:
+                        out = _pd.DataFrame(rows, columns=cols)
+                        out["error"] = None
+                        yield out
+                else:
+                    rows = list(walk(row["path"], row["content"]))
+                    if rows:
+                        yield _pd.DataFrame(rows, columns=cols)
 
     return _explode_archives
 
 
 def read_tar_entries(
-    spark: SparkSession, path_glob: str, regular_only: bool = True
+    spark: SparkSession,
+    path_glob: str,
+    regular_only: bool = True,
+    on_corrupt: str = "raise",
 ) -> DataFrame:
     """Load every .tgz under ``path_glob`` as a DataFrame of tar entries
     (SURVEY D3: the atomic record).
@@ -99,15 +133,29 @@ def read_tar_entries(
     ``pathGlobFilter`` keeps the listing pruned at the source (the analog of
     the reference's name filter embargo.go:279-281); the P2 regular-file
     filter (embargo.go:158-159) is applied unless disabled.
+
+    ``on_corrupt='raise'`` (default) fails the job on a bad archive;
+    ``'quarantine'`` adds an ``error`` column and turns each corrupt
+    archive into one marker row (filter ``error IS NOT NULL`` for the
+    dead-letter relation) — see ``_make_exploder``.
     """
+    if on_corrupt not in ("raise", "quarantine"):
+        raise ValueError(f"on_corrupt must be raise|quarantine, got {on_corrupt!r}")
     archives = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.tgz")
         .load(path_glob)
     )
-    entries = archives.mapInPandas(_make_exploder(), schema=ENTRY_SCHEMA)
+    quarantine = on_corrupt == "quarantine"
+    entries = archives.mapInPandas(
+        _make_exploder(quarantine),
+        schema=QUARANTINE_SCHEMA if quarantine else ENTRY_SCHEMA,
+    )
     if regular_only:
-        entries = entries.filter(F.col("is_regular"))
+        keep = F.col("is_regular")
+        if quarantine:
+            keep = keep | F.col("error").isNotNull()
+        entries = entries.filter(keep)
     return entries
 
 

@@ -347,3 +347,37 @@ def test_tar_datasource_overwrite_is_staged(spark, tmp_path):
     archives = [f for f in os.listdir(out) if f.endswith(".tgz")]
     assert len(archives) == 1, archives
     assert spark.read.format("tar_archive").load(out).count() >= 1
+
+
+def test_corrupt_archive_quarantine_and_raise(spark, tmp_path):
+    """A truncated .tgz among good archives: on_corrupt='quarantine'
+    yields the good archives' entries plus ONE error marker row per bad
+    archive; the default raise mode fails the job loudly."""
+    import shutil
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from etl_embargo_spark.sources.tar_source import read_tar_entries
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    shutil.copy(INPUT_TGZ, d / "good.tgz")
+    # a truncated gzip stream: valid magic, impossible to decode fully
+    (d / "bad.tgz").write_bytes(Path(INPUT_TGZ).read_bytes()[:100])
+
+    q = read_tar_entries(spark, str(d), on_corrupt="quarantine")
+    rows = q.collect()
+    bad = [r for r in rows if r["error"] is not None]
+    good = [r for r in rows if r["error"] is None]
+    assert len(bad) == 1
+    assert bad[0]["archive"] == "bad.tgz"
+    assert bad[0]["path"] is None
+    assert len(good) > 0
+    assert all(r["archive"] == "good.tgz" for r in good)
+    # good entries match the clean read exactly
+    clean = read_tar_entries(spark, INPUT_TGZ).collect()
+    assert {r["path"] for r in good} == {r["path"] for r in clean}
+
+    with _pytest.raises(Exception):
+        read_tar_entries(spark, str(d)).collect()
