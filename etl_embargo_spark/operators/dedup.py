@@ -380,6 +380,10 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     materialized partitions.  The convergence check is a count() per round
     — one tiny driver scalar, the loop condition itself (this is driver
     CONTROL FLOW, not a driver-side data pull)."""
+    # persist via the input: both union branches and every propagation
+    # round's join re-read the pair lineage (which may carry blocked
+    # Levenshtein scoring upstream)
+    pairs = pairs.persist()
     edges = pairs.selectExpr("a AS src", "b AS dst").unionByName(
         pairs.selectExpr("b AS src", "a AS dst")
     )

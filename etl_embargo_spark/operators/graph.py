@@ -35,6 +35,10 @@ def pagerank(
     eager checkpoint.  Each round shuffles (edge ⋈ rank) on the node key
     — the degree table and rank relation are O(nodes), edges dominate,
     exactly the profile that scales out."""
+    # cache the edge relation: deg, nodes, and EVERY power-iteration round
+    # join against it — without the cache its construction lineage
+    # (bucket-pair expansion + distinct) re-executes n_iters+2 times
+    edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("id")).distinct()
     n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
@@ -83,7 +87,9 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
         F.struct(F.col("l_partkey").alias("p")),
         max_bucket=None,
     ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-    pairs = pairs.distinct()
+    # persist: the symmetric union below has two consumers of this lineage
+    # (and pagerank's loop re-reads the edge relation every round)
+    pairs = pairs.distinct().persist()
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -378,6 +384,7 @@ def textrank_edges(docs: DataFrame) -> DataFrame:
         .select("p.src", "p.dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .persist()  # two union branches + pagerank's loop read this
     )
     return pairs.unionByName(
         pairs.select(

@@ -189,7 +189,9 @@ def knn_join(emb: DataFrame, k: int = 5) -> DataFrame:
 
     from etl_embargo_spark.operators.dedup import embedding_near_dups
 
-    pairs = embedding_near_dups(emb, threshold=-1.0)
+    # persist: the directed union's two branches would otherwise execute
+    # the whole LSH candidate + exact-scoring pipeline twice
+    pairs = embedding_near_dups(emb, threshold=-1.0).persist()
     directed = pairs.unionByName(
         pairs.select(
             F.col("vec_b").alias("vec_a"),
