@@ -67,7 +67,14 @@ def rows_checksum(*cols) -> F.Column:
     output is deterministic but not SQL-expressible (LSH candidates, IPv6
     normalization, tar round-trips): the rollup is pinned as a literal
     DuckDB oracle, giving the driver a real hash-checked row while the
-    detail form keeps its pytest oracle."""
+    detail form keeps its pytest oracle.
+
+    Null caveat: concat_ws SKIPS null values, so ("a", null, "b") and
+    ("a", "b", null) hash identically.  Acceptable here because every
+    rollup also pins exact row counts and only q_ipv6_normalize feeds
+    nullable columns (its null pattern is itself fixed by the row count
+    per form); a checksum needing null-position sensitivity should
+    coalesce each column to a type-distinct sentinel first."""
     joined = F.concat_ws(":", *[F.col(c) if isinstance(c, str) else c for c in cols])
     return F.sum(F.xxhash64(joined).cast("decimal(20,0)")).cast("string")
 
