@@ -24,7 +24,10 @@ PR_ITERS = 8
 
 
 def pagerank(
-    edges: DataFrame, damping: float = PR_DAMPING, n_iters: int = PR_ITERS
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    n_iters: int = PR_ITERS,
+    rank_partitions: int | None = None,
 ) -> DataFrame:
     """(id, rank) after ``n_iters`` power iterations over a directed edge
     list (pass both directions for an undirected graph — then there are
@@ -34,7 +37,18 @@ def pagerank(
     deterministic result, and no per-round driver scalar beyond the
     eager checkpoint.  Each round shuffles (edge ⋈ rank) on the node key
     — the degree table and rank relation are O(nodes), edges dominate,
-    exactly the profile that scales out."""
+    exactly the profile that scales out.
+
+    ``rank_partitions`` sizes the checkpointed rank relation.  The
+    per-round localCheckpoint pins whatever partitioning the plan had, so
+    AQE's small-partition coalescing cannot help INSIDE the loop: with
+    the global shuffle default a 20k-node graph runs 64 near-empty tasks
+    per round (measured 18.0s → 14.1s at sf0.1 with 8 partitions), while
+    at cluster scale the same default would be too FEW.  Pick ~nodes/50k
+    when the node count is known; None keeps the session default (the
+    pinned-oracle configuration — repartitioning changes float-sum merge
+    order, so changing this knob on an oracle-checked path requires a pin
+    regeneration + layout-independence re-check)."""
     # cache the edge relation: deg, nodes, and EVERY power-iteration round
     # join against it — without the cache its construction lineage
     # (bucket-pair expansion + distinct) re-executes n_iters+2 times
@@ -47,7 +61,10 @@ def pagerank(
     # count per iteration would pin n_iters broadcast blobs on the
     # driver for no reason (observed driver-memory pressure at sf0.1
     # in a long default-heap session)
-    nodes_n = nodes.crossJoin(F.broadcast(n_row)).localCheckpoint()
+    nodes_n = nodes.crossJoin(F.broadcast(n_row))
+    if rank_partitions:
+        nodes_n = nodes_n.repartition(rank_partitions, "id")
+    nodes_n = nodes_n.localCheckpoint()
     ranks = nodes_n.select(
         "id", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
@@ -59,17 +76,16 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("_c"))
             .withColumnRenamed("dst", "id")
         )
-        ranks = (
-            nodes_n.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    (1.0 - damping) / F.col("_n")
-                    + damping * F.coalesce(F.col("_c"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        nxt = nodes_n.join(contribs, "id", "left").select(
+            "id",
+            (
+                (1.0 - damping) / F.col("_n")
+                + damping * F.coalesce(F.col("_c"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if rank_partitions:
+            nxt = nxt.repartition(rank_partitions, "id")
+        ranks = nxt.localCheckpoint()
     return ranks
 
 
