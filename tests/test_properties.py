@@ -405,3 +405,114 @@ class TestSnapshotModel:
                 .collect()
             )
             assert got == want, (version, got, want)
+
+
+class TestSqlLiteralRoundTrip:
+    @given(
+        st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_float_pin_literal_round_trips_canonically(self, values):
+        """The pinned-oracle float rendering (repr + CAST AS DOUBLE) must
+        round-trip through DuckDB to the SAME CANONICAL VALUE the driver
+        compare hashes — bit-exact for every double except -0.0, which
+        DuckDB normalizes to +0.0 and the canonicalizer (str(int(v)) for
+        integral doubles) deliberately equates."""
+        import struct
+
+        import duckdb
+
+        from etl_embargo_spark.parity import _canon_value
+        from etl_embargo_spark.registry import _sql_literal
+
+        con = duckdb.connect()
+        for v in values:
+            got = con.execute(f"SELECT {_sql_literal(v)}").fetchone()[0]
+            assert _canon_value(got) == _canon_value(v), (v, got)
+            if v != 0.0:
+                assert struct.pack("<d", got) == struct.pack("<d", v)
+
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+    @settings(max_examples=30, deadline=None)
+    def test_string_pin_literal_round_trips(self, values):
+        import duckdb
+
+        from etl_embargo_spark.registry import _sql_literal
+
+        con = duckdb.connect()
+        for v in values:
+            if "\x00" in v:
+                continue  # NUL is not storable in a SQL literal
+            got = con.execute(f"SELECT {_sql_literal(v)}").fetchone()[0]
+            assert got == v, (repr(v), repr(got))
+
+
+class TestMediaCodecProperties:
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=16),
+        st.binary(min_size=1, max_size=256),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_ppm_encode_decode_identity(self, w, h, seed_bytes):
+        """Encoding arbitrary pixel data as P6 and re-decoding through the
+        numpy header parser recovers the exact dims and pixel block —
+        the identity the real-codec path rests on."""
+        import numpy as np
+
+        need = w * h * 3
+        pixels = np.resize(
+            np.frombuffer(seed_bytes, dtype=np.uint8), need
+        )
+        payload = f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+        # replicate the kernel's parse exactly
+        parts = payload.split(maxsplit=4)
+        gw, gh = int(parts[1]), int(parts[2])
+        hdr_len = len(payload) - (gw * gh * 3)
+        px = np.frombuffer(payload[hdr_len:], dtype=np.uint8)
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(px, pixels)
+
+    @given(st.binary(min_size=2, max_size=400))
+    @settings(max_examples=25, deadline=None)
+    def test_wav_encode_decode_identity(self, raw):
+        """PCM16 WAV encode → RIFF chunk-walk decode recovers the exact
+        sample array and rate for arbitrary payload sizes."""
+        import struct
+
+        import numpy as np
+
+        rate = 8000
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+        ) * 64
+        data = samples.tobytes()
+        hdr = (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(data))
+        )
+        b = hdr + data
+        # replicate the kernel's chunk walk
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        pos, got_rate, got_data = 12, 0, b""
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            clen = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+            body = b[pos + 8:pos + 8 + clen]
+            if cid == b"fmt ":
+                got_rate = struct.unpack("<I", body[4:8])[0]
+            elif cid == b"data":
+                got_data = body
+            pos += 8 + clen + (clen % 2)
+        assert got_rate == rate
+        assert np.array_equal(
+            np.frombuffer(got_data, dtype=np.int16), samples
+        )
