@@ -196,6 +196,31 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def table_rows(sf_dir: str, name: str, default: int = 10_000) -> int:
+    """Row count of a catalog table from parquet FOOTER metadata — no
+    Spark job, no data read (pyarrow opens the footer only).
+
+    This is what lets scale-dependent operator sizing (LSH planes/tables,
+    k-means k) be derived from the actual corpus while query builders stay
+    job-free: on an object store the same call is one ranged GET per file
+    footer, the metadata an engine reads anyway at planning time.  Falls
+    back to ``default`` when the path is remote/unreadable (sizing then
+    comes from the deployment constant instead of failing the build)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return default
+
+
 def spread_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Widen a narrow input before a CPU-bound per-row kernel (shingle
     hashing, simhash, fingerprinting, edit distance).

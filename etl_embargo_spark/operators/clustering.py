@@ -40,8 +40,24 @@ from pyspark.sql.types import (
 
 from etl_embargo_spark.catalog import load_table, spread_for_cpu
 
-KMEANS_K = 8
+KMEANS_K = 8  # floor; registered queries size k from the corpus (kmeans_k)
 KMEANS_ITERS = 5
+# SemDeDup's in-cluster cosine pass is O(|cluster|²): k must grow ∝ n so
+# clusters stay ~TARGET_CLUSTER_SIZE and total pair cost stays
+# n × TARGET_CLUSTER_SIZE (linear), never n²/k with fixed k.  This is the
+# regime the SemDeDup paper operates in (k ∝ n).
+KMEANS_TARGET_CLUSTER = 64
+
+
+def kmeans_k(expected_n: int, target_cluster: int = KMEANS_TARGET_CLUSTER) -> int:
+    """Corpus-sized cluster count: ceil(n / target_cluster), floored at
+    KMEANS_K.  At the validated corpus scales this returns exactly the
+    points the pins were generated at: 8 for n=500 (sf0.001/0.01) and 32
+    for n=2000 (sf0.1).  ``expected_n`` comes from parquet footer
+    metadata (catalog.table_rows), keeping query builders job-free."""
+    import math
+
+    return max(KMEANS_K, math.ceil(max(int(expected_n), 1) / target_cluster))
 CENTROID_QUANTUM = 6  # decimals kept after each update step
 SEMDEDUP_TAU = 0.35  # calibrated to the synthetic table's ~0.5 cosine ceiling
 # (real embedding corpora use ~0.95+; the knob is data-dependent, the plan is not)
@@ -169,11 +185,15 @@ def kmeans_fit(
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only (iterative — not SQL-expressible): final k-means
     assignment of every embedding after KMEANS_ITERS Lloyd's rounds with
-    deterministic smallest-vec_id seeding.  Pytest replays the identical
-    algorithm in numpy on the collected table and checks every
-    assignment (tests/test_extensions.py)."""
+    deterministic smallest-vec_id seeding, k sized from the corpus
+    (kmeans_k — fixed k would make SemDeDup's per-cluster pass quadratic
+    at 100×).  Pytest replays the identical algorithm in numpy on the
+    collected table and checks every assignment
+    (tests/test_extensions.py)."""
+    from etl_embargo_spark.catalog import table_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cm = kmeans_fit(emb)
+    cm = kmeans_fit(emb, k=kmeans_k(table_rows(sf_dir, "embeddings")))
     out = assign_clusters(emb, cm)
     return out.select(
         "vec_id", "cluster_id", F.round("sq_dist", 6).alias("sq_dist")
@@ -237,11 +257,14 @@ def semdedup(emb: DataFrame, centroids, tau: float = SEMDEDUP_TAU) -> DataFrame:
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only (iterative + quadratic-in-cluster — not SQL-expressible):
-    SemDeDup keep/drop decision for every embedding (pytest replays the
-    greedy prune in numpy per cluster and checks both the decisions and
-    the representative invariants)."""
+    SemDeDup keep/drop decision for every embedding, k sized from the
+    corpus (kmeans_k) so the per-cluster quadratic pass stays bounded at
+    any scale (pytest replays the greedy prune in numpy per cluster and
+    checks both the decisions and the representative invariants)."""
+    from etl_embargo_spark.catalog import table_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cm = kmeans_fit(emb)
+    cm = kmeans_fit(emb, k=kmeans_k(table_rows(sf_dir, "embeddings")))
     return semdedup(emb, cm)
 
 

@@ -120,6 +120,7 @@ def _bucket_pairs(
     key_cols: list[str],
     item: F.Column,
     max_bucket: int | None = 4096,
+    keep_keys: bool = False,
 ) -> DataFrame:
     """All intra-bucket (i < j) candidate pairs via
     ``groupBy(bucket) → collect_set → pair expansion``.
@@ -140,6 +141,10 @@ def _bucket_pairs(
     is responsible for bounding block size (each block is buffered as one
     collect_set row), and a silent cap would diverge from the SQL oracle
     at scale.
+
+    ``keep_keys``: also emit the bucket key columns alongside each pair —
+    needed by callers whose pair filter depends on which block generated
+    the pair (the geometric-band dedup of q_dedup_ngram_jaccard).
     """
     buckets = (
         bucketed.groupBy(*key_cols)
@@ -150,15 +155,17 @@ def _bucket_pairs(
             else F.size("items").between(2, max_bucket)
         )
     )
+    head = list(key_cols) if keep_keys else []
     return buckets.select(
+        *head,
         F.explode(
             F.expr(
                 "flatten(transform(items, (a, i) -> "
                 "transform(slice(items, i + 2, size(items)), "
                 "b -> struct(a, b))))"
             )
-        ).alias("pair")
-    ).select("pair.a", "pair.b")
+        ).alias("pair"),
+    ).select(*head, "pair.a", "pair.b")
 
 
 def minhash_candidates(sigs: DataFrame) -> DataFrame:
@@ -266,16 +273,52 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_checksum_rollup(minhash_pairs(spark, sf_dir), "doc_a")
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+JACCARD_T = 0.2  # registered near-dup threshold
+# Geometric band base = 1/threshold: J ≥ t forces the shingle-count ratio
+# max/min ≤ 1/t (|∩| ≤ min, |∪| ≥ max ⇒ J ≤ min/max), so qualifying pairs
+# sit in the same or adjacent base-(1/t) band — banding is EXACT, not a
+# recall trade.  Bands are computed by an integer CASE chain (no float
+# log: 1-ulp libm skew at a 5^k boundary could band the same doc
+# differently across engines/runs).
+_JACCARD_BAND_EDGES = [5 ** i for i in range(1, 13)]  # 5 .. 5^12 ≈ 2.4e8
+
+
+def _jaccard_band(s: F.Column) -> F.Column:
+    """#{edges ≤ s} — exact base-5 log band of a shingle count."""
+    band = F.lit(0)
+    for edge in _JACCARD_BAND_EDGES:
+        band = band + F.when(s >= edge, 1).otherwise(0)
+    return band
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_T) -> DataFrame:
     """Exact n-gram Jaccard near-dup over blocked pairs.
 
-    SQL-expressible variant: pairs are blocked on (lang, source) — a
-    realistic blocking key — and Jaccard is computed on DISTINCT word
-    3-shingle STRINGS (not hashes) so DuckDB can mirror it exactly.
+    SQL-expressible variant: Jaccard is computed on DISTINCT word
+    3-shingle STRINGS (not hashes) so DuckDB can mirror it exactly.  The
+    blocking key is (lang, source, base-5 shingle-count band): the band
+    keeps Σ|block|² from growing quadratically with the corpus while
+    provably losing no qualifying pair — J ≥ 0.2 bounds the shingle-count
+    ratio to ≤ 5, and two integers within a ×5 ratio cannot straddle two
+    base-5 band edges, so every qualifying pair is same-band or
+    adjacent-band.  Adjacent bands are covered by double assignment (each
+    doc also joins the block below its own) and cross-block duplicates
+    are prevented structurally: a pair is generated only in the block
+    equal to the LOWER of its two home bands.  The DuckDB oracle is the
+    unbanded (lang, source) blocked join — identical output by the
+    argument above, which the oracle-hash compare re-proves at every SF
+    (and tests/test_extensions.py stresses the adjacent-band edge on a
+    synthetic corpus built AROUND the 5^k boundaries).
     """
-    docs = spread_for_cpu(
-        load_table(spark, sf_dir, "documents"), spark
-    ).withColumn("_toks", _tokens())
+    if threshold < JACCARD_T:
+        # the base-5 band edges are derived from 1/JACCARD_T: a looser
+        # threshold widens the legal size ratio past one band step and
+        # the banding would silently drop qualifying pairs
+        raise ValueError(
+            f"threshold {threshold} < {JACCARD_T}: the base-5 banding is "
+            "only exact for J >= 0.2 (rebuild the edges from 1/threshold)"
+        )
+    docs = docs.withColumn("_toks", _tokens())
     sh = docs.select(
         "doc_id",
         "lang",
@@ -292,27 +335,57 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 """
             )
         ).alias("sh"),
-    )
+    ).withColumn("band", _jaccard_band(F.size("sh")))
+    # double assignment: home block + the block below (adjacent-band pairs
+    # surface exactly once, in the lower band's block)
+    blocked = sh.select(
+        "doc_id",
+        "lang",
+        "source",
+        "sh",
+        "band",
+        F.explode(
+            F.array(F.col("band"), F.col("band") - F.lit(1))
+        ).alias("_block"),
+    ).filter(F.col("_block") >= 0)
     # bucket-groupBy pair generation, not a self-join: the tokenize+shingle
     # lineage runs once (CLAUDE.md hard-won rule; same shape as levenshtein).
     # UNCAPPED (max_bucket=None): this exact variant's contract — and its
-    # DuckDB oracle — is every pair in the block; at a SF where a
-    # (lang, source) block outgrows one agg buffer, the blocking key must
-    # be refined (e.g. + length band), not silently truncated.  The
-    # unblocked scale path is MinHash.
+    # DuckDB oracle — is every qualifying pair; the band is what bounds
+    # block size, a silent cap would diverge from the SQL oracle.
     pairs = _bucket_pairs(
-        sh,
-        ["lang", "source"],
-        F.struct(F.col("doc_id"), F.col("sh")),
+        blocked,
+        ["lang", "source", "_block"],
+        F.struct(F.col("doc_id"), F.col("band"), F.col("sh")),
         max_bucket=None,
+        keep_keys=True,
+    ).filter(
+        # generate each pair once: only in the block == min(home bands)
+        F.least(F.col("a.band"), F.col("b.band")) == F.col("_block")
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(inter / union, 6).alias("jaccard"),
-    ).filter(F.col("jaccard") >= 0.2)
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union).alias("_j"),
+        )
+        # filter BEFORE rounding, as the oracle does — the banding proof
+        # needs the true J ≥ t ratio bound, not the 6dp-rounded one
+        .filter(F.col("_j") >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round(F.col("_j"), 6).alias("jaccard")
+        )
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`ngram_jaccard_pairs` over the documents
+    table (see that docstring for the exact-banding argument)."""
+    return ngram_jaccard_pairs(
+        spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
+    )
 
 
 LEV_MAX = 32  # absolute edit-distance threshold
@@ -424,6 +497,11 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             f"dedup_clusters did not converge in {max_iters} rounds "
             "(component diameter exceeds max_iters); raise max_iters"
         )
+    # loop-scoped cache: the returned labels are checkpointed (lineage
+    # truncated), so the pair relation is dead weight in the executor
+    # cache — release it instead of leaning on LRU eviction in a long
+    # all-query sweep
+    pairs.unpersist()
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster")
     )
@@ -575,6 +653,55 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_checksum_rollup(simhash_pairs(spark, sf_dir), "doc_a")
 
 
+# lsh_params defaults — the deployment knobs, in one place:
+LSH_TARGET_BUCKET = 32  # expected vectors per bucket (n / 2^k)
+LSH_SIZING_T = 0.45  # cosine the recall guarantee is solved at (this
+# corpus's similarity ceiling; real near-dup corpora size at their own
+# threshold, e.g. 0.9, which needs far fewer tables for the same recall)
+LSH_RECALL = 0.78  # per-pair recall target at LSH_SIZING_T
+LSH_MAX_TABLES = 64
+LSH_MAX_PLANES = 24
+
+
+def lsh_params(
+    expected_n: int,
+    threshold: float = LSH_SIZING_T,
+    recall: float = LSH_RECALL,
+    target_bucket: int = LSH_TARGET_BUCKET,
+) -> tuple[int, int]:
+    """(planes_per_table, n_tables) sized from the corpus scale — the
+    executable form of the log2(n) rule, so growing the corpus 100×
+    cannot silently push buckets past ``max_bucket`` (where they would
+    be DROPPED and recall would collapse rather than cost exploding).
+
+    * planes k = ceil(log2(n / target_bucket)): expected bucket
+      occupancy n / 2^k stays ≈ target_bucket at any n.
+    * tables L solves the banding recall at ``threshold``: collision
+      prob per plane p = 1 − arccos(θ)/π, per table p^k, so
+      L = ceil(ln(1−recall) / ln(1−p^k)) — deeper tables (bigger k)
+      need more of them for the same recall, which is the classic
+      LSH cost/recall trade made explicit.
+
+    At the validated corpus scale (n=500, the sf0.001/sf0.01 embeddings
+    table) this returns exactly the (4, 8) operating point every pinned
+    oracle and recall test was generated against; at n=2000 (sf0.1) it
+    returns (6, 20).  ``expected_n`` comes from parquet footer metadata
+    (catalog.table_rows — no Spark job), so registered queries stay
+    job-free while sizing from the actual corpus.
+    """
+    import math
+
+    n = max(int(expected_n), 2)
+    k = min(max(math.ceil(math.log2(max(n / target_bucket, 2.0))), 1),
+            LSH_MAX_PLANES)
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    pk = p ** k
+    if pk >= 1.0:
+        return k, 1
+    L = math.ceil(math.log(max(1.0 - recall, 1e-12)) / math.log(1.0 - pk))
+    return k, min(max(L, 1), LSH_MAX_TABLES)
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.45,
@@ -593,11 +720,11 @@ def embedding_near_dups(
     moderate similarity.  At 100 TB the bucket join replaces the O(n²)
     cross join.
 
-    Sizing: ``planes_per_table`` is the occupancy knob — expected bucket
-    size is n / 2^k, so at production n it should grow ~log2(n) (with L
-    raised to hold recall).  The default k=4 is tuned for this corpus's
-    low similarity ceiling (~0.5 cosine); real near-dup thresholds
-    (≥ 0.9) tolerate much larger k at the same recall.
+    Sizing: pass ``lsh_params(expected_n)`` — the executable log2(n)
+    rule (planes from target bucket occupancy, tables solved for recall
+    at the op's threshold).  The (4, 8) defaults are that function's
+    output at the validated n=500 corpus; callers with a corpus in hand
+    must size from it rather than inherit the defaults.
     """
     def _make_bucketer(seed, k, n_t):
         # nested factory: ships by value (cloudpickle), executor-safe.
@@ -664,10 +791,16 @@ def embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (detail form; pytest oracle checks recall
     vs the brute-force pairs).  Threshold 0.45: the synthetic embeddings
     top out near cosine 0.51, so a 0.9 near-dup threshold would make this
-    query vacuously empty at every SF."""
+    query vacuously empty at every SF.  LSH sizing comes from the actual
+    corpus row count via :func:`lsh_params` (footer metadata, job-free)."""
+    from etl_embargo_spark.catalog import table_rows
+
     emb = spread_for_cpu(load_table(spark, sf_dir, "embeddings"), spark)
+    k, n_tables = lsh_params(table_rows(sf_dir, "embeddings"))
     # unsorted on purpose — see minhash_pairs
-    return embedding_near_dups(emb, threshold=0.45)
+    return embedding_near_dups(
+        emb, threshold=0.45, planes_per_table=k, n_tables=n_tables
+    )
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

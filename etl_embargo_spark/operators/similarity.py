@@ -173,7 +173,12 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
-def knn_join(emb: DataFrame, k: int = 5) -> DataFrame:
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    planes_per_table: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
     """Batch k-nearest-neighbors self-join: every vector's approximate
     top-k neighbors by cosine.
 
@@ -182,8 +187,10 @@ def knn_join(emb: DataFrame, k: int = 5) -> DataFrame:
     threshold disabled), are scored exactly, then cut to k per vector with
     a rank window.  Candidate pairs are undirected — both directions are
     materialized before ranking so every vector gets its own neighbor list.
-    Recall is the LSH table recall (tested against brute force); raise
-    n_tables for more.
+    Recall is the LSH table recall (tested against brute force); size
+    (planes_per_table, n_tables) from the corpus via ``dedup.lsh_params``
+    — fixed table sizing is exactly what collapses recall at 100× via
+    max_bucket drops.
     """
     from pyspark.sql import Window
 
@@ -191,7 +198,12 @@ def knn_join(emb: DataFrame, k: int = 5) -> DataFrame:
 
     # persist: the directed union's two branches would otherwise execute
     # the whole LSH candidate + exact-scoring pipeline twice
-    pairs = embedding_near_dups(emb, threshold=-1.0).persist()
+    pairs = embedding_near_dups(
+        emb,
+        threshold=-1.0,
+        planes_per_table=planes_per_table,
+        n_tables=n_tables,
+    ).persist()
     directed = pairs.unionByName(
         pairs.select(
             F.col("vec_b").alias("vec_a"),
@@ -220,9 +232,17 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor rows grouped by vec_id % 8 into (grp, n_rows, rows_sum) —
     deterministic (seeded planes, per-pair cosine, tie-broken ranks), so
     pinnable as a literal DuckDB oracle."""
+    from etl_embargo_spark.catalog import table_rows
     from etl_embargo_spark.operators.aggregates import rows_checksum
+    from etl_embargo_spark.operators.dedup import lsh_params
 
-    nn = knn_join(load_table(spark, sf_dir, "embeddings"), k=5)
+    planes, tables = lsh_params(table_rows(sf_dir, "embeddings"))
+    nn = knn_join(
+        load_table(spark, sf_dir, "embeddings"),
+        k=5,
+        planes_per_table=planes,
+        n_tables=tables,
+    )
     return nn.groupBy((F.col("vec_id") % 8).cast("int").alias("grp")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         rows_checksum("vec_id", "neighbor_id", "rank", "cosine").alias(
@@ -623,10 +643,17 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection exactly from the scored candidate list."""
     from pyspark.sql import Window
 
-    from etl_embargo_spark.operators.dedup import embedding_near_dups
+    from etl_embargo_spark.catalog import table_rows
+    from etl_embargo_spark.operators.dedup import (
+        embedding_near_dups,
+        lsh_params,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(emb, threshold=-1.0)
+    planes, tables = lsh_params(table_rows(sf_dir, "embeddings"))
+    pairs = embedding_near_dups(
+        emb, threshold=-1.0, planes_per_table=planes, n_tables=tables
+    )
     directed = pairs.unionByName(
         pairs.select(
             F.col("vec_b").alias("vec_a"),

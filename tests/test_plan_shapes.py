@@ -116,6 +116,19 @@ class TestExtensionPlans:
         plan = _plan(spark, sf_dir, "q_dedup_levenshtein")
         assert plan.count("Scan parquet") == 1
 
+    def test_ngram_jaccard_band_in_block_key(self, spark, sf_dir):
+        """The exact Jaccard variant must group on the base-5 shingle-count
+        band (the thing that keeps Σ|block|² sub-quadratic at 100×), and
+        stay a single-scan bucket-groupBy, not a self-join."""
+        plan = _plan(spark, sf_dir, "q_dedup_ngram_jaccard")
+        assert plan.count("Scan parquet") == 1
+        # the band column participates in the pair-generation aggregate key
+        assert "_block" in plan, plan[:2000]
+        import re
+
+        m = re.search(r"HashAggregate\(keys=\[[^\]]*_block[^\]]*\]", plan)
+        assert m, "shingle-count band missing from the blocking groupBy key"
+
 
 class TestBatch2Plans:
     def test_first_last_single_window(self, spark, sf_dir):

@@ -354,3 +354,67 @@ class TestTwoPhasePrefixSum:
         # and the plan truly avoids a single-partition exchange on the data
         plan = two_phase._jdf.queryExecution().executedPlan().toString()
         assert "rangepartitioning" in plan.lower()
+
+
+class TestLshSizing:
+    """lsh_params is the executable scale rule for every hyperplane-LSH
+    consumer (embedding near-dup, kNN join, contrastive mining): bucket
+    occupancy must stay bounded as the corpus grows, or buckets exceed
+    max_bucket and get dropped — a silent recall collapse at 100×."""
+
+    def test_occupancy_bounded_across_four_orders_of_magnitude(self):
+        from etl_embargo_spark.operators.dedup import (
+            LSH_TARGET_BUCKET,
+            lsh_params,
+        )
+
+        prev_k = 0
+        for n in (500, 2_000, 10_000, 100_000, 1_000_000, 10_000_000,
+                  100_000_000):
+            k, tables = lsh_params(n)
+            occupancy = n / 2 ** k
+            assert occupancy <= 2 * LSH_TARGET_BUCKET, (n, k, occupancy)
+            assert tables >= 1
+            # deeper corpora never get SHALLOWER tables (monotone k)
+            assert k >= prev_k, (n, k, prev_k)
+            prev_k = k
+
+    def test_validated_operating_points(self):
+        """The sizing reproduces the exact points the pins and recall
+        tests were generated at: (4, 8) for the 500-vector sf0.001/0.01
+        corpus and (6, 20) for the 2000-vector sf0.1 corpus."""
+        from etl_embargo_spark.operators.dedup import lsh_params
+
+        assert lsh_params(500) == (4, 8)
+        assert lsh_params(2000) == (6, 20)
+
+    def test_table_rows_reads_footers_not_data(self):
+        """catalog.table_rows must agree with the actual corpus row counts
+        at every generated SF (it feeds the sizing) without a Spark job."""
+        from etl_embargo_spark.catalog import table_rows
+
+        assert table_rows("/root/testdata/sf0.001", "embeddings") == 500
+        assert table_rows("/root/testdata/sf0.01", "embeddings") == 500
+        assert table_rows("/root/testdata/sf0.1", "embeddings") == 2000
+        # unreadable path -> deployment default, never an exception
+        assert table_rows("/nonexistent", "embeddings", default=77) == 77
+
+    def test_recall_holds_under_sized_tables(self):
+        """Solved-for-L recall at the sizing threshold: the closed-form
+        banding recall 1-(1-p^k)^L must meet the target at every corpus
+        size where L is not cost-capped."""
+        import math
+
+        from etl_embargo_spark.operators.dedup import (
+            LSH_MAX_TABLES,
+            LSH_RECALL,
+            LSH_SIZING_T,
+            lsh_params,
+        )
+
+        p = 1.0 - math.acos(LSH_SIZING_T) / math.pi
+        for n in (500, 2_000, 5_000):
+            k, tables = lsh_params(n)
+            if tables < LSH_MAX_TABLES:
+                recall = 1.0 - (1.0 - p ** k) ** tables
+                assert recall >= LSH_RECALL, (n, k, tables, recall)
