@@ -235,14 +235,19 @@ def main() -> None:
         timings[name] = round(best, 3) if best is not None else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Key order matters: the driver stores only the TAIL of this (large)
+    # line, so the per-query map goes first and the headline summary
+    # fields (total, n, sf) go LAST — a truncated capture then still
+    # shows the totals even when the JSON no longer parses.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "n_queries": len(timings),
                 "sf": _sf_from_dir(sf_dir),
+                "value": total,
             }
         )
     )

@@ -207,16 +207,30 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_distinct_sketch(load_table(spark, sf_dir, "lineitem"))
 
 
+# GK sketch accuracy for the ORACLE-CHECKED demo query.  rank error is
+# bounded by n/accuracy; below 1 the sketch returns the exact order
+# statistic, which is the only regime where the result is provably
+# independent of partition layout and partial-merge order — i.e. the only
+# regime a literal pin is sound in (a compressed sketch's output can in
+# principle drift with an untested parallelism).  10M covers every
+# generated SF (sf1 lineitem = 6M rows).  Production-scale jobs pass a
+# coarser accuracy and accept the documented rank error.
+QUANTILE_EXACT_ACCURACY = 10_000_000
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only: Greenwald-Khanna quantile sketch per group — mergeable,
     bounded-memory (vs exact percentile = full sort).  pytest bounds the
     rank error vs exact quantiles.  Scalar columns only (no array output):
-    the driver's cross-engine hasher requires hashable cells."""
+    the driver's cross-engine hasher requires hashable cells.  Accuracy is
+    pinned in the exact regime (see QUANTILE_EXACT_ACCURACY) so the pinned
+    oracle cannot flake on an untested partition layout."""
     li = load_table(spark, sf_dir, "lineitem")
+    acc = QUANTILE_EXACT_ACCURACY
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, acc).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99, acc).alias("p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -86,6 +86,10 @@ def pagerank(
         if rank_partitions:
             nxt = nxt.repartition(rank_partitions, "id")
         ranks = nxt.localCheckpoint()
+    # loop-scoped cache: the final ranks are checkpointed, so nothing
+    # downstream re-reads the edge lineage — release it rather than rely
+    # on LRU eviction across a 250-query sweep session
+    edges.unpersist()
     return ranks
 
 

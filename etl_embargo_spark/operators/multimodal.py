@@ -161,15 +161,19 @@ def extract_features(
             import pandas as _pd
 
             def decode_ppm(b):
-                # P6 header: magic, whitespace, w, h, maxval, single ws
+                # netpbm header: magic, whitespace, w, h, maxval, single ws
+                # P6 = RGB (3 bytes/pixel), P5 = grayscale (1 byte/pixel)
                 parts = b.split(maxsplit=4)
+                channels = 1 if parts[0] == b"P5" else 3
                 w, h = int(parts[1]), int(parts[2])
                 # pixel block starts after the single whitespace byte
                 # following maxval
-                hdr_len = len(b) - (w * h * 3)
+                hdr_len = len(b) - (w * h * channels)
                 px = _np.frombuffer(b[hdr_len:], dtype=_np.uint8).reshape(
-                    h, w, 3
+                    h, w, channels
                 )
+                if channels == 1:
+                    px = _np.repeat(px, 3, axis=2)
                 rgb = px.astype(_np.float64)
                 feats = _np.array(
                     [
@@ -184,7 +188,7 @@ def extract_features(
                     ],
                     dtype=_np.float32,
                 )
-                return "ppm", w, h, 1, feats
+                return ("pgm" if channels == 1 else "ppm"), w, h, 1, feats
 
             def decode_wav(b):
                 import struct as _struct
@@ -253,12 +257,52 @@ def extract_features(
                     feats,
                 )
 
+            def decode_pil(b):
+                # compressed-image slot: only reached when PIL imports
+                # (absent from this container — the skipif pytest in
+                # tests/test_extensions.py lights this up the day the
+                # environment gains it, with no code change)
+                import io
+
+                from PIL import Image  # noqa: PLC0415
+
+                img = Image.open(io.BytesIO(b))
+                codec = (img.format or "pil").lower()
+                rgb_img = img.convert("RGB")
+                w, h = rgb_img.size
+                rgb = _np.asarray(rgb_img, dtype=_np.float64)
+                n_frames = int(getattr(img, "n_frames", 1))
+                feats = _np.array(
+                    [
+                        w, h,
+                        rgb[..., 0].mean(), rgb[..., 1].mean(),
+                        rgb[..., 2].mean(),
+                        rgb.std(),
+                        rgb.max(),
+                        (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                         + 0.114 * rgb[..., 2]).mean(),
+                    ],
+                    dtype=_np.float32,
+                )
+                return codec, w, h, n_frames, feats
+
+            _COMPRESSED_MAGIC = (
+                b"\xff\xd8\xff",          # JPEG
+                b"\x89PNG\r\n\x1a\n",     # PNG
+                b"GIF8",                  # GIF
+            )
+
             def decode_one(b, media_type, declared_w, declared_h):
                 if not fake_only:
                     if b[:2] in (b"P6", b"P5"):
                         return decode_ppm(b)
                     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                         return decode_wav(b)
+                    if any(b.startswith(m) for m in _COMPRESSED_MAGIC):
+                        try:
+                            return decode_pil(b)
+                        except ImportError:
+                            pass  # PIL absent → strict raise / fake below
                 if strict_mode:
                     raise NotImplementedError(
                         "no real codec for this payload (compressed "
@@ -300,8 +344,8 @@ def resize_media(
 ) -> DataFrame:
     """Resize (fit-within, never upscale) via mapInPandas.
 
-    P6 PPM payloads are REALLY resampled (nearest-neighbor index
-    striding on the decoded pixel array, header rewritten); other
+    P6 PPM / P5 PGM payloads are REALLY resampled (nearest-neighbor
+    index striding on the decoded pixel array, header rewritten); other
     payloads pass through with scaled dimension metadata only — the
     PIL/ffmpeg slot, same contract."""
 
@@ -312,10 +356,12 @@ def resize_media(
 
             def resample_ppm(b):
                 parts = b.split(maxsplit=4)
+                magic = parts[0].decode("ascii")  # P6 (RGB) or P5 (gray)
+                channels = 1 if magic == "P5" else 3
                 w, h = int(parts[1]), int(parts[2])
-                hdr_len = len(b) - (w * h * 3)
+                hdr_len = len(b) - (w * h * channels)
                 px = _np.frombuffer(b[hdr_len:], dtype=_np.uint8).reshape(
-                    h, w, 3
+                    h, w, channels
                 )
                 scale = min(tw / w, th / h, 1.0)
                 nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
@@ -323,7 +369,8 @@ def resize_media(
                 xi = (_np.arange(nw) * (w / nw)).astype(int)
                 out = px[yi][:, xi]
                 return (
-                    f"P6\n{nw} {nh}\n255\n".encode("ascii") + out.tobytes(),
+                    f"{magic}\n{nw} {nh}\n255\n".encode("ascii")
+                    + out.tobytes(),
                     nw,
                     nh,
                 )
@@ -336,7 +383,7 @@ def resize_media(
                 for _, r in pdf.iterrows():
                     b = bytes(r["content"])
                     w, h = int(r["declared_w"]), int(r["declared_h"])
-                    if b[:2] == b"P6":
+                    if b[:2] in (b"P6", b"P5"):
                         content, nw, nh = resample_ppm(b)
                     elif w <= 0 or h <= 0:
                         # dimensionless payload (audio): nothing to scale

@@ -96,6 +96,14 @@ def write_snapshot(
     # manifests only), but it would wedge this write's mode("error").
     # The version was chosen from committed manifests, so an existing dir
     # here can only be such an orphan: delete it.
+    # SINGLE-WRITER ASSUMPTION: this reclaim (and the version choice
+    # above) presumes one committer per table, like Delta/Iceberg without
+    # a lock service.  Two LIVE writers racing the same version would
+    # have one delete the other's in-flight data dir and the loser's
+    # manifest then point at the winner's files.  Concurrent committers
+    # need the usual fix — stage under a per-writer unique dir (or CAS
+    # the manifest rename) — which object stores provide via
+    # if-generation-match; out of scope for the local snapshot sink.
     if os.path.isdir(data_dir) and not os.path.exists(
         _manifest_path(table_dir, version)
     ):
