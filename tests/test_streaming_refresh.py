@@ -729,3 +729,76 @@ class TestTransformWithStateDedup:
         proc2.init(FakeHandle())
         out3 = list(proc2.handleInputRows(("g",), iter([batch]), None))
         assert len(out3) == 1
+
+
+class TestStreamingMetricsExport:
+    def test_per_batch_counters_on_dedup_stream(self, spark, tmp_path):
+        """The StreamingQueryListener must capture one observed-metrics
+        payload per micro-batch of the deduped event stream, with counter
+        values matching the batch contents — the streaming half of the
+        reference's Prometheus counters (metrics/metrics.go:79-102)."""
+        from etl_embargo_spark.streaming.daily import dedup_events_stream
+        from etl_embargo_spark.streaming.metrics_export import (
+            StreamingMetricsCollector,
+            counters_relation,
+            observe_event_counters,
+        )
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        # two files × maxFilesPerTrigger=1 → two micro-batches; one
+        # re-delivered event_id that dedup must drop from the counters
+        _write_events(spark, src, [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "purchase", 5.0),
+        ])
+        _write_events(spark, src, [
+            (2, "2024-01-01 10:31:00", 1, "purchase", 5.0),  # re-delivery
+            (3, "2024-01-01 11:00:00", 2, "purchase", 2.5),
+        ])
+
+        collector = StreamingMetricsCollector()
+        spark.streams.addListener(collector)
+        try:
+            deduped = observe_event_counters(
+                dedup_events_stream(_stream(spark, src)).select(
+                    "event_id", "ts", "user_id", "event_type", "value"
+                )
+            )
+            q = (
+                deduped.writeStream.trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .start()
+            )
+            q.awaitTermination(180)
+            assert collector.wait_for_batches(2), collector.snapshot()
+        finally:
+            spark.streams.removeListener(collector)
+
+        by_batch = {b["batch_id"]: b for b in collector.snapshot()}
+        assert len(by_batch) >= 2
+        # totals across batches must equal the DEDUPED sink contents
+        sunk = spark.read.parquet(out)
+        assert sum(b["events_total"] for b in by_batch.values()) == sunk.count()
+        assert (
+            sum(b["purchases_total"] for b in by_batch.values())
+            == sunk.filter("event_type = 'purchase'").count()
+        )
+        # the re-delivered id 2 was dropped BEFORE the counters saw it
+        assert sunk.count() == 3
+
+        rel = counters_relation(spark, collector)
+        got_metrics = {r["metric"] for r in rel.collect()}
+        assert {"events_total", "value_total", "purchases_total",
+                "num_input_rows"} <= got_metrics
+        total = (
+            rel.filter("metric = 'events_total'")
+            .groupBy()
+            .sum("value")
+            .collect()[0][0]
+        )
+        assert total == 3.0
