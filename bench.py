@@ -192,6 +192,9 @@ HEADLINE = [
     "q_substr_dedup",
     "q_pii_scrub",
     "q_contrastive_pairs",
+    # round 3: data-layout skipping audit, banded exact Jaccard
+    "q_zorder_layout",
+    "q_dedup_ngram_jaccard",
 ]
 
 

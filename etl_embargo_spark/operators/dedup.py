@@ -336,13 +336,23 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_T) -> DataFr
             )
         ).alias("sh"),
     ).withColumn("band", _jaccard_band(F.size("sh")))
+    # persist: the shingle relation has THREE consumers (the pair
+    # generator and both verify sides).  Joining the arrays back per side
+    # instead of carrying them through the pair expansion is deliberate:
+    # _bucket_pairs' flatten materializes all O(b²) pairs of a bucket in
+    # one in-memory array, and with full shingle arrays in the payload
+    # that was measured OOMing the executor at sf1 (50k docs); with
+    # (doc_id, band) payloads the per-bucket array is a few MB at any
+    # corpus size and the arrays travel once per DOC, not once per PAIR.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # double assignment: home block + the block below (adjacent-band pairs
     # surface exactly once, in the lower band's block)
     blocked = sh.select(
         "doc_id",
         "lang",
         "source",
-        "sh",
         "band",
         F.explode(
             F.array(F.col("band"), F.col("band") - F.lit(1))
@@ -356,19 +366,24 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_T) -> DataFr
     pairs = _bucket_pairs(
         blocked,
         ["lang", "source", "_block"],
-        F.struct(F.col("doc_id"), F.col("band"), F.col("sh")),
+        F.struct(F.col("doc_id"), F.col("band")),
         max_bucket=None,
         keep_keys=True,
     ).filter(
         # generate each pair once: only in the block == min(home bands)
         F.least(F.col("a.band"), F.col("b.band")) == F.col("_block")
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    left = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    right = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(left, "doc_a").join(right, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        joined.select(
+            "doc_a",
+            "doc_b",
             (inter / union).alias("_j"),
         )
         # filter BEFORE rounding, as the oracle does — the banding proof
@@ -405,28 +420,41 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     that caps per-pair cost at rows×threshold instead of rows².  The DuckDB
     oracle computes the full distance and filters to the same ≤ 32 set.
     """
-    docs = spread_for_cpu(
-        load_table(spark, sf_dir, "documents"), spark
-    ).withColumn("_band", F.floor(F.col("n_chars") / LEV_BAND))
+    from pyspark.storagelevel import StorageLevel
+
+    docs = (
+        spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
+        .withColumn("_band", F.floor(F.col("n_chars") / LEV_BAND))
+        .select("doc_id", "lang", "source", "_band", "text")
+        # persist: three consumers (pair generator + both text joins)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # bucket-groupBy pair generation (_bucket_pairs), not a self-join: the
-    # scan + repartition lineage runs once and only (block key, doc, text)
+    # scan + repartition lineage runs once and only (block key, doc_id)
     # shuffles; a self-join executed the whole upstream twice (CLAUDE.md
-    # hard-won rule, verified via duplicate FileScans in the plan)
+    # hard-won rule, verified via duplicate FileScans in the plan).
+    # ID-ONLY payload + join-back for the texts: carrying the text through
+    # the pair expansion materializes O(b²)·|text| bytes per bucket in one
+    # flatten array (the sf1 OOM mode fixed in ngram_jaccard); with ids
+    # the flatten is O(b²)·16 bytes and each text travels once per doc.
     # uncapped: exact variant, every block pair must match the oracle;
     # the (lang, source, length-band) key keeps blocks small by design
     pairs = _bucket_pairs(
         docs,
         ["lang", "source", "_band"],
-        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct(F.col("doc_id")),
         max_bucket=None,
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
-    lev = F.levenshtein(
-        F.col("a.text"), F.col("b.text"), LEV_MAX
-    )
+    left = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    right = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    joined = pairs.join(left, "doc_a").join(right, "doc_b")
+    lev = F.levenshtein(F.col("text_a"), F.col("text_b"), LEV_MAX)
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        joined.select(
+            "doc_a",
+            "doc_b",
             lev.alias("lev"),
         )
         .filter(F.col("lev") >= 0)
@@ -864,12 +892,22 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 1, balance agreement = |Δ| ≤ 1.0, each contributing a log-odds
     weight; pairs above threshold are emitted as candidate links.
 
-    Scale shape: the candidate space is bounded by BLOCKING on
-    (nationkey, mktsegment) — the join shuffles each side once on the
-    block key and pair scoring runs inside blocks only (O(Σ b²) with
-    b ≈ n/125, never the global n²).  Levenshtein runs JVM-side in
-    whole-stage codegen.  At 100 TB you'd tighten blocks (add a name
-    prefix term) to hold b constant.
+    Scale shape: every pair above LINK_THRESHOLD must have name
+    agreement (the weight algebra: a name miss caps the score at 1.0),
+    and name agreement means Levenshtein ≤ 1 — so blocking by the
+    DELETION NEIGHBORHOOD is exact: two strings within edit distance 1
+    always share a single-deletion variant (substitution: delete the
+    differing position from both; insertion: the longer's deletion IS
+    the shorter; equality: the string itself).  Each side explodes into
+    len+1 variant keys (linear in rows, independent of corpus size) and
+    the join runs on (nationkey, mktsegment, variant), so candidates
+    per row stay ~constant where a fixed (nationkey, mktsegment) block
+    grows ∝ n and the pair space ∝ n² — measured 218 s at sf1 for the
+    fixed-block form vs seconds for this one.  The variant join can
+    surface a lev-2 pair (different deletion positions); the exact
+    Levenshtein re-verify below keeps the output identical to the full
+    blocked join, which is what the (unchanged, quadratic) DuckDB
+    oracle still computes.
 
     Engine determinism: weights are exact binary fractions summed per
     row (no float aggregation); the balance-drift perturbation (+0.75)
@@ -893,10 +931,43 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("d_nation"),
         F.col("c_mktsegment").alias("d_segment"),
     )
-    pairs = cust.join(
-        dirty,
-        (F.col("c_nationkey") == F.col("d_nation"))
-        & (F.col("c_mktsegment") == F.col("d_segment")),
+
+    def _variants(col: str) -> F.Column:
+        # the string plus every single-deletion of it — array_distinct
+        # so equal-length duplicates (repeated chars) don't fan out
+        return F.array_distinct(
+            F.expr(
+                f"concat(array({col}), transform(sequence(1, length({col})),"
+                f" i -> concat(substring({col}, 1, i - 1),"
+                f" substring({col}, i + 1, length({col})))))"
+            )
+        )
+
+    master = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_nationkey",
+        "c_mktsegment",
+        F.explode(_variants("c_name")).alias("variant"),
+    )
+    probe = dirty.select(
+        "d_id",
+        "d_name",
+        "d_bal",
+        "d_nation",
+        "d_segment",
+        F.explode(_variants("d_name")).alias("variant"),
+    )
+    pairs = (
+        master.join(
+            probe,
+            (F.col("c_nationkey") == F.col("d_nation"))
+            & (F.col("c_mktsegment") == F.col("d_segment"))
+            & (master["variant"] == probe["variant"]),
+        )
+        .drop("variant")
+        .distinct()
     )
     # bounded edit distance: O(len·k) per pair instead of O(len²), and
     # every output row has lev <= 1 so the -1 overflow sentinel never

@@ -231,3 +231,68 @@ def q_json_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array("ipv4", "ipv6")).alias("ip")
     ).filter(F.col("ip") != "")
     return ips.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning (round 3): the small-files problem, as a query
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 64_000_000  # target compacted object size
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan per date prefix: greedy next-fit binning
+    of each day's archives into ~COMPACT_TARGET_BYTES outputs.
+
+    At 100 TB the archive store accumulates thousands of small daily
+    objects per prefix (the reference writes one .tgz per upload,
+    /root/reference/embargo.go:227); every engine pass then pays
+    per-object open/list overhead.  The fix is periodic compaction, and
+    the PLAN for it is itself a query: within each prefix, order files by
+    name and cut a new bin whenever the running size crosses the target
+    — bin id = floor(exclusive-prefix-sum / target), one partitioned
+    window over (prefix), no global sort, no driver loop.  Deterministic
+    integer math end to end → DuckDB oracle.
+
+    Offset binning (not first-fit-decreasing bin packing) on purpose: it
+    preserves the name order = time order inside each compacted object
+    (sequential date-range reads after compaction), is a single window
+    expression rather than a sequential packing loop, and overshoots the
+    target by at most one file per bin.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = _archive_names(orders).join(
+        orders.select(
+            "o_orderkey",
+            # deterministic byte-size stand-in: price in cents.  Explicit
+            # round BEFORE the cast: Spark's double->bigint cast
+            # truncates while DuckDB's rounds, and 112946.26*100 lands a
+            # hair below the integer
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("bytes"),
+        ),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("prefix")
+        .orderBy("name", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "prefix",
+        "name",
+        "bytes",
+        (
+            F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            / COMPACT_TARGET_BYTES
+        ).cast("bigint").alias("bin_id"),
+    )
+    return planned.groupBy("prefix", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.min("name").alias("first_name"),
+        F.max("name").alias("last_name"),
+    )

@@ -418,3 +418,100 @@ class TestLshSizing:
             if tables < LSH_MAX_TABLES:
                 recall = 1.0 - (1.0 - p ** k) ** tables
                 assert recall >= LSH_RECALL, (n, k, tables, recall)
+
+
+class TestZorderLayout:
+    def test_zorder_prunes_better_than_linear(self, spark, sf_dir):
+        """The whole point of the operator: for the 2-D box predicate the
+        Z-ordered layout must touch fewer blocks and scan fewer rows than
+        the single-column-sorted layout, and never scan fewer rows than
+        actually match."""
+        from etl_embargo_spark.operators.layout import q_zorder_layout
+
+        rows = {r["layout"]: r for r in q_zorder_layout(spark, sf_dir).collect()}
+        z, lin = rows["zorder"], rows["linear"]
+        assert z["n_blocks"] == lin["n_blocks"] == 64
+        assert z["n_rows_matching"] == lin["n_rows_matching"] > 0
+        assert z["n_blocks_touched"] < lin["n_blocks_touched"]
+        assert z["n_rows_scanned"] < lin["n_rows_scanned"]
+        assert z["n_rows_scanned"] >= z["n_rows_matching"]
+
+    def test_zorder_key_is_morton(self, spark):
+        """The shared sinks.layout.zorder_key must be the exact Morton
+        interleave under its lane convention (dim d bit i → i*ndims + d;
+        python replay on a grid sample)."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.sinks.layout import zorder_key
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(8) for y in range(8)], "gx long, gy long"
+        ).select(
+            "gx", "gy", zorder_key([F.col("gx"), F.col("gy")]).alias("z")
+        )
+
+        def morton(x, y):
+            z = 0
+            for i in range(16):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        for r in df.collect():
+            assert r["z"] == morton(r["gx"], r["gy"]), (r["gx"], r["gy"])
+
+    def test_zorder_plan_shape(self, spark, sf_dir):
+        """One broadcast of the 1-row max aggregate; at most two column-
+        pruned fact scans (stats pass + layout pass) — never a shuffle
+        join against the maxes."""
+        from etl_embargo_spark.operators.layout import q_zorder_layout
+
+        plan = (
+            q_zorder_layout(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert plan.count("Scan parquet") <= 2
+        assert "SortMergeJoin" not in plan
+        assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in plan
+
+
+class TestCompactionPlan:
+    def test_bins_bounded_and_order_preserving(self, spark, sf_dir):
+        from etl_embargo_spark.operators.listings import (
+            COMPACT_TARGET_BYTES,
+            q_compaction_plan,
+        )
+
+        rows = q_compaction_plan(spark, sf_dir).collect()
+        assert rows
+        by_prefix: dict[str, list] = {}
+        for r in rows:
+            by_prefix.setdefault(r["prefix"], []).append(r)
+        max_file = COMPACT_TARGET_BYTES  # cents-sized stand-ins are smaller
+        for prefix, bins in by_prefix.items():
+            bins.sort(key=lambda r: r["bin_id"])
+            # bin ids are dense from 0
+            assert [b["bin_id"] for b in bins] == list(range(len(bins)))
+            for b in bins:
+                # a bin overshoots the target by at most one file
+                assert b["total_bytes"] < COMPACT_TARGET_BYTES + max_file
+            # name ranges of consecutive bins do not interleave
+            for a, b in zip(bins, bins[1:]):
+                assert a["last_name"] <= b["first_name"], prefix
+
+    def test_single_partitioned_window_single_shuffle(self, spark, sf_dir):
+        """The plan must be one partitioned window (prefix) over one
+        exchange — no global sort, no driver-side packing loop."""
+        from etl_embargo_spark.operators.listings import q_compaction_plan
+
+        plan = (
+            q_compaction_plan(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Window") == 1
+        assert "hashpartitioning(prefix" in plan

@@ -74,9 +74,10 @@ def _write(out: str, name: str, table: pa.Table) -> None:
 
 
 def ts_array(us: np.ndarray) -> pa.Array:
-    return pa.array(us.astype("int64"), type=pa.timestamp("us")).cast(
-        pa.timestamp("ns")
-    )
+    # micros NTZ, like the driver's files (Timestamp(isAdjustedToUTC=false,
+    # timeUnit=microseconds)) — ns annotation makes Spark's declared
+    # timestamp_ntz schema read fail with PARQUET_COLUMN_DATA_TYPE_MISMATCH
+    return pa.array(us.astype("int64"), type=pa.timestamp("us"))
 
 
 def main() -> None:
