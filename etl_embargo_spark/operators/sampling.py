@@ -347,3 +347,104 @@ def q_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("imbalance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (round 3)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64       # hashed-unigram feature buckets
+DSIR_TARGET_LANG = "en"  # the "quality reference" distribution proxy
+DSIR_TOP_K = 100        # resampled subset size
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every raw document by how target-like its hashed-unigram
+    distribution is, and keep the top-K.
+
+    The technique, faithfully: featurize each document into B hashed
+    n-gram buckets; fit bucket unigram models of the TARGET distribution
+    (here: the ``lang = 'en'`` slice standing in for the curated
+    reference corpus) and of the RAW corpus; a document's log importance
+    weight is Σ_b count_b(doc) · ln(p_target(b) / p_raw(b)) with Laplace
+    smoothing.  High-weight documents look like the target; resampling
+    by weight shifts the pretraining mixture toward it.
+
+    Scale shape: the two bucket models are ONE aggregation over the
+    exploded token stream (B=64 rows out — broadcast back); the per-doc
+    score is a second aggregation of the same stream.  Nothing holds
+    state larger than B anywhere; the stream never carries text, only
+    (doc_id, bucket).  Top-K is orderBy().limit() →
+    TakeOrderedAndProject (never a global sort).
+
+    Engine exactness: buckets hash via md5 (engine-independent, the
+    hash_bucket convention); each ln() term is computed on an exact
+    integer ratio, rounded to 9 dp, cast DECIMAL, and multiplied by the
+    integer count BEFORE the decimal sum — associative, so the total is
+    bit-identical across engines and partitionings (CLAUDE.md
+    transcendental rule); the final weight casts to DOUBLE once on both
+    sides and ties break on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("bigint")
+        % DSIR_BUCKETS,
+    )
+    # one pass over the token stream → both unigram models (64 rows)
+    models = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("n_tgt"),
+    )
+    totals = models.agg(
+        F.sum("n_raw").alias("tot_raw"), F.sum("n_tgt").alias("tot_tgt")
+    )
+    weights = (
+        models.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.col("n_tgt") + 1) / (F.col("tot_tgt") + DSIR_BUCKETS))
+                    / ((F.col("n_raw") + 1) / (F.col("tot_raw") + DSIR_BUCKETS))
+                ),
+                9,
+            )
+            # |w| < 10 → DECIMAL(12,9); with count as DECIMAL(10,0) the
+            # product is DECIMAL(22,9) — inside 38 digits on BOTH
+            # engines, so no precision-loss rescale (Spark silently
+            # drops product scale to 6 past 38 digits; DuckDB keeps it)
+            .cast("decimal(12,9)")
+            .alias("w"),
+        )
+    )
+    scored = (
+        toks.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            # integer count × decimal weight: exact product, associative decimal
+            # sum (DuckDB rejects DECIMAL×DECIMAL widths past 38)
+            F.sum(F.col("n").cast("decimal(10,0)") * F.col("w")).alias("_lw"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            F.col("_lw").cast("double").alias("log_importance"),
+        )
+        .orderBy(F.col("log_importance").desc(), "doc_id")
+        .limit(DSIR_TOP_K)
+    )

@@ -2038,3 +2038,86 @@ class TestEnvironmentGatedSlots:
         got = {r["doc_hash"] for r in spark.read.parquet(out).collect()}
         want = {r["doc_hash"] for r in batch_dedup(docs).collect()}
         assert got == want and len(got) == 2
+
+
+class TestDsirWeights:
+    def test_target_lang_enriched_in_top_k(self, spark, sf_dir):
+        """DSIR's whole point: the importance-resampled subset must be
+        enriched in target-distribution documents relative to the raw
+        corpus (and every weight must replay exactly in numpy/python)."""
+        import math
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.sampling import (
+            DSIR_BUCKETS,
+            DSIR_TARGET_LANG,
+            q_dsir_weights,
+        )
+
+        docs = {
+            r["doc_id"]: (r["lang"], r["text"])
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        top = {r["doc_id"]: r for r in q_dsir_weights(spark, sf_dir).collect()}
+        assert len(top) == 100
+        corpus_share = sum(
+            1 for lang, _ in docs.values() if lang == DSIR_TARGET_LANG
+        ) / len(docs)
+        top_share = sum(
+            1 for d in top if docs[d][0] == DSIR_TARGET_LANG
+        ) / len(top)
+        assert top_share > corpus_share, (top_share, corpus_share)
+
+        # exact replay of the scoring pipeline in pure python
+        import hashlib
+        from collections import Counter
+        from decimal import Decimal
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+        n_raw: Counter = Counter()
+        n_tgt: Counter = Counter()
+        per_doc: dict[int, Counter] = {}
+        for did, (lang, text) in docs.items():
+            c = Counter(bucket(t) for t in text.strip().lower().split())
+            per_doc[did] = c
+            for b, n in c.items():
+                n_raw[b] += n
+                if lang == DSIR_TARGET_LANG:
+                    n_tgt[b] += n
+        tot_raw, tot_tgt = sum(n_raw.values()), sum(n_tgt.values())
+        w = {
+            b: Decimal(
+                str(
+                    round(
+                        math.log(
+                            ((n_tgt[b] + 1) / (tot_tgt + DSIR_BUCKETS))
+                            / ((n_raw[b] + 1) / (tot_raw + DSIR_BUCKETS))
+                        ),
+                        9,
+                    )
+                )
+            )
+            for b in n_raw
+        }
+        for did, r in top.items():
+            lw = sum(n * w[b] for b, n in per_doc[did].items())
+            assert abs(float(lw) - r["log_importance"]) < 1e-9, did
+            assert sum(per_doc[did].values()) == r["n_tokens"]
+
+    def test_plan_topk_and_broadcasts(self, spark, sf_dir):
+        """Global top-K must be a TakeOrderedAndProject (never a full
+        sort); the 64-row weight model must broadcast; no Python UDF."""
+        from etl_embargo_spark.operators.sampling import q_dsir_weights
+
+        plan = (
+            q_dsir_weights(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
