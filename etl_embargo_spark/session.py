@@ -42,6 +42,14 @@ def get_spark(app_name: str = "etl_embargo_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter injection: when a selective dim side feeds a
+        # shuffle join, Spark builds a bloom over the join key and pushes a
+        # might_contain() filter into the FACT scan — at 100 TB this is the
+        # difference between shuffling the whole fact table and shuffling
+        # the ~matching rows.  Local data all broadcasts, so it rarely
+        # fires here; tests/test_scale.py::TestRuntimeBloomFilter pins the
+        # injection with thresholds lowered.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -91,6 +99,7 @@ def recommended_conf(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }
 
 

@@ -515,3 +515,46 @@ class TestCompactionPlan:
         )
         assert plan.count("Window") == 1
         assert "hashpartitioning(prefix" in plan
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_dim_injects_might_contain_into_fact_side(self):
+        """The engine conf must let Catalyst inject a runtime bloom filter:
+        a selective dim feeding a shuffle join gets a bloom_filter_agg on
+        its join key and the fact side a might_contain() pre-filter — the
+        100 TB scan saver when the dim is too big to broadcast.  Broadcast
+        is disabled and thresholds lowered so the rule fires on test-sized
+        data (production relies on the same rule with default thresholds)."""
+        from pyspark.sql import SparkSession, functions as F
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("bloom_guard")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+            .config(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "0",
+            )
+            .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        try:
+            li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            orders = spark.read.parquet(
+                "/root/testdata/sf0.001/orders.parquet"
+            ).filter(F.col("o_orderpriority") == "1-URGENT")
+            j = (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan, plan[:2000]
+            assert "bloom_filter_agg" in plan
+            # and the filtered join still returns correct groups
+            assert j.count() > 0
+        finally:
+            spark.stop()
