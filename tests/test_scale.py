@@ -518,29 +518,29 @@ class TestCompactionPlan:
 
 
 class TestRuntimeBloomFilter:
-    def test_selective_dim_injects_might_contain_into_fact_side(self):
+    def test_selective_dim_injects_might_contain_into_fact_side(self, spark):
         """The engine conf must let Catalyst inject a runtime bloom filter:
         a selective dim feeding a shuffle join gets a bloom_filter_agg on
         its join key and the fact side a might_contain() pre-filter — the
         100 TB scan saver when the dim is too big to broadcast.  Broadcast
         is disabled and thresholds lowered so the rule fires on test-sized
-        data (production relies on the same rule with default thresholds)."""
-        from pyspark.sql import SparkSession, functions as F
+        data (production relies on the same rule with default thresholds).
+        All four knobs are runtime SQL confs, so the SHARED session is
+        used and restored — a getOrCreate()+stop() here would kill the
+        suite's session-scoped fixture for every later test."""
+        from pyspark.sql import functions as F
 
-        spark = (
-            SparkSession.builder.master("local[4]")
-            .appName("bloom_guard")
-            .config("spark.sql.shuffle.partitions", "4")
-            .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-            .config(
-                "spark.sql.optimizer.runtime.bloomFilter."
-                "applicationSideScanSizeThreshold",
-                "0",
-            )
-            .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-            .config("spark.ui.enabled", "false")
-            .getOrCreate()
-        )
+        knobs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold": "1GB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in knobs}
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
         try:
             li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
             orders = spark.read.parquet(
@@ -557,4 +557,8 @@ class TestRuntimeBloomFilter:
             # and the filtered join still returns correct groups
             assert j.count() > 0
         finally:
-            spark.stop()
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
