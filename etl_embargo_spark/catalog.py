@@ -217,7 +217,20 @@ def table_rows(sf_dir: str, name: str, default: int = 10_000) -> int:
                 if f.endswith(".parquet")
             )
         return pq.ParquetFile(path).metadata.num_rows
-    except Exception:
+    except (FileNotFoundError, OSError, ImportError) as e:
+        # narrow except (ADVICE r3): the fallback silently resizes
+        # lsh_params/kmeans_k, so only the intended remote/missing-path
+        # cases may take it — and loudly, so an oracle/pin mismatch that
+        # traces back to sizing is explainable from the logs
+        import warnings
+
+        warnings.warn(
+            f"table_rows({name!r}): footer read failed ({e!r}); using "
+            f"default={default} — scale-dependent sizing will use the "
+            "deployment constant",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return default
 
 

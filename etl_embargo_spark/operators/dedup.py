@@ -120,7 +120,6 @@ def _bucket_pairs(
     key_cols: list[str],
     item: F.Column,
     max_bucket: int | None = 4096,
-    keep_keys: bool = False,
 ) -> DataFrame:
     """All intra-bucket (i < j) candidate pairs via
     ``groupBy(bucket) → collect_set → pair expansion``.
@@ -141,10 +140,6 @@ def _bucket_pairs(
     is responsible for bounding block size (each block is buffered as one
     collect_set row), and a silent cap would diverge from the SQL oracle
     at scale.
-
-    ``keep_keys``: also emit the bucket key columns alongside each pair —
-    needed by callers whose pair filter depends on which block generated
-    the pair (the geometric-band dedup of q_dedup_ngram_jaccard).
     """
     buckets = (
         bucketed.groupBy(*key_cols)
@@ -155,9 +150,7 @@ def _bucket_pairs(
             else F.size("items").between(2, max_bucket)
         )
     )
-    head = list(key_cols) if keep_keys else []
     return buckets.select(
-        *head,
         F.explode(
             F.expr(
                 "flatten(transform(items, (a, i) -> "
@@ -165,7 +158,7 @@ def _bucket_pairs(
                 "b -> struct(a, b))))"
             )
         ).alias("pair"),
-    ).select(*head, "pair.a", "pair.b")
+    ).select("pair.a", "pair.b")
 
 
 def minhash_candidates(sigs: DataFrame) -> DataFrame:
@@ -219,35 +212,94 @@ def jaccard_verify_on_shingles(
     )
 
 
-def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only: shingle sets derived
-    from the documents and intersected with built-ins."""
-    return jaccard_verify_on_shingles(shingle_sets(docs), pairs, threshold)
-
-
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ 0.5 (detail
     form: the murmur permutation family is Spark-specific; pytest holds
     the recall oracle vs brute-force Jaccard).
 
-    The shingle stage is computed ONCE and persisted (MEMORY_AND_DISK):
-    it feeds the signature pipeline and both verify sides, which would
-    otherwise each re-execute the tokenize+hash scan — the in-session
-    analog of materializing the signature stage to a table, which is what
-    this pipeline does at 100 TB.  The persisted relation is (doc_id,
-    distinct shingle hashes): small, and LRU-evicted when unused.
+    EXACT-TEXT COLLAPSE FIRST (round 4): the LSH pipeline runs on
+    DISTINCT texts, and duplicate groups expand back into member pairs
+    at the end.  Output-identical to running LSH per document — the
+    signature is a pure function of the text, so a member pair collides
+    iff its group pair collides, and identical texts (J = 1 ≥ 0.5,
+    colliding in every band) always pair.  What it buys at scale:
+
+    * The sf1 corpus plants one ~2,900-doc exact-dup clique; per-doc LSH
+      put all of it in ONE band bucket and generated C(2941,2) ≈ 4.3M
+      pairs ×8 bands into the distinct (measured 27 s of the 35 s total).
+      Collapsed, the clique is a single signature row.
+    * At 10× the clique would exceed ``max_bucket`` (4096) and the
+      APPROXIMATE path would silently DROP it — recall cliff.  Collapsed,
+      bucket occupancy tracks the count of distinct near-dup texts, not
+      duplicate multiplicity, so the cap only ever sheds degenerate
+      non-duplicate keys.
+    * This is also the real 100 TB pipeline order: exact dedup first,
+      near-dup on representatives (see q_corpus_dedup).
+
+    The shingle stage still computes ONCE and persists (MEMORY_AND_DISK):
+    it feeds the signature pipeline and both verify sides.  Both persisted
+    relations (groups, shingles) must outlive this builder — the returned
+    DataFrame is lazy and every consumer shares the caches at execution
+    time; LRU eviction reclaims them across a long sweep (bench/driver
+    clearCache() between queries).
     """
     from pyspark.storagelevel import StorageLevel
 
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
-    sh = shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    groups = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.first("text").alias("text"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # intra-group pairs: identical texts ⇒ identical shingle sets ⇒ J=1.0
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (a, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "b -> struct(a, b))))"
+                )
+            ).alias("pair")
+        )
+        .select(
+            F.col("pair.a").alias("doc_a"),
+            F.col("pair.b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # LSH over distinct texts, keyed by the group's min doc_id
+    sh = shingle_sets(
+        groups.select(F.col("gid").alias("doc_id"), "text")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = signatures_from_shingles(sh)
     cands = minhash_candidates(sigs)
+    verified = jaccard_verify_on_shingles(sh, cands, threshold=0.5)
+    # expand verified group pairs into member pairs (gid_a < gid_b holds,
+    # but member ids interleave — reorder with least/greatest)
+    ga = groups.select(F.col("gid").alias("doc_a"), F.col("members").alias("_ma"))
+    gb = groups.select(F.col("gid").alias("doc_b"), F.col("members").alias("_mb"))
+    cross = (
+        verified.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(F.explode("_ma").alias("_a"), "_mb", "jaccard")
+        .select("_a", F.explode("_mb").alias("_b"), "jaccard")
+        .select(
+            F.least("_a", "_b").alias("doc_a"),
+            F.greatest("_a", "_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
     # no trailing orderBy: a range-partitioned sort runs a sampling pass
     # that RE-EXECUTES the whole candidate+verify lineage (measured 4.6s
     # vs 0.7s at sf0.1), and row order is not part of any contract (the
     # driver's value hash is order-insensitive)
-    return jaccard_verify_on_shingles(sh, cands, threshold=0.5)
+    return intra.unionByName(cross)
 
 
 def _pair_checksum_rollup(pairs: DataFrame, a_col: str, groups: int = 4) -> DataFrame:
@@ -291,24 +343,117 @@ def _jaccard_band(s: F.Column) -> F.Column:
     return band
 
 
+def _make_jaccard_block_kernel(threshold: float):
+    """applyInPandas kernel factory (nested per the cloudpickle by-value
+    rule): ALL-PAIRS exact Jaccard inside one (lang, source, band) block,
+    vectorized as a single set-membership GEMM.
+
+    Input rows: (doc_id, band, _block, sh: array<bigint> of xxhash64'd
+    distinct shingles).  The kernel builds the block's binary doc×gram
+    incidence matrix A and computes every pairwise intersection as
+    A @ A.T — one BLAS call replaces the per-pair flatten + array
+    join-back + array_intersect pipeline this superseded (which shipped
+    every shingle array once per PAIR and measured 46 s at sf1; each
+    array now travels once per DOC and the block's 10⁵–10⁶ candidate
+    pairs cost ~milliseconds of float32 GEMM).
+
+    Exactness: counts ≤ |sh| ≤ a few hundred are exact in float32; the
+    Jaccard itself is ONE IEEE double division of exact integers —
+    bit-identical to DuckDB's ``len(list_intersect)::DOUBLE / union``
+    (CLAUDE.md engine-exact rule).  Emits RAW J; the caller rounds with
+    F.round (JVM HALF_UP) so boundary rounding matches the SQL oracle.
+    Pair-dedup rule: a pair is emitted only in the block equal to the
+    LOWER of its two home bands (double assignment upstream).
+    """
+
+    def _kernel(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        n = len(pdf)
+        empty = _pd.DataFrame(
+            {
+                "doc_a": _np.array([], dtype=_np.int64),
+                "doc_b": _np.array([], dtype=_np.int64),
+                "_j": _np.array([], dtype=_np.float64),
+            }
+        )
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids = pdf["doc_id"].to_numpy()
+        bands = pdf["band"].to_numpy()
+        block = int(pdf["_block"].iloc[0])
+        sh_arrays = [
+            _np.asarray(s, dtype=_np.int64) for s in pdf["sh"].to_numpy()
+        ]
+        sizes = _np.array([len(s) for s in sh_arrays], dtype=_np.int64)
+        all_h = _np.concatenate(sh_arrays)
+        uniq, inv = _np.unique(all_h, return_inverse=True)
+        a = _np.zeros((n, len(uniq)), dtype=_np.float32)
+        a[_np.repeat(_np.arange(n), sizes), inv] = 1.0
+        out_a, out_b, out_j = [], [], []
+        # row-chunked GEMM bounds the dense inter matrix at huge blocks
+        chunk = max(1, int(2e8 // max(len(uniq), 1)))
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            inter = (a[lo:hi] @ a.T).astype(_np.float64)
+            union = (sizes[lo:hi, None] + sizes[None, :]).astype(
+                _np.float64
+            ) - inter
+            jm = inter / union
+            ii, jj = _np.nonzero(
+                (jm >= threshold)
+                & (ids[lo:hi, None] < ids[None, :])
+                & (
+                    _np.minimum(bands[lo:hi, None], bands[None, :])
+                    == block
+                )
+            )
+            out_a.append(ids[lo + ii])
+            out_b.append(ids[jj])
+            out_j.append(jm[ii, jj])
+        return _pd.DataFrame(
+            {
+                "doc_a": _np.concatenate(out_a),
+                "doc_b": _np.concatenate(out_b),
+                "_j": _np.concatenate(out_j),
+            }
+        )
+
+    return _kernel
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_T) -> DataFrame:
     """Exact n-gram Jaccard near-dup over blocked pairs.
 
-    SQL-expressible variant: Jaccard is computed on DISTINCT word
-    3-shingle STRINGS (not hashes) so DuckDB can mirror it exactly.  The
-    blocking key is (lang, source, base-5 shingle-count band): the band
-    keeps Σ|block|² from growing quadratically with the corpus while
-    provably losing no qualifying pair — J ≥ 0.2 bounds the shingle-count
-    ratio to ≤ 5, and two integers within a ×5 ratio cannot straddle two
-    base-5 band edges, so every qualifying pair is same-band or
-    adjacent-band.  Adjacent bands are covered by double assignment (each
-    doc also joins the block below its own) and cross-block duplicates
-    are prevented structurally: a pair is generated only in the block
-    equal to the LOWER of its two home bands.  The DuckDB oracle is the
-    unbanded (lang, source) blocked join — identical output by the
-    argument above, which the oracle-hash compare re-proves at every SF
-    (and tests/test_extensions.py stresses the adjacent-band edge on a
-    synthetic corpus built AROUND the 5^k boundaries).
+    Semantics (mirrored by the DuckDB oracle): every (lang, source) pair
+    of documents whose DISTINCT word-3-shingle Jaccard ≥ threshold.  The
+    blocking key is (lang, source, base-5 shingle-count band): J ≥ 0.2
+    bounds the shingle-count ratio to ≤ 5, and two integers within a ×5
+    ratio cannot straddle two base-5 band edges, so every qualifying pair
+    is same-band or adjacent-band; adjacent bands are covered by double
+    assignment (each doc also joins the block below its own) and a pair
+    is generated only in the block equal to the LOWER of its two home
+    bands — banding is EXACT, not a recall trade
+    (tests/test_extensions.py stresses the 5^k boundary corpus).
+
+    Round-4 execution shape: shingles hash to 64 bits scan-side
+    (xxhash64 — collision-free at any realistic vocabulary, expected
+    colliding gram pairs ≈ C(40k,2)/2⁶⁴ ≈ 10⁻¹¹ on the sf1 corpus) and
+    each block verifies ALL its pairs in one vectorized set-membership
+    GEMM inside applyInPandas (see _make_jaccard_block_kernel).  Each
+    doc's shingles cross the wire ONCE (the groupBy shuffle); nothing
+    is persisted, no pair list is materialized before the J filter, and
+    the superseded per-pair join-back (46 s / 14 GB shuffle at sf1) is
+    gone — measured ~8× faster at sf1.  Prefix filtering (PPJoin) was
+    evaluated and rejected for this operator: with a small/zipfian
+    vocabulary the required 0.8·|sh| prefixes of different docs overlap
+    almost surely, so the inverted gram index generates MORE candidates
+    than the size banding, not fewer.  Within-block work is still
+    Σ|block|² pair-ops; the GEMM makes the constant ~10² smaller and the
+    block key (lang, source, size band) is the contract's blocking
+    granularity.
     """
     if threshold < JACCARD_T:
         # the base-5 band edges are derived from 1/JACCARD_T: a looser
@@ -324,74 +469,51 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_T) -> DataFr
         "lang",
         "source",
         F.array_distinct(
-            F.expr(
-                f"""
-                CASE WHEN size(_toks) >= {SHINGLE_WIDTH}
-                     THEN transform(
-                         sequence(0, size(_toks) - {SHINGLE_WIDTH}),
-                         i -> concat_ws(' ', slice(_toks, i + 1, {SHINGLE_WIDTH})))
-                     ELSE array(concat_ws(' ', _toks))
-                END
-                """
+            F.transform(
+                F.expr(
+                    f"""
+                    CASE WHEN size(_toks) >= {SHINGLE_WIDTH}
+                         THEN transform(
+                             sequence(0, size(_toks) - {SHINGLE_WIDTH}),
+                             i -> concat_ws(' ', slice(_toks, i + 1, {SHINGLE_WIDTH})))
+                         ELSE array(concat_ws(' ', _toks))
+                    END
+                    """
+                ),
+                lambda s: F.xxhash64(s),
             )
         ).alias("sh"),
     ).withColumn("band", _jaccard_band(F.size("sh")))
-    # persist: the shingle relation has THREE consumers (the pair
-    # generator and both verify sides).  Joining the arrays back per side
-    # instead of carrying them through the pair expansion is deliberate:
-    # _bucket_pairs' flatten materializes all O(b²) pairs of a bucket in
-    # one in-memory array, and with full shingle arrays in the payload
-    # that was measured OOMing the executor at sf1 (50k docs); with
-    # (doc_id, band) payloads the per-bucket array is a few MB at any
-    # corpus size and the arrays travel once per DOC, not once per PAIR.
-    from pyspark.storagelevel import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    # double assignment: home block + the block below (adjacent-band pairs
-    # surface exactly once, in the lower band's block)
     blocked = sh.select(
         "doc_id",
+        "band",
+        "sh",
         "lang",
         "source",
-        "band",
         F.explode(
             F.array(F.col("band"), F.col("band") - F.lit(1))
         ).alias("_block"),
     ).filter(F.col("_block") >= 0)
-    # bucket-groupBy pair generation, not a self-join: the tokenize+shingle
-    # lineage runs once (CLAUDE.md hard-won rule; same shape as levenshtein).
-    # UNCAPPED (max_bucket=None): this exact variant's contract — and its
-    # DuckDB oracle — is every qualifying pair; the band is what bounds
-    # block size, a silent cap would diverge from the SQL oracle.
-    pairs = _bucket_pairs(
-        blocked,
-        ["lang", "source", "_block"],
-        F.struct(F.col("doc_id"), F.col("band")),
-        max_bucket=None,
-        keep_keys=True,
-    ).filter(
-        # generate each pair once: only in the block == min(home bands)
-        F.least(F.col("a.band"), F.col("b.band")) == F.col("_block")
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # explicit repartition on the block key BEFORE the groupBy: the block
+    # relation is byte-small (hashed shingles), so AQE would coalesce the
+    # groupBy exchange to 1-2 partitions and run every block's GEMM kernel
+    # serially (Python compute is invisible to AQE's byte-based sizing;
+    # measured 2.4× at sf0.1 on the levenshtein sibling).  An explicit
+    # numbered repartition is never coalesced, and applyInPandas reuses it
+    # (ClusteredDistribution is satisfied — no second exchange).
+    shuffle_n = blocked.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        blocked.repartition(shuffle_n, "lang", "source", "_block")
+        .groupBy("lang", "source", "_block")
+        .applyInPandas(
+            _make_jaccard_block_kernel(threshold),
+            schema="doc_a long, doc_b long, _j double",
+        )
     )
-    left = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    right = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(left, "doc_a").join(right, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        joined.select(
-            "doc_a",
-            "doc_b",
-            (inter / union).alias("_j"),
-        )
-        # filter BEFORE rounding, as the oracle does — the banding proof
-        # needs the true J ≥ t ratio bound, not the 6dp-rounded one
-        .filter(F.col("_j") >= threshold)
-        .select(
-            "doc_a", "doc_b", F.round(F.col("_j"), 6).alias("jaccard")
-        )
+    # round OUTSIDE the kernel: F.round is HALF_UP like DuckDB's round();
+    # np.round is banker's and could flip an exact x.xxxxxx5 boundary
+    return pairs.select(
+        "doc_a", "doc_b", F.round(F.col("_j"), 6).alias("jaccard")
     )
 
 
@@ -404,59 +526,177 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LEV_MAX = 32  # absolute edit-distance threshold
-LEV_BAND = 64  # length-band width for blocking
+# band width MUST be > LEV_MAX so that any pair within distance LEV_MAX
+# (hence within LEV_MAX chars of each other) is same-band or adjacent-band
+# — double assignment then makes the blocking EXACT, not a recall trade
+LEV_BAND = LEV_MAX + 1
+
+
+def _make_lev_prefilter_kernel(max_d: int):
+    """applyInPandas kernel factory (nested per the cloudpickle by-value
+    rule): EXACT cheap pre-filters over all pairs of one (lang, source,
+    length-band) block, emitting only pairs that could still be within
+    edit distance ``max_d`` — with both texts attached, so the caller's
+    JVM ``levenshtein(a, b, max_d)`` needs no join at all.
+
+    Filters (each a proven necessary condition for lev ≤ max_d):
+    * |len(a) − len(b)| ≤ max_d       (every edit changes length by ≤ 1)
+    * byte-histogram L1 distance ≤ 2·max_d for ASCII pairs (a
+      substitution moves two histogram cells by 1 each; an indel one),
+      ≤ 8·max_d otherwise (a unicode char edit rewrites ≤ 4+4 bytes)
+    * pair-dedup: emitted only in the block == min of the two home bands
+
+    On the sf1 corpus the histogram filter kills ~99.9% of block pairs
+    (random zipf docs differ in far more than 64 byte counts), so the
+    O(len·k) DP runs only on near-duplicates — candidate volume tracks
+    TRUE pair volume while the filter itself is vectorized numpy over
+    int16 count matrices.
+    """
+
+    def _kernel(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        n = len(pdf)
+        empty = _pd.DataFrame(
+            {
+                "doc_a": _np.array([], dtype=_np.int64),
+                "doc_b": _np.array([], dtype=_np.int64),
+                "text_a": _pd.Series([], dtype="object"),
+                "text_b": _pd.Series([], dtype="object"),
+            }
+        )
+        if n < 2:
+            return empty
+        # sort by length: qualifying pairs live in a ±max_d length window,
+        # so pair enumeration is searchsorted windows (O(output)), never a
+        # dense n² triangle.  doc_id pre-sort makes the length argsort's
+        # tie order deterministic
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        texts = pdf["text"].tolist()
+        lens = _np.array([len(t) for t in texts], dtype=_np.int64)
+        order = _np.argsort(lens, kind="stable")
+        ids = pdf["doc_id"].to_numpy()[order]
+        bands = pdf["band"].to_numpy()[order]
+        texts = [texts[i] for i in order]
+        lens = lens[order]
+        block = int(pdf["_block"].iloc[0])
+        hist = _np.zeros((n, 256), dtype=_np.int32)
+        for i, t in enumerate(texts):
+            b = _np.frombuffer(t.encode("utf-8"), dtype=_np.uint8)
+            hist[i] = _np.bincount(b, minlength=256)
+        is_ascii = hist[:, 128:].sum(axis=1) == 0
+        pos = _np.arange(n)
+        hi = _np.searchsorted(lens, lens + max_d, side="right")
+        counts = hi - pos - 1
+        ai = _np.repeat(pos, counts)
+        # window partner index: consecutive runs pos+1 .. hi-1
+        bi = (
+            _np.arange(counts.sum())
+            - _np.repeat(_np.cumsum(counts) - counts, counts)
+            + ai
+            + 1
+        )
+        m = _np.minimum(bands[ai], bands[bi]) == block
+        ai, bi = ai[m], bi[m]
+        keep_a, keep_b = [], []
+        chunk = 1_000_000
+        for lo in range(0, len(ai), chunk):
+            ca, cb = ai[lo : lo + chunk], bi[lo : lo + chunk]
+            l1 = _np.abs(hist[ca] - hist[cb]).sum(axis=1)
+            bound = _np.where(
+                is_ascii[ca] & is_ascii[cb], 2 * max_d, 8 * max_d
+            )
+            k = l1 <= bound
+            keep_a.append(ca[k])
+            keep_b.append(cb[k])
+        if not keep_a:
+            return empty
+        ka = _np.concatenate(keep_a)
+        kb = _np.concatenate(keep_b)
+        # positions are length-ordered, not id-ordered: restore doc_a < doc_b
+        ida, idb = ids[ka], ids[kb]
+        swap = ida > idb
+        return _pd.DataFrame(
+            {
+                "doc_a": _np.where(swap, idb, ida),
+                "doc_b": _np.where(swap, ida, idb),
+                "text_a": [texts[i] for i in _np.where(swap, kb, ka)],
+                "text_b": [texts[i] for i in _np.where(swap, ka, kb)],
+            }
+        )
+
+    return _kernel
 
 
 def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup over blocked pairs: documents in the same
-    (lang, source, length-band) block whose Levenshtein distance is ≤ 32.
+    """Edit-distance near-dup: EVERY (lang, source) pair of documents
+    whose Levenshtein distance is ≤ LEV_MAX — no banding artifact in the
+    contract (round 4; the previous same-band-only form silently dropped
+    near-dups straddling a band edge).
 
-    Blocking on floor(n_chars / 64) exploits the metric itself — distance
-    ≥ |len(a) − len(b)|, so pairs straddling far-apart bands cannot be
-    near-dups (adjacent-band pairs within 64 chars of each other are the
-    accepted recall loss of this blocking, as in any blocked dedup).
-    Spark evaluates the banded O(n·k) form ``levenshtein(a, b, threshold)``
-    which returns −1 as soon as the distance provably exceeds k — at 100 TB
-    that caps per-pair cost at rows×threshold instead of rows².  The DuckDB
-    oracle computes the full distance and filters to the same ≤ 32 set.
+    Blocking is floor(length/33) with double assignment: lev ≤ 32 forces
+    |len(a) − len(b)| ≤ 32 < 33, so a qualifying pair is same-band or
+    adjacent-band, adjacent pairs surface exactly once in the lower
+    band's block, and the blocking provably loses nothing.  Each block
+    runs exact vectorized pre-filters in-kernel (length delta + byte-
+    histogram L1 — see _make_lev_prefilter_kernel) and emits surviving
+    pairs WITH their texts, so the only post-shuffle work is Spark's
+    banded O(len·k) ``levenshtein(a, b, LEV_MAX)`` on the ~0.1% of pairs
+    that could actually qualify.  Each text crosses the wire twice (the
+    double-assigned groupBy shuffle) instead of once per pair, nothing
+    persists, and the superseded three-consumer persist + join-back
+    lineage is gone.  The DuckDB oracle mirrors the semantic contract
+    directly: (lang, source) self-join, levenshtein ≤ 32 (with the
+    implied-by-the-metric length pre-filter for oracle speed).
     """
-    from pyspark.storagelevel import StorageLevel
+    from etl_embargo_spark.catalog import table_rows
 
-    docs = (
-        spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
-        .withColumn("_band", F.floor(F.col("n_chars") / LEV_BAND))
-        .select("doc_id", "lang", "source", "_band", "text")
-        # persist: three consumers (pair generator + both text joins)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # length-shard width sized from the corpus (parquet footer, job-free,
+    # output-invariant — the kernel's length window is the real gate):
+    # small corpora run one shard per (lang, source) so per-group Python
+    # overhead doesn't dominate (~1300 tiny groups cost more than their
+    # kernels at sf0.1); large corpora shard at the minimum exact width
+    # (LEV_MAX+1) so block pair windows stay bounded and parallel
+    width = LEV_BAND if table_rows(sf_dir, "documents") >= 20_000 else 1 << 20
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.floor(F.length("text") / width).cast("int").alias("band"),
     )
-    # bucket-groupBy pair generation (_bucket_pairs), not a self-join: the
-    # scan + repartition lineage runs once and only (block key, doc_id)
-    # shuffles; a self-join executed the whole upstream twice (CLAUDE.md
-    # hard-won rule, verified via duplicate FileScans in the plan).
-    # ID-ONLY payload + join-back for the texts: carrying the text through
-    # the pair expansion materializes O(b²)·|text| bytes per bucket in one
-    # flatten array (the sf1 OOM mode fixed in ngram_jaccard); with ids
-    # the flatten is O(b²)·16 bytes and each text travels once per doc.
-    # uncapped: exact variant, every block pair must match the oracle;
-    # the (lang, source, length-band) key keeps blocks small by design
-    pairs = _bucket_pairs(
-        docs,
-        ["lang", "source", "_band"],
-        F.struct(F.col("doc_id")),
-        max_bucket=None,
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    blocked = docs.select(
+        "doc_id",
+        "band",
+        "text",
+        "lang",
+        "source",
+        F.explode(
+            F.array(F.col("band"), F.col("band") - F.lit(1))
+        ).alias("_block"),
+    ).filter(F.col("_block") >= 0)
+    # explicit numbered repartition: see ngram_jaccard_pairs — AQE would
+    # coalesce this byte-small exchange and serialize the block kernels
+    cands = (
+        blocked.repartition(
+            spark.sparkContext.defaultParallelism, "lang", "source", "_block"
+        )
+        .groupBy("lang", "source", "_block")
+        .applyInPandas(
+            _make_lev_prefilter_kernel(LEV_MAX),
+            schema="doc_a long, doc_b long, text_a string, text_b string",
+        )
     )
-    left = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    right = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    joined = pairs.join(left, "doc_a").join(right, "doc_b")
+    # rebalance before the DP: candidate counts are skewed by block (the
+    # largest block's survivors would otherwise run their levenshtein
+    # pipelined inside that single group's task — measured 20 s vs 10 s
+    # at sf1), and the round-robin shuffle of surviving pairs is ~50×
+    # smaller than the block input was
     lev = F.levenshtein(F.col("text_a"), F.col("text_b"), LEV_MAX)
     return (
-        joined.select(
-            "doc_a",
-            "doc_b",
-            lev.alias("lev"),
-        )
+        cands.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_a", "doc_b", lev.alias("lev"))
         .filter(F.col("lev") >= 0)
     )
 
@@ -730,6 +970,49 @@ def lsh_params(
     return k, min(max(L, 1), LSH_MAX_TABLES)
 
 
+def _make_lsh_bucketer(seed: int, k: int, n_t: int):
+    """mapInPandas kernel factory (ships by value, executor-safe): assign
+    every vector its (table_id, bucket) LSH keys for ``n_t`` tables of
+    ``k`` hyperplane sign bits.  Planes are generated IN the kernel from
+    the first batch's dim — keeps query construction lazy (no driver-side
+    first() job, no crash on an empty table) and every task derives the
+    identical matrix from the seed (mirrors similarity.sign_matrix).
+    Emits id-sized membership rows only; consumers that need the vectors
+    (knn_join's bucket-local scorer) join them back JVM-side — carrying
+    them through this Python loop was measured at 23 s/1.28M rows."""
+
+    def _buckets(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        weights = (1 << _np.arange(k, dtype=_np.int64))[None, :]
+        pm = None
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            if pm is None:
+                rng = _np.random.default_rng(seed)
+                pm = (
+                    rng.integers(0, 2, size=(n_t * k, e.shape[1])) * 2 - 1
+                ).astype(_np.float64)
+            bits = (e @ pm.T) >= 0  # (n, n_tables*k)
+            keys = (
+                bits.reshape(len(pdf), n_t, k).astype(_np.int64) * weights
+            ).sum(axis=2)
+            n = len(pdf)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), n_t),
+                    "table_id": _np.tile(_np.arange(n_t, dtype=_np.int32), n),
+                    "bucket": keys.reshape(-1),
+                }
+            )
+
+    return _buckets
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.45,
@@ -754,49 +1037,8 @@ def embedding_near_dups(
     output at the validated n=500 corpus; callers with a corpus in hand
     must size from it rather than inherit the defaults.
     """
-    def _make_bucketer(seed, k, n_t):
-        # nested factory: ships by value (cloudpickle), executor-safe.
-        # Planes are generated IN the kernel from the first batch's dim —
-        # keeps query construction lazy (no driver-side first() job, no
-        # crash on an empty table) and every task derives the identical
-        # matrix from the seed (mirrors similarity.sign_matrix).
-        def _buckets(batches):
-            import numpy as _np
-            import pandas as _pd
-
-            weights = (1 << _np.arange(k, dtype=_np.int64))[None, :]
-            pm = None
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
-                if pm is None:
-                    rng = _np.random.default_rng(seed)
-                    pm = (
-                        rng.integers(0, 2, size=(n_t * k, e.shape[1])) * 2 - 1
-                    ).astype(_np.float64)
-                bits = (e @ pm.T) >= 0  # (n, n_tables*k)
-                keys = (
-                    bits.reshape(len(pdf), n_t, k).astype(_np.int64) * weights
-                ).sum(axis=2)
-                n = len(pdf)
-                yield _pd.DataFrame(
-                    {
-                        "vec_id": _np.repeat(
-                            pdf["vec_id"].to_numpy(), n_t
-                        ),
-                        "table_id": _np.tile(
-                            _np.arange(n_t, dtype=_np.int32), n
-                        ),
-                        "bucket": keys.reshape(-1),
-                    }
-                )
-
-        return _buckets
-
     bucketed = emb.select("vec_id", "embedding").mapInPandas(
-        _make_bucketer(7, planes_per_table, n_tables),
+        _make_lsh_bucketer(7, planes_per_table, n_tables),
         schema="vec_id long, table_id int, bucket long",
     )
     # Bucket-groupBy pair generation (see _bucket_pairs): the 32 hyperplane

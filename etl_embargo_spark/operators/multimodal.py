@@ -299,10 +299,18 @@ def extract_features(
                     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                         return decode_wav(b)
                     if any(b.startswith(m) for m in _COMPRESSED_MAGIC):
+                        if strict_mode:
+                            # strict: PIL absence OR a corrupt payload is a
+                            # task failure the caller asked for
+                            return decode_pil(b)
                         try:
                             return decode_pil(b)
-                        except ImportError:
-                            pass  # PIL absent → strict raise / fake below
+                        except Exception:
+                            # PIL absent (ImportError) or undecodable bytes
+                            # (UnidentifiedImageError/OSError): non-strict
+                            # contract is graceful pass-through to the
+                            # metadata-only fake path (ADVICE r3)
+                            pass
                 if strict_mode:
                     raise NotImplementedError(
                         "no real codec for this payload (compressed "

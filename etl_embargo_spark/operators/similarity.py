@@ -173,6 +173,87 @@ def ivf_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def _make_knn_bucket_scorer(k: int, max_bucket: int):
+    """applyInPandas kernel factory (nested per the cloudpickle by-value
+    rule): per LSH (table, bucket), every member's top-k in-bucket
+    neighbors by exact cosine.
+
+    Per-bucket top-k is LOSSLESS for the global top-k merge: a bucket
+    member outranked by ≥ k same-bucket vectors under the (cosine desc,
+    vec_id asc) total order cannot enter the global top-k either — so
+    cutting here shrinks the downstream shuffle from candidate-pair
+    volume (12.5M pairs × two 64-float joins at sf1) to members × k
+    id-sized rows while producing bit-identical neighbor lists.  Dots
+    and norms are the same row-wise float64 einsum as
+    ``cosine_score_pairs`` (fixed-order per-row folds — batch
+    composition cannot move an ulp), and the 6-dp np.round matches it
+    too, so a pair scored in several buckets yields the identical
+    double everywhere and the cross-table groupBy-max dedups exactly.
+    Buckets larger than ``max_bucket`` are dropped, mirroring the
+    `_bucket_pairs` degenerate-key cap the pinned output was generated
+    under."""
+
+    def _score(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {
+                "vec_a": _np.array([], dtype=_np.int64),
+                "vec_b": _np.array([], dtype=_np.int64),
+                "cosine": _np.array([], dtype=_np.float64),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        # one kernel group covers MANY true buckets (bucket mod SEG): sort
+        # and segment by the true bucket, pair within segments only
+        pdf = pdf.sort_values(["bucket", "vec_id"]).reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        buckets = pdf["bucket"].to_numpy()
+        e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
+        norms = _np.sqrt(_np.einsum("ij,ij->i", e, e))
+        starts = _np.r_[
+            0, _np.flatnonzero(buckets[1:] != buckets[:-1]) + 1, len(pdf)
+        ]
+        tri_cache: dict = {}
+        parts_a, parts_b, parts_c = [], [], []
+        for s, t in zip(starts[:-1], starts[1:]):
+            c_n = t - s
+            if c_n < 2 or (max_bucket is not None and c_n > max_bucket):
+                # oversize buckets dropped — mirrors the _bucket_pairs
+                # degenerate-key cap the pinned output was generated under
+                continue
+            if c_n not in tri_cache:
+                tri_cache[c_n] = _np.triu_indices(c_n, k=1)
+            iu, ju = tri_cache[c_n]
+            gi, gj = iu + s, ju + s
+            dots = _np.einsum("ij,ij->i", e[gi], e[gj])
+            cos = _np.round(dots / (norms[gi] * norms[gj]), 6)
+            parts_a.append(_np.concatenate([ids[gi], ids[gj]]))
+            parts_b.append(_np.concatenate([ids[gj], ids[gi]]))
+            parts_c.append(_np.concatenate([cos, cos]))
+        if not parts_a:
+            return empty
+        a = _np.concatenate(parts_a)
+        b = _np.concatenate(parts_b)
+        c = _np.concatenate(parts_c)
+        # per-vector top-k across the group: each vector has exactly one
+        # bucket per table, and a group holds one table's segment, so
+        # keying on vec alone IS per-bucket top-k
+        order = _np.lexsort((b, -c, a))
+        a, b, c = a[order], b[order], c[order]
+        starts = _np.r_[0, _np.flatnonzero(a[1:] != a[:-1]) + 1]
+        sizes = _np.diff(_np.r_[starts, len(a)])
+        rank = _np.arange(len(a)) - _np.repeat(starts, sizes)
+        keep = rank < k
+        return _pd.DataFrame(
+            {"vec_a": a[keep], "vec_b": b[keep], "cosine": c[keep]}
+        )
+
+    return _score
+
+
 def knn_join(
     emb: DataFrame,
     k: int = 5,
@@ -182,40 +263,62 @@ def knn_join(
     """Batch k-nearest-neighbors self-join: every vector's approximate
     top-k neighbors by cosine.
 
-    The all-pairs problem at 100 TB cannot be a cross join; candidates come
-    from the multi-table hyperplane LSH (dedup.embedding_near_dups with the
-    threshold disabled), are scored exactly, then cut to k per vector with
-    a rank window.  Candidate pairs are undirected — both directions are
-    materialized before ranking so every vector gets its own neighbor list.
-    Recall is the LSH table recall (tested against brute force); size
-    (planes_per_table, n_tables) from the corpus via ``dedup.lsh_params``
-    — fixed table sizing is exactly what collapses recall at 100× via
-    max_bucket drops.
+    The all-pairs problem at 100 TB cannot be a cross join; candidates
+    are same-bucket pairs of the multi-table hyperplane LSH
+    (dedup._make_lsh_bucketer planes).  Round-4 shape: each bucket
+    scores and cuts to top-k INSIDE one Arrow kernel (see
+    _make_knn_bucket_scorer — output-identical to scoring every
+    candidate pair, proven by the shared tie-break total order), so
+    each embedding crosses the wire once per table membership and the
+    only pair-grain relations are members × k id-sized rows (the
+    superseded candidate-pair einsum joined two 64-float arrays onto
+    12.5M distinct pairs: 27.5 s at sf1, now ~7 s).  The cross-table
+    dedup is a groupBy-max over identical doubles; the final global
+    top-k is a per-vector rank window.  Recall is the LSH table recall
+    (tested against brute force); size (planes_per_table, n_tables)
+    from the corpus via ``dedup.lsh_params`` — fixed table sizing is
+    exactly what collapses recall at 100× via max_bucket drops.
     """
     from pyspark.sql import Window
 
-    from etl_embargo_spark.operators.dedup import embedding_near_dups
+    from etl_embargo_spark.operators.dedup import _make_lsh_bucketer
 
-    # persist: the directed union's two branches would otherwise execute
-    # the whole LSH candidate + exact-scoring pipeline twice
-    pairs = embedding_near_dups(
-        emb,
-        threshold=-1.0,
-        planes_per_table=planes_per_table,
-        n_tables=n_tables,
-    ).persist()
-    directed = pairs.unionByName(
-        pairs.select(
-            F.col("vec_b").alias("vec_a"),
-            F.col("vec_a").alias("vec_b"),
-            "cosine",
+    bucketed = emb.select("vec_id", "embedding").mapInPandas(
+        _make_lsh_bucketer(7, planes_per_table, n_tables),
+        schema="vec_id long, table_id int, bucket long",
+    )
+    # attach embeddings JVM-side: small corpora auto-broadcast the vector
+    # relation; at 100 TB this is a co-partitionable equi-join, and either
+    # way the vectors never round-trip through a Python membership loop
+    # (a carry-through-the-bucketer variant spent 23 s at sf1 building
+    # 1.28M python array objects)
+    with_vec = bucketed.join(emb.select("vec_id", "embedding"), "vec_id")
+    # group on (table, bucket mod SEG): one kernel group covers many true
+    # buckets (segmented in-kernel), keeping applyInPandas group count at
+    # tables×SEG instead of tables×2^planes (65k groups of ~20 rows paid
+    # more per-group overhead than kernel compute at sf1).  SEG is a
+    # constant: when 2^planes ≤ SEG the mod is the identity and grouping
+    # degenerates to exact buckets.
+    spark = emb.sparkSession
+    directed = (
+        with_vec.withColumn("_seg", F.pmod("bucket", F.lit(64)))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "table_id", "_seg"
         )
+        .groupBy("table_id", "_seg")
+        .applyInPandas(
+            _make_knn_bucket_scorer(k, max_bucket=4096),
+            schema="vec_a long, vec_b long, cosine double",
+        )
+    )
+    best = directed.groupBy("vec_a", "vec_b").agg(
+        F.max("cosine").alias("cosine")
     )
     w = Window.partitionBy("vec_a").orderBy(
         F.col("cosine").desc(), F.col("vec_b")
     )
     return (
-        directed.withColumn("rank", F.row_number().over(w))
+        best.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("vec_a").alias("vec_id"),

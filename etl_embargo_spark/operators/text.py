@@ -1645,11 +1645,17 @@ def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Windows are capped at the first SUBSTR_MAX_TOKENS tokens per doc —
     an explicit scan bound, not a silent truncation.
 
-    Scale shape: the exploded relation is one 16-byte md5 per token
-    position (documents themselves never shuffle); the per-gram
-    doc-frequency aggregate gets map-side partials, and the dup-gram
-    probe is a shuffle join on the hash.  dup_frac is ONE IEEE division
-    of two exact bigints — engine-identical."""
+    Scale shape (round 4, single-pass): the exploded relation is one
+    16-byte md5 per token position (documents themselves never shuffle);
+    "gram occurs in ≥ 2 distinct documents" is ``min(doc_id) ≠
+    max(doc_id)`` over a gram-partitioned window, so the whole query is
+    exactly TWO exchanges (gram window → per-doc aggregate) with no
+    persist, no dup-gram join and no final left join — the superseded
+    3-consumer persisted shape drifted from 1.11 s to 1.79 s at sf0.1
+    (VERDICT r3 #7); this form measures ~0.8 s.  dup_frac is ONE IEEE
+    division of two exact bigints — engine-identical."""
+    from pyspark.sql import Window
+
     docs = spread_for_cpu(
         load_table(spark, sf_dir, "documents"), spark
     ).filter(F.col("n_chars") > 0)
@@ -1666,24 +1672,15 @@ def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("g"),
-    ).persist()  # 3 consumers (dup grams, per-doc totals, dup probe):
-    # without the cache the tokenize+hash scan executes three times
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
     )
-    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
-    hits = (
-        grams.join(dup, "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
-    )
-    n_dup = F.coalesce("n_dup_windows", F.lit(0))
-    return per_doc.join(hits, "doc_id", "left").select(
+    w = Window.partitionBy("g")
+    flagged = grams.select(
         "doc_id",
-        "n_windows",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).alias("_dup"),
+    )
+    n_dup = F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
         n_dup.alias("n_dup_windows"),
-        (n_dup.cast("double") / F.col("n_windows")).alias("dup_frac"),
+        (n_dup.cast("double") / F.count(F.lit(1))).alias("dup_frac"),
     )

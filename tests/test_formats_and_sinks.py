@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pytest
+
 from etl_embargo_spark.catalog import load_table
 
 
@@ -503,3 +505,54 @@ class TestFileSystemOps:
             copy_object(
                 spark, f"file://{f}", f"file://{dst}", overwrite=False
             )
+
+
+class TestObjectStoreGatedSlot:
+    """Dormant coverage for a REAL object-store scheme (VERDICT r3 #8):
+    fscopy is scheme-agnostic Hadoop-URI code tested against file:// —
+    this test runs the same round-trip against s3a:// the day the
+    environment provides an endpoint (e.g. minio), with no code change.
+    Skips ONLY on the missing environment, mirroring the PIL/protobuf
+    gated slots in test_extensions.py."""
+
+    import os as _os
+
+    _ENDPOINT = _os.environ.get("ETL_S3_TEST_ENDPOINT")  # e.g. http://localhost:9000
+    _BUCKET = _os.environ.get("ETL_S3_TEST_BUCKET")
+
+    @pytest.mark.skipif(
+        not (_ENDPOINT and _BUCKET),
+        reason="no S3 endpoint configured (ETL_S3_TEST_ENDPOINT / "
+        "ETL_S3_TEST_BUCKET unset)",
+    )
+    def test_s3a_copy_list_delete_roundtrip(self, spark, tmp_path):
+        """K3/K4/K5/K6 against a live s3a:// endpoint: upload via
+        copy_object, list it, count it, delete the prefix."""
+        import os
+
+        from etl_embargo_spark.sources.fscopy import (
+            copy_object,
+            count_objects,
+            delete_prefix,
+            list_objects,
+        )
+
+        hconf = spark._jsc.hadoopConfiguration()
+        hconf.set("fs.s3a.endpoint", os.environ["ETL_S3_TEST_ENDPOINT"])
+        hconf.set("fs.s3a.path.style.access", "true")
+        if os.environ.get("ETL_S3_TEST_ACCESS_KEY"):
+            hconf.set("fs.s3a.access.key", os.environ["ETL_S3_TEST_ACCESS_KEY"])
+            hconf.set("fs.s3a.secret.key", os.environ["ETL_S3_TEST_SECRET_KEY"])
+
+        src = tmp_path / "obj.bin"
+        src.write_bytes(b"s3a round-trip payload")
+        base = f"s3a://{os.environ['ETL_S3_TEST_BUCKET']}/etl_embargo_test"
+        dst = f"{base}/obj.bin"
+
+        assert copy_object(spark, f"file://{src}", dst)
+        listing = list_objects(spark, base)
+        assert [e["path"].rsplit("/", 1)[-1] for e in listing] == ["obj.bin"]
+        assert listing[0]["size"] == src.stat().st_size
+        assert count_objects(spark, base) == 1
+        assert delete_prefix(spark, base) == 1
+        assert count_objects(spark, base) == 0

@@ -77,3 +77,15 @@ def test_entry_smoke(spark):
         "date_int",
         "visibility",
     }
+
+
+def test_driver_window_fronts_riskiest_queries():
+    """The driver's correctness artifact covers only the first 50 entries
+    of queries(); the rotation list must place every newest/riskiest
+    operator inside that window (VERDICT r3 #5), and every listed name
+    must actually be registered (a typo would silently drop coverage)."""
+    q = registry.queries()
+    first50 = list(q)[:50]
+    for name in registry.DRIVER_WINDOW_FIRST:
+        assert name in q, f"{name} in DRIVER_WINDOW_FIRST but not registered"
+        assert name in first50, f"{name} fell outside the driver window"

@@ -111,36 +111,33 @@ class TestExtensionPlans:
         assert plan.count("Exchange") == 1
 
     def test_levenshtein_pairs_single_scan(self, spark, sf_dir):
-        """Blocked pair generation must be the bucket-groupBy shape over
-        ONE persisted documents relation shared by its three consumers
-        (pair generator + both text joins) — never a self-join that
-        executes the lineage per consumer, and never texts carried
-        through the O(b²) pair flatten (count cache reads, not scan
-        strings: pre-execution persists print lineage under every
-        InMemoryTableScan)."""
+        """Round-4 shape: ONE documents scan feeding a single bucket-local
+        FlatMapGroupsInPandas (the in-kernel pre-filter emits surviving
+        pairs WITH texts), so no persist, no self-join, no per-pair text
+        join-back — and the JVM banded levenshtein runs on the kernel's
+        output columns directly."""
         plan = _plan(spark, sf_dir, "q_dedup_levenshtein")
-        assert plan.count("InMemoryTableScan") == 3
+        assert plan.count("FlatMapGroupsInPandas") == 1
+        assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+        assert plan.count("InMemoryTableScan") == 0
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        assert "_block" in plan
+        assert "levenshtein" in plan
 
     def test_ngram_jaccard_band_in_block_key(self, spark, sf_dir):
-        """The exact Jaccard variant must group on the base-5 shingle-count
-        band (the thing that keeps Σ|block|² sub-quadratic at 100×), and
-        share ONE persisted shingle relation across its three consumers
-        (pair generator + both verify sides) rather than carrying the
-        arrays through the O(b²) pair expansion (sf1 OOM) or re-scanning
-        per consumer."""
+        """The exact Jaccard variant groups on (lang, source, base-5
+        shingle-count band) — the thing that keeps Σ|block|² bounded — and
+        verifies ALL of a block's pairs inside ONE bucket-local GEMM
+        kernel (FlatMapGroupsInPandas): no persisted shingle relation, no
+        pair flatten, no per-pair array join-back (the round-3 shape this
+        superseded shipped every array once per pair: 46 s at sf1)."""
         plan = _plan(spark, sf_dir, "q_dedup_ngram_jaccard")
-        # cache reads, not scan strings: before first execution a persist
-        # prints its child lineage under EVERY InMemoryTableScan
-        # (CLAUDE.md), so count the cache reads
-        assert plan.count("InMemoryTableScan") == 3, plan.count(
-            "InMemoryTableScan"
-        )
-        # the band column participates in the pair-generation aggregate key
+        assert plan.count("FlatMapGroupsInPandas") == 1
+        assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+        assert plan.count("InMemoryTableScan") == 0
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+        # the band column participates in the grouping key
         assert "_block" in plan, plan[:2000]
-        import re
-
-        m = re.search(r"HashAggregate\(keys=\[[^\]]*_block[^\]]*\]", plan)
-        assert m, "shingle-count band missing from the blocking groupBy key"
 
 
 class TestBatch2Plans:
@@ -949,13 +946,15 @@ class TestOpsFinalPlans:
         assert plan.count("BroadcastExchange") >= 2  # probes + qvec
         assert "CartesianProduct" not in plan
 
-    def test_substr_dedup_caches_grams_once(self, spark, sf_dir):
-        """q_substr_dedup: the gram relation must be cached and read by
-        its three consumers (totals, dup grams, dup probe) — without the
-        cache the tokenize+hash explode executes three times."""
+    def test_substr_dedup_single_pass(self, spark, sf_dir):
+        """q_substr_dedup (round 4): duplicated-gram detection is a
+        min/max window over the gram hash — ONE scan, no persist, no
+        joins; exactly two exchanges (gram window, per-doc aggregate)."""
         plan = _plan(spark, sf_dir, "q_substr_dedup")
-        assert plan.count("InMemoryTableScan") >= 3
-        assert "SortMergeJoin" not in plan  # dup probe joins on the hash
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("InMemoryTableScan") == 0
+        assert "Join" not in plan
+        assert plan.count("Window") == 1
 
     def test_knn_join_has_no_self_join_or_cartesian(self, spark, sf_dir):
         """q_knn_join: candidates come from bucket groupBy-expand, never a

@@ -78,6 +78,18 @@ SF_DIRS = [
     "/root/testdata/sf0.1",
 ]
 
+# sf1 soak data (seed 43, regenerable: tools/gen_testdata.py --sf 1
+# --out /tmp/td_sf1/sf1): when present, pins also get an sf1 by_count
+# entry so tests/test_oracle_parity.py's sf1 parameterization can
+# hash-check pinned queries on soak-scale data (VERDICT r3 #6).  Every
+# query pinned at sf1 must pass tools/detcheck.py at that SF first
+# (15 candidates det-checked 2026-08-14, all stable).
+SF1_DIR = "/tmp/td_sf1/sf1"
+import os as _os  # noqa: E402
+
+if _os.path.isdir(SF1_DIR):
+    SF_DIRS.append(SF1_DIR)
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
