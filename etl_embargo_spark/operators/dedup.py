@@ -212,40 +212,45 @@ def jaccard_verify_on_shingles(
     )
 
 
-def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard ≥ 0.5 (detail
-    form: the murmur permutation family is Spark-specific; pytest holds
-    the recall oracle vs brute-force Jaccard).
+def exact_collapse_pairs(
+    docs: DataFrame,
+    rep_pairs_fn,
+    intra_values: dict[str, F.Column],
+) -> DataFrame:
+    """EXACT-TEXT COLLAPSE wrapper for text-pure near-dup pipelines
+    (round 4): group documents by md5(text), run the (expensive) pair
+    pipeline over DISTINCT texts only, then expand duplicate groups back
+    into member pairs.
 
-    EXACT-TEXT COLLAPSE FIRST (round 4): the LSH pipeline runs on
-    DISTINCT texts, and duplicate groups expand back into member pairs
-    at the end.  Output-identical to running LSH per document — the
-    signature is a pure function of the text, so a member pair collides
-    iff its group pair collides, and identical texts (J = 1 ≥ 0.5,
-    colliding in every band) always pair.  What it buys at scale:
+    Output-identical to running the pipeline per document whenever the
+    pipeline's verdict is a pure function of the two texts — a member
+    pair then qualifies iff its group pair qualifies, and identical
+    texts always pair with the known ``intra_values`` (J = 1.0 for
+    MinHash, Hamming 0 for SimHash).  What it buys at scale:
 
-    * The sf1 corpus plants one ~2,900-doc exact-dup clique; per-doc LSH
-      put all of it in ONE band bucket and generated C(2941,2) ≈ 4.3M
-      pairs ×8 bands into the distinct (measured 27 s of the 35 s total).
+    * The sf1 corpus plants one ~2,900-doc exact-dup clique; per-doc
+      banding put the whole clique in ONE bucket per band and pushed
+      C(2941,2)·bands ≈ 17-34M redundant pair rows through the distinct
+      (measured 27 s of MinHash's 35 s, and the bulk of SimHash's 44 s).
       Collapsed, the clique is a single signature row.
     * At 10× the clique would exceed ``max_bucket`` (4096) and the
-      APPROXIMATE path would silently DROP it — recall cliff.  Collapsed,
-      bucket occupancy tracks the count of distinct near-dup texts, not
-      duplicate multiplicity, so the cap only ever sheds degenerate
-      non-duplicate keys.
+      APPROXIMATE candidate paths would silently DROP it — recall
+      cliff.  Collapsed, bucket occupancy tracks distinct near-dup
+      texts, not duplicate multiplicity.
     * This is also the real 100 TB pipeline order: exact dedup first,
       near-dup on representatives (see q_corpus_dedup).
 
-    The shingle stage still computes ONCE and persists (MEMORY_AND_DISK):
-    it feeds the signature pipeline and both verify sides.  Both persisted
-    relations (groups, shingles) must outlive this builder — the returned
-    DataFrame is lazy and every consumer shares the caches at execution
-    time; LRU eviction reclaims them across a long sweep (bench/driver
-    clearCache() between queries).
+    ``rep_pairs_fn(reps)`` receives a (doc_id, text) relation of group
+    representatives (doc_id = the group's min member id) and returns
+    (doc_a, doc_b, *value columns); ``intra_values`` maps the same value
+    column names to literal columns for identical-text pairs.  The
+    groups relation persists across its three consumers (intra, both
+    expansion sides) — the returned DataFrame is lazy, so the cache must
+    outlive this builder; LRU eviction / the sweep's clearCache()
+    reclaims it.
     """
     from pyspark.storagelevel import StorageLevel
 
-    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
     groups = (
         docs.groupBy(F.md5("text").alias("_h"))
         .agg(
@@ -255,7 +260,7 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # intra-group pairs: identical texts ⇒ identical shingle sets ⇒ J=1.0
+    value_cols = list(intra_values)
     intra = (
         groups.filter(F.size("members") >= 2)
         .select(
@@ -270,16 +275,12 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("pair.a").alias("doc_a"),
             F.col("pair.b").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
+            *[c.alias(name) for name, c in intra_values.items()],
         )
     )
-    # LSH over distinct texts, keyed by the group's min doc_id
-    sh = shingle_sets(
+    verified = rep_pairs_fn(
         groups.select(F.col("gid").alias("doc_id"), "text")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = signatures_from_shingles(sh)
-    cands = minhash_candidates(sigs)
-    verified = jaccard_verify_on_shingles(sh, cands, threshold=0.5)
+    )
     # expand verified group pairs into member pairs (gid_a < gid_b holds,
     # but member ids interleave — reorder with least/greatest)
     ga = groups.select(F.col("gid").alias("doc_a"), F.col("members").alias("_ma"))
@@ -287,12 +288,12 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross = (
         verified.join(ga, "doc_a")
         .join(gb, "doc_b")
-        .select(F.explode("_ma").alias("_a"), "_mb", "jaccard")
-        .select("_a", F.explode("_mb").alias("_b"), "jaccard")
+        .select(F.explode("_ma").alias("_a"), "_mb", *value_cols)
+        .select("_a", F.explode("_mb").alias("_b"), *value_cols)
         .select(
             F.least("_a", "_b").alias("doc_a"),
             F.greatest("_a", "_b").alias("doc_b"),
-            "jaccard",
+            *value_cols,
         )
     )
     # no trailing orderBy: a range-partitioned sort runs a sampling pass
@@ -300,6 +301,29 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs 0.7s at sf0.1), and row order is not part of any contract (the
     # driver's value hash is order-insensitive)
     return intra.unionByName(cross)
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard ≥ 0.5 (detail
+    form: the murmur permutation family is Spark-specific; pytest holds
+    the recall oracle vs brute-force Jaccard).  Runs through
+    :func:`exact_collapse_pairs` — see that docstring for why LSH on
+    distinct texts is output-identical and what it buys at 100×.
+
+    The shingle stage computes ONCE and persists (MEMORY_AND_DISK): it
+    feeds the signature pipeline and both verify sides.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    def _rep_pairs(reps: DataFrame) -> DataFrame:
+        sh = shingle_sets(reps).persist(StorageLevel.MEMORY_AND_DISK)
+        cands = minhash_candidates(signatures_from_shingles(sh))
+        return jaccard_verify_on_shingles(sh, cands, threshold=0.5)
+
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
+    return exact_collapse_pairs(
+        docs, _rep_pairs, {"jaccard": F.lit(1.0)}
+    )
 
 
 def _pair_checksum_rollup(pairs: DataFrame, a_col: str, groups: int = 4) -> DataFrame:
@@ -910,10 +934,20 @@ def simhash_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (detail form; pytest oracle)."""
+    """SimHash near-dup pairs (detail form; pytest oracle).  Runs through
+    :func:`exact_collapse_pairs` (simhash is a pure function of the
+    text; identical texts pair at Hamming 0): per-doc banding pushed the
+    sf1 exact-dup clique's C(2941,2) pairs through every chunk bucket —
+    44 s at sf1, collapsed ~3× faster — and the cap cliff argument from
+    the collapse docstring applies verbatim."""
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
-    # unsorted on purpose — see minhash_pairs
-    return simhash_near_dups(simhash_signatures(docs))
+    return exact_collapse_pairs(
+        docs,
+        lambda reps: simhash_near_dups(simhash_signatures(reps)).select(
+            "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+        ),
+        {"hamming": F.lit(0).cast("int")},
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,25 +1070,90 @@ def embedding_near_dups(
     at the op's threshold).  The (4, 8) defaults are that function's
     output at the validated n=500 corpus; callers with a corpus in hand
     must size from it rather than inherit the defaults.
+
+    Round-4 execution shape (same as similarity.knn_join): scoring is
+    bucket-LOCAL — memberships join the vectors JVM-side, each (table,
+    bucket-mod-64) kernel group scores its buckets' pairs with the
+    row-wise einsum and emits only pairs passing ``threshold``; the
+    cross-table distinct dedups identical rows.  Bit-identical to the
+    superseded candidate-distinct + per-pair join-back (same einsum
+    doubles, same 6-dp np.round), which shipped two 64-float arrays per
+    candidate pair — at sf1 (12.5M candidates) that join was the query.
     """
+
+    def _make_threshold_scorer(t: float, max_bucket: int):
+        # nested factory: ships by value (cloudpickle), executor-safe
+        def _score(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            empty = _pd.DataFrame(
+                {
+                    "vec_a": _np.array([], dtype=_np.int64),
+                    "vec_b": _np.array([], dtype=_np.int64),
+                    "cosine": _np.array([], dtype=_np.float64),
+                }
+            )
+            if len(pdf) < 2:
+                return empty
+            pdf = pdf.sort_values(["bucket", "vec_id"]).reset_index(drop=True)
+            ids = pdf["vec_id"].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            norms = _np.sqrt(_np.einsum("ij,ij->i", e, e))
+            starts = _np.r_[
+                0,
+                _np.flatnonzero(buckets[1:] != buckets[:-1]) + 1,
+                len(pdf),
+            ]
+            tri: dict = {}
+            pa, pb, pc = [], [], []
+            for s, t_end in zip(starts[:-1], starts[1:]):
+                c_n = t_end - s
+                if c_n < 2 or c_n > max_bucket:
+                    continue  # degenerate-key cap, as in _bucket_pairs
+                if c_n not in tri:
+                    tri[c_n] = _np.triu_indices(c_n, k=1)
+                iu, ju = tri[c_n]
+                gi, gj = iu + s, ju + s
+                dots = _np.einsum("ij,ij->i", e[gi], e[gj])
+                cos = _np.round(dots / (norms[gi] * norms[gj]), 6)
+                keep = cos >= t
+                pa.append(ids[gi][keep])
+                pb.append(ids[gj][keep])
+                pc.append(cos[keep])
+            if not pa:
+                return empty
+            return _pd.DataFrame(
+                {
+                    "vec_a": _np.concatenate(pa),
+                    "vec_b": _np.concatenate(pb),
+                    "cosine": _np.concatenate(pc),
+                }
+            )
+
+        return _score
+
     bucketed = emb.select("vec_id", "embedding").mapInPandas(
         _make_lsh_bucketer(7, planes_per_table, n_tables),
         schema="vec_id long, table_id int, bucket long",
     )
-    # Bucket-groupBy pair generation (see _bucket_pairs): the 32 hyperplane
-    # dot products per row run once; only (bucket, vec_id) shuffles.  The
-    # distinct BEFORE scoring means exact cosine is paid per unique pair,
-    # not per (pair × colliding-table).
-    pairs = (
-        _bucket_pairs(bucketed, ["table_id", "bucket"], F.struct(F.col("vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    with_vec = bucketed.join(emb.select("vec_id", "embedding"), "vec_id")
+    spark = emb.sparkSession
+    scored = (
+        with_vec.withColumn("_seg", F.pmod("bucket", F.lit(64)))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "table_id", "_seg"
+        )
+        .groupBy("table_id", "_seg")
+        .applyInPandas(
+            _make_threshold_scorer(threshold, 4096),
+            schema="vec_a long, vec_b long, cosine double",
+        )
     )
-    # Arrow-batched exact-cosine verify (shared with the similarity
-    # operators) — the distinct above means each unique pair is scored once.
-    from etl_embargo_spark.operators.similarity import cosine_score_pairs
-
-    return cosine_score_pairs(pairs, emb).filter(F.col("cosine") >= threshold)
+    # identical (pair, cosine) rows come out of every table the pair
+    # collides in — distinct is the cross-table dedup
+    return scored.distinct()
 
 
 def embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -748,27 +748,121 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_embargo_spark.catalog import table_rows
     from etl_embargo_spark.operators.dedup import (
-        embedding_near_dups,
+        _make_lsh_bucketer,
         lsh_params,
     )
 
+    def _make_contrastive_bucket_scorer(pos_t, neg_t, k_cut, max_bucket):
+        # nested factory (cloudpickle by-value): per bucket, each member's
+        # best positive candidate (cosine ≥ pos_t) and best usable
+        # negative (cosine < neg_t) — the global argmax per anchor is the
+        # max of per-bucket winners, so the downstream relation is
+        # members × 2 id-sized rows instead of every candidate pair with
+        # two 64-float arrays attached (that join-back WAS the query at
+        # sf1: 27.7 s).  Tie-break (cosine desc, vec_b asc) mirrors the
+        # final window exactly — bit-identical winners.
+        def _score(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            empty = _pd.DataFrame(
+                {
+                    "vec_a": _np.array([], dtype=_np.int64),
+                    "vec_b": _np.array([], dtype=_np.int64),
+                    "cosine": _np.array([], dtype=_np.float64),
+                    "is_pos": _np.array([], dtype=bool),
+                }
+            )
+            if len(pdf) < 2:
+                return empty
+            pdf = pdf.sort_values(["bucket", "vec_id"]).reset_index(
+                drop=True
+            )
+            ids = pdf["vec_id"].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            e = _np.vstack(pdf["embedding"].to_numpy()).astype(_np.float64)
+            norms = _np.sqrt(_np.einsum("ij,ij->i", e, e))
+            starts = _np.r_[
+                0,
+                _np.flatnonzero(buckets[1:] != buckets[:-1]) + 1,
+                len(pdf),
+            ]
+            tri: dict = {}
+            pa, pb, pc = [], [], []
+            for s, t_end in zip(starts[:-1], starts[1:]):
+                c_n = t_end - s
+                if c_n < 2 or c_n > max_bucket:
+                    continue
+                if c_n not in tri:
+                    tri[c_n] = _np.triu_indices(c_n, k=1)
+                iu, ju = tri[c_n]
+                gi, gj = iu + s, ju + s
+                dots = _np.einsum("ij,ij->i", e[gi], e[gj])
+                cos = _np.round(dots / (norms[gi] * norms[gj]), 6)
+                pa.append(_np.concatenate([ids[gi], ids[gj]]))
+                pb.append(_np.concatenate([ids[gj], ids[gi]]))
+                pc.append(_np.concatenate([cos, cos]))
+            if not pa:
+                return empty
+            a = _np.concatenate(pa)
+            b = _np.concatenate(pb)
+            c = _np.concatenate(pc)
+            outs = []
+            for is_pos, mask in (
+                (True, c >= pos_t),
+                (False, c < neg_t),
+            ):
+                am, bm, cm = a[mask], b[mask], c[mask]
+                if len(am) == 0:
+                    continue
+                order = _np.lexsort((bm, -cm, am))
+                am, bm, cm = am[order], bm[order], cm[order]
+                st = _np.r_[0, _np.flatnonzero(am[1:] != am[:-1]) + 1]
+                sizes = _np.diff(_np.r_[st, len(am)])
+                rank = _np.arange(len(am)) - _np.repeat(st, sizes)
+                keep = rank < k_cut
+                outs.append(
+                    _pd.DataFrame(
+                        {
+                            "vec_a": am[keep],
+                            "vec_b": bm[keep],
+                            "cosine": cm[keep],
+                            "is_pos": is_pos,
+                        }
+                    )
+                )
+            if not outs:
+                return empty
+            return _pd.concat(outs, ignore_index=True)
+
+        return _score
+
     emb = load_table(spark, sf_dir, "embeddings")
     planes, tables = lsh_params(table_rows(sf_dir, "embeddings"))
-    pairs = embedding_near_dups(
-        emb, threshold=-1.0, planes_per_table=planes, n_tables=tables
+    bucketed = emb.select("vec_id", "embedding").mapInPandas(
+        _make_lsh_bucketer(7, planes, tables),
+        schema="vec_id long, table_id int, bucket long",
     )
-    directed = pairs.unionByName(
-        pairs.select(
-            F.col("vec_b").alias("vec_a"),
-            F.col("vec_a").alias("vec_b"),
-            "cosine",
+    with_vec = bucketed.join(emb.select("vec_id", "embedding"), "vec_id")
+    winners = (
+        with_vec.withColumn("_seg", F.pmod("bucket", F.lit(64)))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "table_id", "_seg"
         )
-    ).persist()  # 2 consumers (positive argmax, negative argmax)
+        .groupBy("table_id", "_seg")
+        .applyInPandas(
+            _make_contrastive_bucket_scorer(
+                CONTRASTIVE_POS_T, CONTRASTIVE_NEG_T, 1, 4096
+            ),
+            schema="vec_a long, vec_b long, cosine double, is_pos boolean",
+        )
+        .persist()  # 2 consumers (positive argmax, negative argmax)
+    )
     w = Window.partitionBy("vec_a").orderBy(
         F.col("cosine").desc(), F.col("vec_b")
     )
     pos = (
-        directed.filter(F.col("cosine") >= CONTRASTIVE_POS_T)
+        winners.filter(F.col("is_pos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -778,7 +872,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     neg = (
-        directed.filter(F.col("cosine") < CONTRASTIVE_NEG_T)
+        winners.filter(~F.col("is_pos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(

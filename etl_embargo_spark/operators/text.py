@@ -852,7 +852,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(BPE_MERGES):
         syms = F.split(F.trim(F.col("sym")), " ")
-        pairs = wc.select(
+        # fully-merged words (ONE symbol left) contribute no pairs — and
+        # must be filtered BEFORE the sequence: sequence(0, -1) produces a
+        # DESCENDING [0, -1] and the transform then indexes past the array
+        # (crashed on the sf1 corpus, whose tiny zipf vocabulary fully
+        # merges short frequent words within BPE_MERGES rounds)
+        pairs = wc.filter(F.size(syms) >= 2).select(
             "cnt",
             F.explode(
                 F.transform(

@@ -2121,3 +2121,69 @@ class TestDsirWeights:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestLevPrefilterExactness:
+    """The in-kernel levenshtein pre-filters (length window, byte-histogram
+    L1) are claimed EXACT — necessary conditions for lev <= LEV_MAX.  Brute
+    force a mixed ascii/unicode corpus (unicode exercises the 8*k byte
+    bound: one char edit can rewrite up to 4+4 UTF-8 bytes) and assert the
+    pipeline finds exactly the true pair set."""
+
+    def test_matches_brute_force_with_unicode(self, spark, tmp_path):
+        import itertools
+
+        from etl_embargo_spark.operators.dedup import LEV_MAX
+
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        uni = "σχεδόν ίδια πρόταση με ελάχιστες αλλαγές εδώ " * 4
+        rows = [
+            (1, "en", "web", base),
+            (2, "en", "web", base[:-5] + "dig"),            # small edit
+            (3, "en", "web", base + "x" * 40),              # len diff > 32
+            (4, "en", "web", "completely different words entirely " * 5),
+            (5, "el", "web", uni),
+            (6, "el", "web", uni.replace("ίδια", "όμοια")), # unicode edit
+            (7, "el", "web", uni[: len(uni) // 2]),         # far away
+            (8, "en", "app", base),                         # other block
+        ]
+
+        def lev(a, b):
+            if abs(len(a) - len(b)) > LEV_MAX:
+                return LEV_MAX + 1
+            prev = list(range(len(b) + 1))
+            for i in range(1, len(a) + 1):
+                cur = [i] + [0] * len(b)
+                for j in range(1, len(b) + 1):
+                    cur[j] = min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+                prev = cur
+            return prev[len(b)]
+
+        want = {}
+        for (ia, la, sa, ta), (ib, lb, sb, tb) in itertools.combinations(
+            rows, 2
+        ):
+            if (la, sa) != (lb, sb):
+                continue
+            d = lev(ta, tb)
+            if d <= LEV_MAX:
+                want[(ia, ib)] = d
+
+        # run through the real builder against a parquet table so the
+        # footer-sized shard width path is exercised end to end
+        docs = spark.createDataFrame(
+            [(i, t, lg, s, len(t)) for i, lg, s, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        from etl_embargo_spark.operators.dedup import q_dedup_levenshtein
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["lev"]
+            for r in q_dedup_levenshtein(spark, str(tmp_path)).collect()
+        }
+        assert got == want, (got, want)

@@ -89,3 +89,49 @@ def test_driver_window_fronts_riskiest_queries():
     for name in registry.DRIVER_WINDOW_FIRST:
         assert name in q, f"{name} in DRIVER_WINDOW_FIRST but not registered"
         assert name in first50, f"{name} fell outside the driver window"
+
+
+_SF1_DIR = "/tmp/td_sf1/sf1"
+
+
+def _sf1_pinned_names() -> list[str]:
+    """Pinned queries that carry an sf1 by_count entry (soak-scale pins,
+    VERDICT r3 #6) — empty when the soak data or pins are absent, so the
+    parameterization degrades to a clean skip off-box."""
+    import os
+
+    if not os.path.isdir(_SF1_DIR):
+        return []
+    try:
+        from etl_embargo_spark.pins import PINS
+    except ImportError:
+        return []
+    from etl_embargo_spark.catalog import table_rows
+
+    guard_n = table_rows(_SF1_DIR, "lineitem", default=-1)
+    return sorted(
+        name for name, p in PINS.items() if guard_n in p["by_count"]
+    )
+
+
+@pytest.mark.parametrize("name", _sf1_pinned_names() or ["__absent__"])
+def test_pinned_oracle_matches_at_sf1(spark, name):
+    """Soak-scale pin check: every pin with an sf1 entry must match the
+    live query on the sf1 soak data (cross-config det-checked before
+    pinning — tools/detcheck.py at /tmp/td_sf1/sf1).  Catches scale-
+    dependent nondeterminism (partition-order float merges, bucket-cap
+    drift) that sf0.01 can't see."""
+    if name == "__absent__":
+        pytest.skip(f"no sf1 soak data at {_SF1_DIR} or no sf1 pins")
+    from etl_embargo_spark.parity import duckdb_connection
+
+    fn = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    spark_pdf = fn(spark, _SF1_DIR).toPandas()
+    oracle_pdf = duckdb_connection(_SF1_DIR).execute(sql).fetchdf()
+    report = compare(name, spark_pdf, oracle_pdf)
+    assert report.ok, (
+        f"{name}: rows spark={report.spark_rows} oracle={report.oracle_rows} "
+        f"schema_match={report.schema_match} values_match={report.values_match}\n"
+        + "\n".join(report.mismatches)
+    )

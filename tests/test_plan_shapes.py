@@ -964,6 +964,21 @@ class TestOpsFinalPlans:
         assert "CartesianProduct" not in plan
         assert "WindowGroupLimit" in plan
 
+    def test_embedding_scoring_is_bucket_local(self, spark, sf_dir):
+        """Round-4 shape for the embedding LSH consumers: exact cosine
+        runs INSIDE the (table, segment) kernel (one FlatMapGroupsInPandas
+        over the membership⋈vector join), never as a per-pair join of two
+        64-float arrays onto a materialized candidate list — at sf1 that
+        join-back was 12.5M pairs × 550 B and WAS the query."""
+        for q in ("q_dedup_embedding", "q_contrastive_pairs", "q_knn_join"):
+            plan = _plan(spark, sf_dir, q)
+            # ≥1: contrastive's pre-execution persist prints the kernel
+            # lineage once per consumer (CLAUDE.md persist-print rule)
+            assert plan.count("FlatMapGroupsInPandas") >= 1, q
+            # joins in the plan attach vectors to id-sized membership
+            # rows (vec_id keys) — no join may carry BOTH embedding sides
+            assert "emb_a" not in plan and "emb_b" not in plan, q
+
     def test_table_checksum_single_agg_per_table(self, spark, sf_dir):
         """q_table_checksum: one map-side-combined global aggregate per
         table, no shuffle of raw rows beyond the 1-row partials."""
