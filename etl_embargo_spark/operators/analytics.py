@@ -4133,11 +4133,15 @@ def q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned row_number rank-filter (WindowGroupLimit shape).
 
     Engine determinism: the purity score is ONE IEEE division of two
-    exactly-representable bigints — ((posL²+negL²)·nR + (posR²+negR²)·nL)
+    exactly-represented integers — ((posL²+negL²)·nR + (posR²+negR²)·nL)
     / (nL·nR) — so both engines produce bit-identical doubles and the
     argmax tie-break (threshold asc) only matters on true ties.  The
-    integer numerator stays below 2⁵³ through sf1 (n≈6e6 ⇒ ~2.2e20 would
-    overflow at sf100 — switch the squares to decimal(38,0) there)."""
+    numerator reaches ~1e20 at sf1 (6M rows), past int64's 9.2e18, so
+    the squares are computed in decimal(38,0) (exact to 1e38, good
+    through sf100-scale counts); DuckDB's window sum(BIGINT) already
+    yields HUGEINT so the oracle is exact as written.  Both engines'
+    integer→double casts are correctly rounded, so the single division
+    stays bit-identical."""
     li = load_table(spark, sf_dir, "lineitem")
     stacked = li.select(
         F.expr(
@@ -4169,7 +4173,12 @@ def q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     nr = nt - nl
     posr = post - posl
     negr = nr - posr
-    num = (posl * posl + negl * negl) * nr + (posr * posr + negr * negr) * nl
+    def _d(c):
+        return c.cast("decimal(38,0)")
+
+    num = (_d(posl) * _d(posl) + _d(negl) * _d(negl)) * _d(nr) + (
+        _d(posr) * _d(posr) + _d(negr) * _d(negr)
+    ) * _d(nl)
     purity = num.cast("double") / (nl * nr)
     parent = (post * post + (nt - post) * (nt - post)).cast("double") / (
         nt * nt

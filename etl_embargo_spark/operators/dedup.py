@@ -556,25 +556,39 @@ LEV_MAX = 32  # absolute edit-distance threshold
 LEV_BAND = LEV_MAX + 1
 
 
-def _make_lev_prefilter_kernel(max_d: int):
+def _make_lev_block_kernel(max_d: int):
     """applyInPandas kernel factory (nested per the cloudpickle by-value
-    rule): EXACT cheap pre-filters over all pairs of one (lang, source,
-    length-band) block, emitting only pairs that could still be within
-    edit distance ``max_d`` — with both texts attached, so the caller's
-    JVM ``levenshtein(a, b, max_d)`` needs no join at all.
+    rule): for one (lang, source, length-band) block, enumerate the
+    length-window pairs, run EXACT vectorized pre-filters, then compute
+    the banded Levenshtein DP IN-KERNEL — lock-step vectorized across
+    all surviving pairs — and emit only (doc_a, doc_b, lev) rows.
 
-    Filters (each a proven necessary condition for lev ≤ max_d):
+    Nothing but id-sized rows ever leave the kernel: the round-4.0 form
+    shipped every filter survivor's texts through a second shuffle for a
+    JVM ``levenshtein`` pass, and on corpora where documents share a
+    token distribution the histogram filter keeps ~50% of window pairs
+    (the docstring's "~0.1%" held only for disjoint-vocabulary corpora),
+    which made the text re-shuffle ~700 MB at sf1 — the measured 13.6×
+    sf1/sf0.1 driver.
+
+    Pre-filters (each a proven necessary condition for lev ≤ max_d):
     * |len(a) − len(b)| ≤ max_d       (every edit changes length by ≤ 1)
-    * byte-histogram L1 distance ≤ 2·max_d for ASCII pairs (a
-      substitution moves two histogram cells by 1 each; an indel one),
-      ≤ 8·max_d otherwise (a unicode char edit rewrites ≤ 4+4 bytes)
+    * codepoint-histogram (hashed to 256 cells) L1 ≤ 2·max_d — a
+      substitution moves two cells by 1, an indel one; hashing cells
+      together only DECREASES L1, so the bound stays exact, and
+      codepoints give the tight 2· bound for unicode too (utf-8 byte
+      histograms needed 8· there)
     * pair-dedup: emitted only in the block == min of the two home bands
 
-    On the sf1 corpus the histogram filter kills ~99.9% of block pairs
-    (random zipf docs differ in far more than 64 byte counts), so the
-    O(len·k) DP runs only on near-duplicates — candidate volume tracks
-    TRUE pair volume while the filter itself is vectorized numpy over
-    int16 count matrices.
+    The DP is the classic banded form (half-width ``max_d``) iterated
+    over text positions with all pairs advancing in lock-step: state is
+    an (active_pairs, 2·max_d+1) int16 matrix, the in-row insertion
+    dependency is resolved with a log-shift min-plus relaxation, and
+    every 16 rows pairs whose whole band exceeds ``max_d`` are compacted
+    away (false candidates with lev ≫ max_d exit early).  Distances are
+    exact small integers over CODEPOINTS — the same semantics as Spark's
+    ``F.levenshtein`` and pinned by the brute-force unicode pytest — so
+    engine determinism is trivial.
     """
 
     def _kernel(pdf):
@@ -586,8 +600,7 @@ def _make_lev_prefilter_kernel(max_d: int):
             {
                 "doc_a": _np.array([], dtype=_np.int64),
                 "doc_b": _np.array([], dtype=_np.int64),
-                "text_a": _pd.Series([], dtype="object"),
-                "text_b": _pd.Series([], dtype="object"),
+                "lev": _np.array([], dtype=_np.int32),
             }
         )
         if n < 2:
@@ -605,11 +618,23 @@ def _make_lev_prefilter_kernel(max_d: int):
         texts = [texts[i] for i in order]
         lens = lens[order]
         block = int(pdf["_block"].iloc[0])
+        maxlen = int(lens[-1])
+        W = 2 * max_d + 1
+        # one decode per doc: codepoint rows for the DP (sentinels can
+        # never equal a real codepoint) + hashed histogram for the filter
+        SENT_A = _np.uint32(0xFFFFFFFF)
+        SENT_B = _np.uint32(0xFFFFFFFE)
+        cpa = _np.full((n, max(maxlen, 1)), SENT_A, dtype=_np.uint32)
+        cpb = _np.full(
+            (n, max_d + maxlen + max_d + 1), SENT_B, dtype=_np.uint32
+        )
         hist = _np.zeros((n, 256), dtype=_np.int32)
         for i, t in enumerate(texts):
-            b = _np.frombuffer(t.encode("utf-8"), dtype=_np.uint8)
-            hist[i] = _np.bincount(b, minlength=256)
-        is_ascii = hist[:, 128:].sum(axis=1) == 0
+            if t:
+                cp = _np.frombuffer(t.encode("utf-32-le"), dtype=_np.uint32)
+                cpa[i, : len(cp)] = cp
+                cpb[i, max_d : max_d + len(cp)] = cp
+                hist[i] = _np.bincount(cp & 255, minlength=256)
         pos = _np.arange(n)
         hi = _np.searchsorted(lens, lens + max_d, side="right")
         counts = hi - pos - 1
@@ -624,29 +649,78 @@ def _make_lev_prefilter_kernel(max_d: int):
         m = _np.minimum(bands[ai], bands[bi]) == block
         ai, bi = ai[m], bi[m]
         keep_a, keep_b = [], []
-        chunk = 1_000_000
-        for lo in range(0, len(ai), chunk):
-            ca, cb = ai[lo : lo + chunk], bi[lo : lo + chunk]
+        for lo in range(0, len(ai), 1_000_000):
+            ca, cb = ai[lo : lo + 1_000_000], bi[lo : lo + 1_000_000]
             l1 = _np.abs(hist[ca] - hist[cb]).sum(axis=1)
-            bound = _np.where(
-                is_ascii[ca] & is_ascii[cb], 2 * max_d, 8 * max_d
-            )
-            k = l1 <= bound
+            k = l1 <= 2 * max_d
             keep_a.append(ca[k])
             keep_b.append(cb[k])
-        if not keep_a:
+        ka = _np.concatenate(keep_a) if keep_a else _np.array([], dtype=_np.int64)
+        kb = _np.concatenate(keep_b) if keep_b else _np.array([], dtype=_np.int64)
+        if len(ka) == 0:
             return empty
-        ka = _np.concatenate(keep_a)
-        kb = _np.concatenate(keep_b)
+        INF = _np.int16(max_d + 1)
+        d0 = _np.arange(W) - max_d
+        row0 = _np.full(W, INF, dtype=_np.int16)
+        row0[d0 >= 0] = _np.minimum(d0[d0 >= 0], max_d + 1).astype(_np.int16)
+        out_a, out_b, out_d = [], [], []
+        for lo in range(0, len(ka), 200_000):
+            pa, pb = ka[lo : lo + 200_000], kb[lo : lo + 200_000]
+            p = len(pa)
+            # a is the shorter side: length-ordered positions ⇒ pa ≤ pb
+            m2, n2 = lens[pa], lens[pb]
+            res = _np.full(p, -1, dtype=_np.int32)
+            zero = m2 == 0
+            res[zero] = _np.where(n2[zero] <= max_d, n2[zero], -1)
+            active = _np.nonzero(~zero)[0]
+            D = _np.broadcast_to(row0, (len(active), W)).copy()
+            for i in range(1, int(m2.max(initial=0)) + 1):
+                if len(active) == 0:
+                    break
+                a_i = cpa[pa[active], i - 1][:, None]
+                bwin = cpb[pb[active], i - 1 : i - 1 + W]
+                diag = D + (a_i != bwin)
+                up = _np.full_like(D, INF)
+                up[:, :-1] = D[:, 1:] + 1
+                cand = _np.minimum(diag, up)
+                _np.minimum(cand, INF, out=cand)
+                # in-row insertion chain: log-shift min-plus relaxation
+                for s in (1, 2, 4, 8, 16, 32):
+                    if s > max_d:
+                        break
+                    shifted = _np.full_like(cand, INF)
+                    shifted[:, s:] = cand[:, :-s] + s
+                    _np.minimum(cand, shifted, out=cand)
+                _np.minimum(cand, INF, out=cand)
+                D = cand
+                fin = m2[active] == i
+                if fin.any():
+                    fa = active[fin]
+                    res[fa] = D[fin, n2[fa] - m2[fa] + max_d].astype(
+                        _np.int32
+                    )
+                    active = active[~fin]
+                    D = D[~fin]
+                if i % 16 == 0 and len(active):
+                    alive = D.min(axis=1) <= max_d
+                    if not alive.all():
+                        active = active[alive]
+                        D = D[alive]
+            res[res > max_d] = -1
+            ok = res >= 0
+            out_a.append(pa[ok])
+            out_b.append(pb[ok])
+            out_d.append(res[ok])
+        fa = _np.concatenate(out_a)
+        fb = _np.concatenate(out_b)
+        fd = _np.concatenate(out_d)
         # positions are length-ordered, not id-ordered: restore doc_a < doc_b
-        ida, idb = ids[ka], ids[kb]
-        swap = ida > idb
+        ida, idb = ids[fa], ids[fb]
         return _pd.DataFrame(
             {
-                "doc_a": _np.where(swap, idb, ida),
-                "doc_b": _np.where(swap, ida, idb),
-                "text_a": [texts[i] for i in _np.where(swap, kb, ka)],
-                "text_b": [texts[i] for i in _np.where(swap, ka, kb)],
+                "doc_a": _np.minimum(ida, idb),
+                "doc_b": _np.maximum(ida, idb),
+                "lev": fd,
             }
         )
 
@@ -663,14 +737,15 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     |len(a) − len(b)| ≤ 32 < 33, so a qualifying pair is same-band or
     adjacent-band, adjacent pairs surface exactly once in the lower
     band's block, and the blocking provably loses nothing.  Each block
-    runs exact vectorized pre-filters in-kernel (length delta + byte-
-    histogram L1 — see _make_lev_prefilter_kernel) and emits surviving
-    pairs WITH their texts, so the only post-shuffle work is Spark's
-    banded O(len·k) ``levenshtein(a, b, LEV_MAX)`` on the ~0.1% of pairs
-    that could actually qualify.  Each text crosses the wire twice (the
-    double-assigned groupBy shuffle) instead of once per pair, nothing
-    persists, and the superseded three-consumer persist + join-back
-    lineage is gone.  The DuckDB oracle mirrors the semantic contract
+    runs exact vectorized pre-filters AND the banded Levenshtein DP
+    itself in-kernel (see _make_lev_block_kernel), lock-step vectorized
+    across pairs, so only (doc_a, doc_b, lev) id-rows ever leave a
+    block: each text crosses the wire exactly twice (the double-assigned
+    groupBy shuffle) and filter survivors cost DP cycles, never shuffle
+    bytes — the superseded emit-texts + JVM-levenshtein form re-shuffled
+    ~700 MB of survivor texts at sf1 (13.6× sf1/sf0.1; this form
+    measures ≤ its own pair growth).  Nothing persists, no join, no
+    second exchange.  The DuckDB oracle mirrors the semantic contract
     directly: (lang, source) self-join, levenshtein ≤ 32 (with the
     implied-by-the-metric length pre-filter for oracle speed).
     """
@@ -702,26 +777,15 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("_block") >= 0)
     # explicit numbered repartition: see ngram_jaccard_pairs — AQE would
     # coalesce this byte-small exchange and serialize the block kernels
-    cands = (
+    return (
         blocked.repartition(
             spark.sparkContext.defaultParallelism, "lang", "source", "_block"
         )
         .groupBy("lang", "source", "_block")
         .applyInPandas(
-            _make_lev_prefilter_kernel(LEV_MAX),
-            schema="doc_a long, doc_b long, text_a string, text_b string",
+            _make_lev_block_kernel(LEV_MAX),
+            schema="doc_a long, doc_b long, lev integer",
         )
-    )
-    # rebalance before the DP: candidate counts are skewed by block (the
-    # largest block's survivors would otherwise run their levenshtein
-    # pipelined inside that single group's task — measured 20 s vs 10 s
-    # at sf1), and the round-robin shuffle of surviving pairs is ~50×
-    # smaller than the block input was
-    lev = F.levenshtein(F.col("text_a"), F.col("text_b"), LEV_MAX)
-    return (
-        cands.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_a", "doc_b", lev.alias("lev"))
-        .filter(F.col("lev") >= 0)
     )
 
 

@@ -112,17 +112,18 @@ class TestExtensionPlans:
 
     def test_levenshtein_pairs_single_scan(self, spark, sf_dir):
         """Round-4 shape: ONE documents scan feeding a single bucket-local
-        FlatMapGroupsInPandas (the in-kernel pre-filter emits surviving
-        pairs WITH texts), so no persist, no self-join, no per-pair text
-        join-back — and the JVM banded levenshtein runs on the kernel's
-        output columns directly."""
+        FlatMapGroupsInPandas that runs pre-filters AND the banded DP
+        in-kernel — no persist, no self-join, no text re-shuffle (the
+        kernel emits only id-sized (doc_a, doc_b, lev) rows)."""
         plan = _plan(spark, sf_dir, "q_dedup_levenshtein")
         assert plan.count("FlatMapGroupsInPandas") == 1
         assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
         assert plan.count("InMemoryTableScan") == 0
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
         assert "_block" in plan
-        assert "levenshtein" in plan
+        # exactly ONE exchange after the scan: the pinned numbered
+        # repartition that the groupBy reuses (no post-kernel shuffle)
+        assert plan.count("Exchange") <= 2
 
     def test_ngram_jaccard_band_in_block_key(self, spark, sf_dir):
         """The exact Jaccard variant groups on (lang, source, base-5
