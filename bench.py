@@ -195,6 +195,9 @@ HEADLINE = [
     # round 3: data-layout skipping audit, banded exact Jaccard
     "q_zorder_layout",
     "q_dedup_ngram_jaccard",
+    # round 5: the engine's most expensive query, previously unwatched by
+    # any perf gate (VERDICT r4 #1)
+    "q_als",
 ]
 
 
@@ -238,6 +241,29 @@ def main() -> None:
         timings[name] = round(best, 3) if best is not None else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Full per-query history sidecar (VERDICT r4 #8): the driver keeps only
+    # the TAIL of the stdout line, losing the first ~73 queries' times each
+    # round — persist the complete map to a file the round can commit.
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL", os.path.join(_REPO_ROOT, "BENCH_full_latest.json")
+    )
+    try:
+        with open(full_out, "w") as f:
+            json.dump(
+                {
+                    "queries": timings,
+                    "metric": "headline_queries_total",
+                    "unit": "sec",
+                    "n_queries": len(timings),
+                    "sf": _sf_from_dir(sf_dir),
+                    "value": total,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+    except OSError as exc:
+        print(f"# could not write {full_out}: {exc}", file=sys.stderr)
     # Key order matters: the driver stores only the TAIL of this (large)
     # line, so the per-query map goes first and the headline summary
     # fields (total, n, sf) go LAST — a truncated capture then still

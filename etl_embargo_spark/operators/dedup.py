@@ -417,8 +417,11 @@ def _make_jaccard_block_kernel(threshold: float):
         a = _np.zeros((n, len(uniq)), dtype=_np.float32)
         a[_np.repeat(_np.arange(n), sizes), inv] = 1.0
         out_a, out_b, out_j = [], [], []
-        # row-chunked GEMM bounds the dense inter matrix at huge blocks
-        chunk = max(1, int(2e8 // max(len(uniq), 1)))
+        # row-chunked GEMM: the A-slice is (chunk x uniq) but the
+        # inter/union outputs are (chunk x n) float64, so the chunk must
+        # be sized from BOTH dims — with uniq << n (a giant exact-dup
+        # clique) a uniq-only bound lets the output approach n^2 doubles
+        chunk = max(1, int(2e8 // max(len(uniq), n)))
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             inter = (a[lo:hi] @ a.T).astype(_np.float64)
@@ -660,6 +663,15 @@ def _make_lev_block_kernel(max_d: int):
         if len(ka) == 0:
             return empty
         INF = _np.int16(max_d + 1)
+        # in-row insertion-chain shifts, derived from max_d: powers of
+        # two up to max_d compose (min-plus) to every shift <= 2*largest-1
+        # >= max_d, and chains longer than max_d are INF-clamped anyway.
+        # (A hard-coded tuple silently under-relaxes if max_d grows.)
+        shifts = []
+        _s = 1
+        while _s <= max_d:
+            shifts.append(_s)
+            _s *= 2
         d0 = _np.arange(W) - max_d
         row0 = _np.full(W, INF, dtype=_np.int16)
         row0[d0 >= 0] = _np.minimum(d0[d0 >= 0], max_d + 1).astype(_np.int16)
@@ -685,9 +697,7 @@ def _make_lev_block_kernel(max_d: int):
                 cand = _np.minimum(diag, up)
                 _np.minimum(cand, INF, out=cand)
                 # in-row insertion chain: log-shift min-plus relaxation
-                for s in (1, 2, 4, 8, 16, 32):
-                    if s > max_d:
-                        break
+                for s in shifts:
                     shifted = _np.full_like(cand, INF)
                     shifted[:, s:] = cand[:, :-s] + s
                     _np.minimum(cand, shifted, out=cand)

@@ -50,30 +50,68 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     _REGISTRY[name] = (fn, oracle)
 
 
-# Driver-window rotation (VERDICT r3 #5): the driver's per-round
-# correctness artifact covers only the FIRST 50 entries of queries(), and
-# registration order used to put the (long-stable) §2 parity set there.
-# These are the newest/riskiest operators — the dedup/ANN family this
-# round restructured, plus the round-3 additions — fronted so every
-# CORRECTNESS_r{N}.json exercises them without a manual judge sweep.
-# The rest keep registration order; the displaced tail queries are the
-# oldest §2 scan/filter parity set, stable since round 1.
+# Driver-window rotation (VERDICT r3 #5, r4 #3): the driver's per-round
+# correctness artifact covers only the FIRST 50 entries of queries().
+# Rounds 1-4 covered 58 distinct queries; this round fronts 50 queries
+# that have NEVER had a driver CORRECTNESS row — the stats/analytics
+# block (q_ols .. q_mann_kendall) and the corpus pipeline compositions —
+# so the hard external signal rotates through the whole registry.  The
+# displaced dedup/ANN set from round 4 stays covered by pins + pytest +
+# the full sf0.01 sweep (see .claude/skills/verify).
 DRIVER_WINDOW_FIRST = [
-    "q_dedup_ngram_jaccard",
-    "q_dedup_levenshtein",
-    "q_dedup_minhash",
-    "q_knn_join",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_simhash",
-    "q_contrastive_pairs",
-    "q_record_linkage",
-    "q_substr_dedup",
-    "q_ann_ivf",
-    "q_semdedup",
-    "q_dsir_weights",
-    "q_zorder_layout",
-    "q_compaction_plan",
+    # corpus pipeline compositions
+    "q_corpus_dedup",
+    "q_corpus_split",
+    "q_corpus_mix",
+    "q_corpus_pack",
+    # statistics / hypothesis testing
+    "q_ks_test",
+    "q_ab_test",
+    "q_benford",
+    "q_autocorr",
+    "q_cusum",
+    "q_winsorize",
+    "q_ols",
+    "q_survival",
+    "q_pmi",
+    "q_ewma",
+    "q_kmv_overlap",
+    "q_gini",
+    "q_seasonality",
+    "q_pca",
+    "q_bollinger",
+    "q_whitening",
+    "q_auc",
+    "q_theilsen",
+    "q_naive_bayes",
+    "q_bootstrap_ci",
+    "q_ridge_path",
+    "q_rrf",
+    "q_cohort_ltv",
+    "q_target_encode",
+    "q_woe_iv",
+    "q_anomaly_seasonal",
+    "q_stump",
+    "q_chi2",
+    "q_readability",
+    "q_interarrival",
+    "q_rolling_beta",
+    "q_interp",
+    "q_weighted_median",
+    "q_sprt",
+    "q_anova",
+    "q_mannwhitney",
+    "q_kappa",
+    "q_did",
+    "q_runs_test",
+    "q_equidepth",
+    "q_table_checksum",
+    "q_mann_kendall",
+    # business / forecast analytics
+    "q_revenue_forecast",
+    "q_product_profit",
+    "q_promo_share",
+    "q_bm25",
 ]
 
 

@@ -2124,11 +2124,14 @@ class TestDsirWeights:
 
 
 class TestLevPrefilterExactness:
-    """The in-kernel levenshtein pre-filters (length window, byte-histogram
-    L1) are claimed EXACT — necessary conditions for lev <= LEV_MAX.  Brute
-    force a mixed ascii/unicode corpus (unicode exercises the 8*k byte
-    bound: one char edit can rewrite up to 4+4 UTF-8 bytes) and assert the
-    pipeline finds exactly the true pair set."""
+    """The in-kernel levenshtein pre-filters (length window, codepoint-
+    histogram L1) are claimed EXACT — necessary conditions for lev <=
+    LEV_MAX.  One edit changes at most one codepoint, so the codepoint-
+    histogram L1 distance is bounded by 2*max_d (a substitution moves two
+    histogram cells by one each).  Brute force a mixed ascii/unicode
+    corpus (unicode pins codepoint — not byte — semantics, matching
+    Spark's F.levenshtein) and assert the pipeline finds exactly the
+    true pair set."""
 
     def test_matches_brute_force_with_unicode(self, spark, tmp_path):
         import itertools
