@@ -59,11 +59,18 @@ def test_pinned_oracle_matches_at_driver_sf(spark, name):
     )
 
 
-def test_every_query_has_rows(spark, sf_dir):
-    """Each registered query should be non-degenerate at the smallest SF."""
-    for name, fn in registry.queries().items():
-        n = fn(spark, sf_dir).count()
-        assert n >= 0, name
+def test_registry_integrity():
+    """Every registered query must carry an oracle entry and a callable —
+    the execution side (every query runs and matches at sf0.001) is
+    already covered query-by-query by test_query_matches_oracle, so the
+    old has-rows loop (96 s of re-running all 252 queries, VERDICT r4 #2)
+    is redundant; this keeps only the job-free structural check."""
+    q = registry.queries()
+    o = registry.oracle_sql()
+    assert len(q) >= 252
+    for name, fn in q.items():
+        assert callable(fn), name
+        assert name in o, f"{name} has no oracle (pins made every query SQL-oracled)"
 
 
 def test_entry_smoke(spark):
@@ -114,13 +121,17 @@ def _sf1_pinned_names() -> list[str]:
     )
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("name", _sf1_pinned_names() or ["__absent__"])
 def test_pinned_oracle_matches_at_sf1(spark, name):
     """Soak-scale pin check: every pin with an sf1 entry must match the
     live query on the sf1 soak data (cross-config det-checked before
     pinning — tools/detcheck.py at /tmp/td_sf1/sf1).  Catches scale-
     dependent nondeterminism (partition-order float merges, bucket-cap
-    drift) that sf0.01 can't see."""
+    drift) that sf0.01 can't see.
+
+    `soak`-marked: q_als alone takes ~337 s here, which doubled the
+    default gate (VERDICT r4 #2) — `tools/soak.py` runs these."""
     if name == "__absent__":
         pytest.skip(f"no sf1 soak data at {_SF1_DIR} or no sf1 pins")
     from etl_embargo_spark.parity import duckdb_connection
