@@ -300,7 +300,11 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine determinism: only integer/string columns join the hashed
     rendering (float formatting differs across engines); the 32-bit
     prefix keeps every addend exactly representable and the decimal(38)
-    sum is associative."""
+    sum is associative.  The final checksum is CAST to DOUBLE on both
+    sides: DuckDB fetchdf renders DECIMAL(38,0) as float64 while Spark
+    toPandas yields Decimal objects, so a decimal output hash-mismatches
+    even when numerically equal (driver r5 failure); the sum stays
+    below 2^53 through sf1 so the double rendering is exact."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
 
@@ -311,7 +315,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.groupBy().agg(
             F.lit(name).alias("table_name"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(h).cast("decimal(38,0)").alias("checksum"),
+            F.sum(h).cast("double").alias("checksum"),
         ).select("table_name", "n_rows", "checksum")
 
     cust_key = F.concat_ws(

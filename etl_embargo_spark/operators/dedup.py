@@ -420,8 +420,12 @@ def _make_jaccard_block_kernel(threshold: float):
         # row-chunked GEMM: the A-slice is (chunk x uniq) but the
         # inter/union outputs are (chunk x n) float64, so the chunk must
         # be sized from BOTH dims — with uniq << n (a giant exact-dup
-        # clique) a uniq-only bound lets the output approach n^2 doubles
-        chunk = max(1, int(2e8 // max(len(uniq), n)))
+        # clique) a uniq-only bound lets the output approach n^2 doubles.
+        # Budget is BYTES, not entries (ADVICE r5: 2e8 float64 entries is
+        # ~1.6 GB per live temporary): ~200 MB per float64 temporary →
+        # 2.5e7 entries; with inter+union+jm+mask live that is ~1 GB
+        # peak kernel memory, safe inside a worker alongside Arrow IO.
+        chunk = max(1, int(2.5e7 // max(len(uniq), n)))
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             inter = (a[lo:hi] @ a.T).astype(_np.float64)

@@ -227,10 +227,13 @@ def als_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("r"))
     ).localCheckpoint()
     xf, yf = als_fit(inter)
+    # user factors are interaction-cardinality (one row per user — input-
+    # sized, NOT a dimension): no broadcast hint, so at 100 TB Spark is
+    # free to shuffle both sides on the key while AQE still broadcasts at
+    # test SFs.  The item side stays hinted — it is the same relation
+    # _solve_side already broadcasts every half-step.
     scored = (
-        inter.join(
-            F.broadcast(xf.withColumnRenamed("factors", "_xf")), "user"
-        )
+        inter.join(xf.withColumnRenamed("factors", "_xf"), "user")
         .join(
             F.broadcast(yf.withColumnRenamed("factors", "_yf")), "item"
         )
@@ -250,27 +253,27 @@ def als_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pred"),
         )
     )
-    wall = F.lit(1)  # marker for the global aggregate below
+    # Global RMSE as a 1-row aggregate crossJoin-broadcast back onto the
+    # detail — NEVER a Window.partitionBy(lit(1)) over the full scored
+    # relation (that single-partitions the input; SCALE.md rule: windows
+    # only over collapsed relations).  Same float chain as the old window
+    # form: decimal sum of rounded squared errors (associative), ONE cast
+    # to double, one division — value-identical, plan-safe at any scale.
     err = scored.withColumn(
         "se_q",
         F.round((F.col("r") - F.col("pred")) * (F.col("r") - F.col("pred")), 8)
         .cast("decimal(20,8)"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(wall)
-    return err.select(
-        "user",
-        "item",
-        "r",
-        "pred",
+    ).persist()
+    stats = err.groupBy().agg(
         F.round(
             F.sqrt(
-                F.sum("se_q").over(w).cast("double")
-                / F.count(F.lit(1)).over(w)
+                F.sum("se_q").cast("double") / F.count(F.lit(1))
             ),
             6,
-        ).alias("rmse"),
+        ).alias("rmse")
+    )
+    return err.crossJoin(F.broadcast(stats)).select(
+        "user", "item", "r", "pred", "rmse"
     )
 
 

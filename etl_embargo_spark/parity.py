@@ -11,6 +11,7 @@ breaks are caught in pytest before a round ends.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 import os
 from dataclasses import dataclass, field
@@ -38,6 +39,18 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_value(v: object) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "␀"
+    if isinstance(v, _decimal.Decimal):
+        # Deliberately DISTINCT from the float renderings below: the
+        # driver's value hash distinguishes Spark toPandas Decimal
+        # objects from DuckDB fetchdf float64 (q_table_checksum failed
+        # the r5 driver run while this replica — which used to collapse
+        # Decimal('N') and float(N) to the same int string — passed).
+        # A query whose two sides render as Decimal-vs-float must FAIL
+        # here too; emit DOUBLE on both sides instead (CLAUDE.md rule).
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return f"dec:{s}"
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))

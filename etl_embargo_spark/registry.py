@@ -50,68 +50,69 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     _REGISTRY[name] = (fn, oracle)
 
 
-# Driver-window rotation (VERDICT r3 #5, r4 #3): the driver's per-round
-# correctness artifact covers only the FIRST 50 entries of queries().
-# Rounds 1-4 covered 58 distinct queries; this round fronts 50 queries
-# that have NEVER had a driver CORRECTNESS row — the stats/analytics
-# block (q_ols .. q_mann_kendall) and the corpus pipeline compositions —
-# so the hard external signal rotates through the whole registry.  The
-# displaced dedup/ANN set from round 4 stays covered by pins + pytest +
+# Driver-window rotation (VERDICT r3 #5, r4 #3, r5 #4): the driver's
+# per-round correctness artifact covers only the FIRST 50 entries of
+# queries().  Rounds 1-5 covered 108 distinct queries; this round fronts
+# 49 queries that have NEVER had a driver CORRECTNESS row — the
+# window/analytics/sampling/text block in registry order — plus
+# q_table_checksum, which FAILED the r5 driver hash (decimal(38,0)
+# rendering mismatch, fixed this round by casting DOUBLE on both sides;
+# VERDICT r5 #1 requires the fix be proven by a driver row).  The
+# displaced stats block from round 5 stays covered by pins + pytest +
 # the full sf0.01 sweep (see .claude/skills/verify).
 DRIVER_WINDOW_FIRST = [
-    # corpus pipeline compositions
-    "q_corpus_dedup",
-    "q_corpus_split",
-    "q_corpus_mix",
-    "q_corpus_pack",
-    # statistics / hypothesis testing
-    "q_ks_test",
-    "q_ab_test",
-    "q_benford",
-    "q_autocorr",
-    "q_cusum",
-    "q_winsorize",
-    "q_ols",
-    "q_survival",
-    "q_pmi",
-    "q_ewma",
-    "q_kmv_overlap",
-    "q_gini",
-    "q_seasonality",
-    "q_pca",
-    "q_bollinger",
-    "q_whitening",
-    "q_auc",
-    "q_theilsen",
-    "q_naive_bayes",
-    "q_bootstrap_ci",
-    "q_ridge_path",
-    "q_rrf",
-    "q_cohort_ltv",
-    "q_target_encode",
-    "q_woe_iv",
-    "q_anomaly_seasonal",
-    "q_stump",
-    "q_chi2",
-    "q_readability",
-    "q_interarrival",
-    "q_rolling_beta",
-    "q_interp",
-    "q_weighted_median",
-    "q_sprt",
-    "q_anova",
-    "q_mannwhitney",
-    "q_kappa",
-    "q_did",
-    "q_runs_test",
-    "q_equidepth",
+    # r5 driver failure, fixed this round — must re-prove under the driver
     "q_table_checksum",
-    "q_mann_kendall",
-    # business / forecast analytics
-    "q_revenue_forecast",
-    "q_product_profit",
-    "q_promo_share",
-    "q_bm25",
+    # window / ranking analytics
+    "q_user_features",
+    "q_ntile",
+    "q_moving_avg",
+    "q_pivot",
+    "q_histogram",
+    "q_percentiles",
+    "q_zscore_outliers",
+    "q_json_extract",
+    "q_salted_join",
+    "q_grouping_sets",
+    "q_funnel",
+    "q_text_normalize",
+    "q_hash_sample",
+    "q_train_test_split",
+    "q_stratified_sample",
+    "q_vocab",
+    "q_tfidf",
+    "q_media_features",
+    "q_media_framesample",
+    "q_events_window",
+    "q_sessionize",
+    "q_first_last",
+    "q_range_frame",
+    "q_corr_stats",
+    "q_incremental_agg",
+    "q_heavy_hitters",
+    "q_scd2",
+    "q_token_entropy",
+    "q_ngram_counts",
+    "q_pii_scrub",
+    "q_data_profile",
+    "q_copurchase",
+    "q_retention",
+    "q_sliding_window",
+    "q_anomaly_mad",
+    "q_rfm",
+    "q_except_all",
+    "q_scalar_subquery",
+    "q_vector_norms",
+    "q_pagerank",
+    "q_unpivot",
+    "q_conditional_agg",
+    "q_mode",
+    "q_string_agg",
+    "q_window_distinct",
+    "q_date_spine",
+    "q_null_anti",
+    "q_doc_chunk",
+    "q_decontaminate",
 ]
 
 
@@ -5777,19 +5778,19 @@ register(
     """
     SELECT 'customer' AS table_name,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(('0x' || substr(md5(
+           CAST(CAST(sum(('0x' || substr(md5(
                    CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
                    || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),
-                   1, 8))::UBIGINT) AS DECIMAL(38,0)) AS checksum
+                   1, 8))::UBIGINT) AS DECIMAL(38,0)) AS DOUBLE) AS checksum
     FROM customer
     UNION ALL
     SELECT 'orders',
            CAST(count(*) AS BIGINT),
-           CAST(sum(('0x' || substr(md5(
+           CAST(CAST(sum(('0x' || substr(md5(
                    CAST(o_orderkey AS VARCHAR) || '|'
                    || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
                    || '|' || o_orderpriority),
-                   1, 8))::UBIGINT) AS DECIMAL(38,0))
+                   1, 8))::UBIGINT) AS DECIMAL(38,0)) AS DOUBLE)
     FROM orders
     """,
 )

@@ -5,6 +5,8 @@ at sf0.01 (row count + column names + order-insensitive canonical values).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from etl_embargo_spark import registry
@@ -98,7 +100,9 @@ def test_driver_window_fronts_riskiest_queries():
         assert name in first50, f"{name} fell outside the driver window"
 
 
-_SF1_DIR = "/tmp/td_sf1/sf1"
+# tools/soak.py exports its --sf1-dir so a custom-dir soak run benches and
+# pin-checks the SAME data (ADVICE r5)
+_SF1_DIR = os.environ.get("ETL_SF1_DIR", "/tmp/td_sf1/sf1")
 
 
 def _sf1_pinned_names() -> list[str]:

@@ -43,6 +43,25 @@ VOCAB = (
 DAY_US = 86_400_000_000
 
 
+def synth_vocab(n_types: int) -> list[str]:
+    """~n_types pronounceable pseudo-word types for large-SF corpora
+    (VERDICT r5 #7: the 33-word driver vocab inflates near-dup density
+    and makes token-distribution prefilters look artificially weak at
+    sf1).  Deterministic base-95 syllable encoding — no RNG, no
+    collisions, ascii-only (DuckDB levenshtein stays byte==codepoint)."""
+    syl = [c + v for c in "bcdfghjklmnpqrstvwz" for v in "aeiou"]
+    out = []
+    for i in range(n_types):
+        w, x = [], i
+        while True:
+            w.append(syl[x % len(syl)])
+            x //= len(syl)
+            if x == 0:
+                break
+        out.append("".join(w) + syl[i % len(syl)][0])
+    return out
+
+
 def _ts_us(date_str: str) -> int:
     import datetime as dt
 
@@ -85,6 +104,13 @@ def main() -> None:
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--seed", type=int, default=43)
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--vocab-types",
+        type=int,
+        default=0,
+        help="document vocabulary size; 0 = auto (driver-compatible "
+        "33-word VOCAB below sf1, 10000 synthetic types at sf>=1)",
+    )
     args = ap.parse_args()
     rng = np.random.default_rng(args.seed)
     n = sizes(args.sf)
@@ -183,8 +209,14 @@ def main() -> None:
     e_ts = e_start + np.sort(rng.integers(0, 30 * DAY_US, ne))
     # heterogeneous user activity (zipf-ish) — deliberately NOT uniform:
     # uniform activity is exactly the degeneracy a robustness sweep is
-    # supposed to break
-    users = (rng.zipf(1.3, ne) - 1) % 150
+    # supposed to break.  User cardinality scales with SF like the
+    # driver's data does (measured: 15 users at sf0.001, 150 at sf0.01,
+    # 1500 at sf0.1 → 15000·sf).  Round 5's fixed `% 150` made the sf1
+    # soak corpus degenerate: 10× the events over the SAME 150 users and
+    # 30-day span blew q_range_join's true output to 24.2M pairs (1100×
+    # sf0.1) — its 10.5× soak ratio was this data bug, not a plan flaw.
+    n_users = max(15, int(15000 * args.sf))
+    users = (rng.zipf(1.3, ne) - 1) % n_users
     _write(args.out, "events", pa.table({
         "event_id": pa.array(range(ne), pa.int64()),
         "ts": ts_array(e_ts),
@@ -196,14 +228,16 @@ def main() -> None:
 
     nd = n["documents"]
     texts: list[str] = []
-    zipf_w = 1.0 / np.arange(1, len(VOCAB) + 1) ** 0.8
+    nv_types = args.vocab_types or (10000 if args.sf >= 1 else 0)
+    vocab = np.array(synth_vocab(nv_types) if nv_types else VOCAB)
+    zipf_w = 1.0 / np.arange(1, len(vocab) + 1) ** 0.8
     zipf_w /= zipf_w.sum()
     for i in range(nd):
         if i % 17 == 1 and i > 17:
             texts.append(texts[i - 17])  # exact duplicate
             continue
         length = int(rng.integers(8, 80))
-        words = rng.choice(VOCAB, size=length, p=zipf_w)
+        words = rng.choice(vocab, size=length, p=zipf_w)
         if i % 23 == 2 and texts:
             # near-dup: previous doc with a small twist
             base = texts[-1].split()
