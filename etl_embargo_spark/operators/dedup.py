@@ -414,36 +414,104 @@ def _make_jaccard_block_kernel(threshold: float):
         sizes = _np.array([len(s) for s in sh_arrays], dtype=_np.int64)
         all_h = _np.concatenate(sh_arrays)
         uniq, inv = _np.unique(all_h, return_inverse=True)
-        a = _np.zeros((n, len(uniq)), dtype=_np.float32)
-        a[_np.repeat(_np.arange(n), sizes), inv] = 1.0
+        nu = len(uniq)
+
+        # Hybrid verification (round 6): the dense one-hot GEMM is only
+        # cheap when the block's shingle UNIVERSE is small relative to
+        # its membership (degenerate tiny-vocab corpora, giant exact-dup
+        # cliques: A is narrow, n²·nu flops have a small nu).  On a
+        # realistic vocabulary nu ≈ Σ|sh| (shingles are mostly unique to
+        # their doc) and the dense path wastes n²·nu flops on zeros —
+        # measured 23 s at sf1 on the 10k-type corpus (1k-doc blocks ×
+        # 40k-gram universes).  There the intersection matrix is SPARSE:
+        # sort shingle instances by gram, expand each gram's ≥2-doc
+        # group into co-occurrence pairs, run-length count pair codes.
+        # Cost O(P log P) where P = Σ_gram C(k,2) is the number of
+        # ACTUAL shared-gram co-occurrences (near-dups only), not n².
+        # Both paths produce the same exact integer intersection counts
+        # and the same single IEEE double division, so J is bit-identical.
+        doc_idx = _np.repeat(_np.arange(n), sizes)
+        order = _np.argsort(inv, kind="stable")
+        g = inv[order]
+        d = doc_idx[order]
+        starts = _np.flatnonzero(_np.r_[True, g[1:] != g[:-1]])
+        cnt = _np.diff(_np.r_[starts, g.size])
+        p_total = int((cnt * (cnt - 1) // 2).sum())
+
         out_a, out_b, out_j = [], [], []
-        # row-chunked GEMM: the A-slice is (chunk x uniq) but the
-        # inter/union outputs are (chunk x n) float64, so the chunk must
-        # be sized from BOTH dims — with uniq << n (a giant exact-dup
-        # clique) a uniq-only bound lets the output approach n^2 doubles.
-        # Budget is BYTES, not entries (ADVICE r5: 2e8 float64 entries is
-        # ~1.6 GB per live temporary): ~200 MB per float64 temporary →
-        # 2.5e7 entries; with inter+union+jm+mask live that is ~1 GB
-        # peak kernel memory, safe inside a worker alongside Arrow IO.
-        chunk = max(1, int(2.5e7 // max(len(uniq), n)))
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            inter = (a[lo:hi] @ a.T).astype(_np.float64)
-            union = (sizes[lo:hi, None] + sizes[None, :]).astype(
-                _np.float64
-            ) - inter
-            jm = inter / union
-            ii, jj = _np.nonzero(
-                (jm >= threshold)
-                & (ids[lo:hi, None] < ids[None, :])
-                & (
-                    _np.minimum(bands[lo:hi, None], bands[None, :])
-                    == block
-                )
+        if nu > 4 * n and p_total <= int(5e7):
+            # sparse co-occurrence path
+            grp_id = _np.cumsum(
+                _np.r_[0, (g[1:] != g[:-1]).astype(_np.int64)]
             )
-            out_a.append(ids[lo + ii])
-            out_b.append(ids[jj])
-            out_j.append(jm[ii, jj])
+            rank = _np.arange(g.size) - starts[grp_id]
+            reps = cnt[grp_id] - rank - 1
+            tot = int(reps.sum())
+            if tot:
+                a_pos = _np.repeat(_np.arange(g.size), reps)
+                run_starts = _np.cumsum(reps) - reps
+                off = (
+                    _np.arange(tot)
+                    - _np.repeat(run_starts, reps)
+                    + 1
+                )
+                b_pos = a_pos + off
+                di, dj = d[a_pos], d[b_pos]
+                lo_ = _np.minimum(di, dj)
+                hi_ = _np.maximum(di, dj)
+                code = lo_ * n + hi_
+                code.sort(kind="stable")
+                bnd = _np.flatnonzero(
+                    _np.r_[True, code[1:] != code[:-1]]
+                )
+                inter = _np.diff(_np.r_[bnd, code.size]).astype(
+                    _np.float64
+                )
+                ucode = code[bnd]
+                i_ = ucode // n
+                j_ = ucode % n
+                union = (sizes[i_] + sizes[j_]).astype(
+                    _np.float64
+                ) - inter
+                jm = inter / union
+                keep = (jm >= threshold) & (
+                    _np.minimum(bands[i_], bands[j_]) == block
+                )
+                # ids are sorted ⇒ index order IS id order (i_ < j_)
+                out_a.append(ids[i_[keep]])
+                out_b.append(ids[j_[keep]])
+                out_j.append(jm[keep])
+        else:
+            a = _np.zeros((n, nu), dtype=_np.float32)
+            a[doc_idx, inv] = 1.0
+            # row-chunked GEMM: the A-slice is (chunk x nu) but the
+            # inter/union outputs are (chunk x n) float64, so the chunk
+            # must be sized from BOTH dims — with nu << n (a giant
+            # exact-dup clique) a nu-only bound lets the output approach
+            # n^2 doubles.  Budget is BYTES, not entries (ADVICE r5):
+            # ~200 MB per float64 temporary → 2.5e7 entries; with
+            # inter+union+jm+mask live that is ~1 GB peak kernel memory.
+            chunk = max(1, int(2.5e7 // max(nu, n)))
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                inter = (a[lo:hi] @ a.T).astype(_np.float64)
+                union = (sizes[lo:hi, None] + sizes[None, :]).astype(
+                    _np.float64
+                ) - inter
+                jm = inter / union
+                ii, jj = _np.nonzero(
+                    (jm >= threshold)
+                    & (ids[lo:hi, None] < ids[None, :])
+                    & (
+                        _np.minimum(bands[lo:hi, None], bands[None, :])
+                        == block
+                    )
+                )
+                out_a.append(ids[lo + ii])
+                out_b.append(ids[jj])
+                out_j.append(jm[ii, jj])
+        if not out_a:
+            return empty
         return _pd.DataFrame(
             {
                 "doc_a": _np.concatenate(out_a),
