@@ -122,6 +122,99 @@ class TestNgramJaccardBanding:
         assert (1, 2) in expect and (2, 3) in expect
         assert got == expect, (got, expect)
 
+    def test_block_kernel_paths_agree_with_brute_force(self):
+        """Spark-free A/B of the hybrid block kernel (round 6): the dense
+        one-hot GEMM path (small shingle universe) and the sparse
+        co-occurrence path (universe > 4n) must both equal a brute-force
+        reference BIT-EXACTLY — J is one IEEE division of exact integer
+        counts on every path, so equality is ==, not approx."""
+        import numpy as np
+        import pandas as pd
+
+        from etl_embargo_spark.operators.dedup import (
+            _make_jaccard_block_kernel,
+        )
+
+        rng = np.random.default_rng(7)
+        kernel = _make_jaccard_block_kernel(0.2)
+
+        def run_case(vocab_size, n_docs, sh_lo, sh_hi):
+            sets = [
+                np.unique(
+                    rng.integers(0, vocab_size, rng.integers(sh_lo, sh_hi))
+                ).astype(np.int64)
+                for _ in range(n_docs)
+            ]
+            bands = np.array(
+                [1 + (len(s) >= 25) for s in sets], dtype=np.int64
+            )
+            block = int(bands.min())
+            pdf = pd.DataFrame(
+                {
+                    "doc_id": np.arange(n_docs, dtype=np.int64) * 3 + 11,
+                    "band": bands,
+                    "_block": block,
+                    "sh": sets,
+                }
+            )
+            got = kernel(pdf)
+            got_map = {
+                (a, b): j
+                for a, b, j in zip(
+                    got["doc_a"], got["doc_b"], got["_j"]
+                )
+            }
+            expect = {}
+            for i in range(n_docs):
+                for j_ in range(i + 1, n_docs):
+                    inter = len(
+                        np.intersect1d(sets[i], sets[j_])
+                    )
+                    union = len(sets[i]) + len(sets[j_]) - inter
+                    jv = float(inter) / float(union)
+                    if jv >= 0.2 and min(bands[i], bands[j_]) == block:
+                        expect[(11 + 3 * i, 11 + 3 * j_)] = jv
+            assert got_map == expect, (vocab_size, got_map, expect)
+            return len(expect)
+
+        # tiny universe → dense GEMM path (nu <= 4n); lots of pairs
+        n_dense = run_case(vocab_size=30, n_docs=40, sh_lo=8, sh_hi=28)
+        assert n_dense > 10  # the case actually exercises pair emission
+        # huge universe → sparse co-occurrence path; seed overlap via
+        # duplicated sets so some pairs still qualify
+        rng2 = np.random.default_rng(13)
+        big_sets = [
+            np.unique(rng2.integers(0, 10**9, 40)).astype(np.int64)
+            for _ in range(30)
+        ]
+        # make docs 0/1 near-dups and 2/3 exact dups
+        big_sets[1] = np.unique(
+            np.concatenate([big_sets[0][:35], big_sets[1][:5]])
+        )
+        big_sets[3] = big_sets[2].copy()
+        bands = np.array([2] * len(big_sets), dtype=np.int64)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.arange(len(big_sets), dtype=np.int64),
+                "band": bands,
+                "_block": 2,
+                "sh": big_sets,
+            }
+        )
+        got = kernel(pdf)
+        got_map = {
+            (a, b): j
+            for a, b, j in zip(got["doc_a"], got["doc_b"], got["_j"])
+        }
+        inter01 = len(np.intersect1d(big_sets[0], big_sets[1]))
+        j01 = inter01 / (
+            len(big_sets[0]) + len(big_sets[1]) - inter01
+        )
+        assert got_map[(0, 1)] == j01
+        assert got_map[(2, 3)] == 1.0
+        for (a, b), j in got_map.items():
+            assert j >= 0.2 and a < b
+
 
 class TestSimHash:
     def test_near_dups_are_similar(self, spark, sf_dir):
