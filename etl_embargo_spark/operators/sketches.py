@@ -70,11 +70,18 @@ def cms_partials(tokens: DataFrame) -> DataFrame:
 
             for pdf in batches:
                 # per-UNIQUE-token work, not per-occurrence: value_counts
-                # collapses the batch first, hashing cost is O(types)
+                # collapses the batch first
                 for tok, c in pdf["token"].value_counts().items():
                     counts[tok] = counts.get(tok, 0) + int(c)
-                    for r in range(depth):
-                        mat[r, _h(tok, r)] += int(c)
+            # hash ONCE per partition-distinct type, after all batches —
+            # md5 is a per-call Python cost, and hashing per (batch,
+            # type) made partition cost ∝ batches × vocabulary (measured
+            # at sf1 on the 10k-type corpus); summing into the matrix
+            # from the final counts dict is commutative, so the sketch
+            # is bit-identical
+            for tok, c in counts.items():
+                for r in range(depth):
+                    mat[r, _h(tok, r)] += c
             cands = sorted(
                 counts.items(), key=lambda kv: (-kv[1], kv[0])
             )[:n_cand]
