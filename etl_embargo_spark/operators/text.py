@@ -906,19 +906,41 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     collocation detector (NSP / word2vec-era association measure) that
     separates structural phrases from chance co-occurrence.
 
-    Scale shape: two corpus scans collapse to the vocabulary-sized
-    unigram and bigram count relations (map-side combined); the totals
-    are empty-window sums over those tiny relations and the unigram
-    marginals broadcast onto the bigram table twice.  PMI is a single
-    log2 of a ratio of exact integer counts — engine-stable under
-    round(·, 6).  The support floor is the scale valve: it bounds the
-    output by the true collocation set, not the corpus."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    Scale shape: two corpus scans collapse to the unigram and bigram
+    count relations (map-side combined); the unigram relation is
+    vocabulary-sized but the DISTINCT-BIGRAM relation is not (a zipf
+    tail makes it grow with the corpus — ~1M rows at sf1 on the
+    10k-type vocabulary), so the totals NEVER come from an empty-window
+    sum over it (round 6: the window form single-partitioned the full
+    bigram relation — the repo's own "windows only over collapsed
+    relations" rule).  Both totals are instead exact DOC-LEVEL
+    identities — n_uni = Σ size(tokens), n_bi = Σ (size(tokens) − 1)
+    over docs with ≥ 2 tokens — one cheap 1-row aggregate over the doc
+    relation, crossJoin-broadcast back; no relation is consumed twice.
+    The unigram marginals broadcast onto the bigram table twice.  PMI
+    is a single log2 of a ratio of exact integer counts —
+    engine-stable under round(·, 6).  The support floor is the scale
+    valve: it bounds the output by the true collocation set, not the
+    corpus."""
+    # spread the byte-small doc scan: tokenize + bigram explode is
+    # CPU-bound and the sf1 parquet arrives as 3 partitions (scan-level
+    # input — the only place spread_for_cpu is allowed)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
+        spark,
+    ).persist()  # three consumers (totals, unigrams, bigrams) share the
+    # spread scan instead of re-shuffling it per consumer
+    sizes = docs.select(F.size(_tokens()).alias("_sz"))
+    totals = sizes.groupBy().agg(
+        F.sum("_sz").alias("n_uni"),
+        F.sum(
+            F.when(F.col("_sz") >= 2, F.col("_sz") - 1).otherwise(0)
+        ).alias("n_bi"),
+    ).persist()
     uni = (
         docs.select(F.explode(_tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_tok"))
-        .withColumn("n_uni", F.sum("n_tok").over(Window.partitionBy()))
     )
     toks = docs.select(_tokens().alias("t")).filter(F.size("t") >= 2)
     bi = (
@@ -933,9 +955,10 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_xy"))
-        .withColumn("n_bi", F.sum("n_xy").over(Window.partitionBy()))
         .filter(F.col("n_xy") >= PMI_MIN_COUNT)
+        .crossJoin(F.broadcast(totals.select("n_bi")))
     )
+    uni = uni.crossJoin(F.broadcast(totals.select("n_uni")))
     left = uni.select(
         F.col("token").alias("w1"),
         F.col("n_tok").alias("n_x"),
