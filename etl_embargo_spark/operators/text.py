@@ -286,7 +286,12 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (doc, token) shuffle carries distinct tokens once each (not every
     occurrence), and the per-doc rollup shuffles one row per (doc, token)
     group — the exploded token stream itself never crosses the wire."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # spread the byte-small doc scan before the CPU-bound tokenize/
+    # explode (3 partitions at sf1 otherwise; no-op once scans are wide)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
+        spark,
+    )
     tf = (
         docs.select("doc_id", F.explode(_tokens()).alias("token"))
         .groupBy("doc_id", "token")
@@ -312,7 +317,12 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded once, counted, TakeOrderedAndProject for the top-k — the
     n-gram language-model counting shape.  Deterministic tie-break on the
     bigram string."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # spread the byte-small doc scan before the CPU-bound tokenize/
+    # explode (3 partitions at sf1 otherwise; no-op once scans are wide)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
+        spark,
+    )
     toks = docs.select(_tokens().alias("t")).filter(F.size("t") >= 2)
     bigrams = toks.select(
         F.explode(
@@ -702,7 +712,12 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cnt×10 ≤ total), so no float-boundary drift between engines; the
     reported fractions are rounded for display only.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # spread the byte-small doc scan before the CPU-bound tokenize/
+    # explode (3 partitions at sf1 otherwise; no-op once scans are wide)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
+        spark,
+    )
     uni = (
         docs.select("doc_id", F.explode(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -775,7 +790,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic skew point — the natural extension is range-bucketed
     postings (token, shard) — but this is the building block either
     way."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # spread the byte-small doc scan before the CPU-bound tokenize/
+    # explode (3 partitions at sf1 otherwise; no-op once scans are wide)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
+        spark,
+    )
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     td = toks.groupBy("token", "doc_id").agg(
         F.count(F.lit(1)).alias("c")
@@ -804,7 +824,12 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab build, no broadcast, stateless and embarrassingly parallel."""
     from etl_embargo_spark.operators.sampling import hash_bucket
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # spread the byte-small doc scan before the CPU-bound tokenize/
+    # explode (3 partitions at sf1 otherwise; no-op once scans are wide)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
+        spark,
+    )
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     return (
         toks.withColumn(
@@ -1160,7 +1185,12 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     VOCABULARY relation (types, not tokens), and the report picks one
     row per requested size.  Integer counts end to end; one division
     per output row."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # spread the byte-small doc scan before the CPU-bound tokenize/
+    # explode (3 partitions at sf1 otherwise; no-op once scans are wide)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
+        spark,
+    )
     vocab = (
         docs.select(F.explode(_tokens()).alias("token"))
         .groupBy("token")

@@ -140,8 +140,16 @@ def _sql_literal(v: object) -> str:
     if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
-        # repr round-trips doubles exactly; DuckDB parses to the same bits
-        return f"CAST({v!r} AS DOUBLE)"
+        # repr round-trips doubles exactly — but ONLY through a parser
+        # that reads the literal as a double.  DuckDB types a plain
+        # decimal-point literal as DECIMAL first and casts after, which
+        # double-rounds 17-digit values (found by the hypothesis
+        # round-trip property: 36028797019.657524 came back 1 ulp off).
+        # E-notation is typed DOUBLE directly, so force an exponent.
+        r = repr(v)
+        if "e" not in r and "E" not in r:
+            r += "e0"
+        return f"CAST({r} AS DOUBLE)"
     from decimal import Decimal
 
     if isinstance(v, Decimal):
