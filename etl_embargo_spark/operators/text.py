@@ -150,16 +150,26 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style), ranked by a
     per-doc window.
 
-    Scale shape: the (doc, token) aggregation and the token-df aggregation
-    reuse one exploded scan; N arrives via a broadcast one-row cross join
-    (no driver-side collect, the whole plan stays lazy); the final top-3 is
-    WindowGroupLimit-pruned, so the rank shuffle carries at most 3 rows per
-    doc out of each map task."""
+    Scale shape: the (doc, token) tf relation feeds BOTH the df rollup
+    and the scoring join, so it is persisted — sharing via exchange
+    reuse alone proved bimodal at sf1 (the soak measured the same query
+    at 3 s and 8 s depending on whether the reuse kicked in; an explicit
+    cache makes the sharing structural, per the CLAUDE.md shared-lineage
+    rule).  The byte-small doc scan is spread before the CPU-bound
+    tokenize/explode.  N arrives via a broadcast one-row cross join (no
+    driver-side collect, the whole plan stays lazy); the final top-3 is
+    WindowGroupLimit-pruned, so the rank shuffle carries at most 3 rows
+    per doc out of each map task."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = spread_for_cpu(
+        load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0),
+        spark,
+    )
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
     scored = (
