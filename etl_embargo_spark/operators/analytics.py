@@ -3510,45 +3510,61 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one fact scan explodes ×B (B = 200 bounded) and
     partial-aggregates map-side straight down to the B-row replicate
     relation; the CI is exact order statistics over those B means.
-    Cost profile (measured sf0.1): genuinely CPU-bound, NOT JIT-dominated
-    — local[8] cold 10.7s vs warm 8.7s (~20% codegen warmup), local[32]
-    3.6s; the 30M md5+conv evaluations are the cost, they parallelize
-    linearly with cores, and B=200 is kept for CI precision (halving B
-    halves CPU but widens the order-statistic grid to 2% steps).
-    Engine determinism: weights come from the md5-uniform (engine-
-    independent by construction) pushed through a literal-constant
-    inverse-CDF ladder; replicate sums are DECIMAL-exact with a single
-    final division per mean."""
+    Cost profile: genuinely CPU-bound and linear in cores — and the CPU
+    is the HASHING, not the explode (the round-6 driver measured 4.2 s
+    at sf0.1 with one md5 per (row, replicate) = 30M md5+concat calls).
+    Round 7 packs FOUR replicates per hash: md5 yields 128 bits = 4
+    independent 32-bit uniforms, so each row hashes B/4 = 50 times and
+    the 4 uniforms are sliced from the hex digest.  Same md5-uniform
+    family, same literal inverse-CDF ladder, 4× less hashing; the
+    DuckDB oracle mirrors the digest slicing byte-for-byte so the CI
+    stays engine-exact (weights differ from the round-6 scheme — both
+    are equally valid Poisson(1) draws; the oracle moved with it).
+    Replicate sums are DECIMAL-exact with a single final division per
+    mean."""
     orders = load_table(spark, sf_dir, "orders")
-    # the ×B explode + 30M md5s are CPU-bound on a byte-sized scan:
+    # the ×B explode + md5s are CPU-bound on a byte-sized scan:
     # widen partitioning first or one core does all the hashing
-    reps = spread_for_cpu(
-        orders.select("o_orderkey", "o_totalprice"), spark
+    n_blocks = BOOTSTRAP_B // 4
+    blocks = (
+        spread_for_cpu(orders.select("o_orderkey", "o_totalprice"), spark)
+        .select(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+            F.col("o_orderkey"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1))
+            ).alias("blk"),
+        )
+        # projection BEFORE the second explode: md5 evaluates once per
+        # (row, block), not once per (row, replicate)
+        .select(
+            "x",
+            "blk",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("blk").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    reps = blocks.select(
+        "x",
+        "blk",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
     ).select(
-        F.col("o_orderkey"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
-        F.explode(
-            F.sequence(F.lit(1), F.lit(BOOTSTRAP_B))
-        ).alias("rep"),
+        "x",
+        (F.col("blk") * 4 + F.col("i") + 1).alias("rep"),
+        (
+            F.conv(
+                F.expr("substring(h, 1 + 8 * i, 8)"), 16, 10
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        ).alias("u"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("o_orderkey").cast("string"),
-                        F.col("rep").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    u = F.col("u")
     w = F.lit(len(POISSON1_CDF))
     for k in range(len(POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)

@@ -47,6 +47,10 @@ def _canon_value(v: object) -> str:
         # Decimal('N') and float(N) to the same int string — passed).
         # A query whose two sides render as Decimal-vs-float must FAIL
         # here too; emit DOUBLE on both sides instead (CLAUDE.md rule).
+        if v == 0:
+            # Decimal('-0.000') must canonicalize like Decimal('0') —
+            # mirror the float branch's integer collapse (ADVICE r6).
+            return "dec:0"
         s = format(v, "f")
         if "." in s:
             s = s.rstrip("0").rstrip(".")

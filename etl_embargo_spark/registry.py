@@ -12,6 +12,7 @@ a pytest oracle instead (tests/).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,69 +51,121 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     _REGISTRY[name] = (fn, oracle)
 
 
-# Driver-window rotation (VERDICT r3 #5, r4 #3, r5 #4): the driver's
-# per-round correctness artifact covers only the FIRST 50 entries of
-# queries().  Rounds 1-5 covered 108 distinct queries; this round fronts
-# 49 queries that have NEVER had a driver CORRECTNESS row — the
-# window/analytics/sampling/text block in registry order — plus
-# q_table_checksum, which FAILED the r5 driver hash (decimal(38,0)
-# rendering mismatch, fixed this round by casting DOUBLE on both sides;
-# VERDICT r5 #1 requires the fix be proven by a driver row).  The
-# displaced stats block from round 5 stays covered by pins + pytest +
-# the full sf0.01 sweep (see .claude/skills/verify).
+# Driver-window rotation (VERDICT r3 #5, r4 #3, r5 #4, r6 #2): the
+# driver's per-round correctness artifact covers only the FIRST 50
+# entries of queries().  Rounds 1-6 covered 157 distinct queries; this
+# round fronts 50 of the 95 that have NEVER had a driver CORRECTNESS
+# row — the pinned iterative block (the riskiest: pins are where
+# driver-vs-replica drift hides, per q_table_checksum in r5), the
+# TPC-H-shape block, and the pinned dedup/similarity pair queries.
+# Round 8 MUST front the remaining 45 (listed in DRIVER_WINDOW_R8) so
+# every registered query ships driver-checked at least once.
 DRIVER_WINDOW_FIRST = [
-    # r5 driver failure, fixed this round — must re-prove under the driver
-    "q_table_checksum",
-    # window / ranking analytics
-    "q_user_features",
-    "q_ntile",
-    "q_moving_avg",
-    "q_pivot",
-    "q_histogram",
-    "q_percentiles",
-    "q_zscore_outliers",
-    "q_json_extract",
-    "q_salted_join",
-    "q_grouping_sets",
-    "q_funnel",
-    "q_text_normalize",
-    "q_hash_sample",
-    "q_train_test_split",
-    "q_stratified_sample",
-    "q_vocab",
-    "q_tfidf",
-    "q_media_features",
-    "q_media_framesample",
-    "q_events_window",
-    "q_sessionize",
-    "q_first_last",
-    "q_range_frame",
-    "q_corr_stats",
-    "q_incremental_agg",
-    "q_heavy_hitters",
-    "q_scd2",
-    "q_token_entropy",
-    "q_ngram_counts",
-    "q_pii_scrub",
-    "q_data_profile",
-    "q_copurchase",
-    "q_retention",
-    "q_sliding_window",
-    "q_anomaly_mad",
-    "q_rfm",
-    "q_except_all",
-    "q_scalar_subquery",
-    "q_vector_norms",
-    "q_pagerank",
-    "q_unpivot",
-    "q_conditional_agg",
-    "q_mode",
-    "q_string_agg",
-    "q_window_distinct",
-    "q_date_spine",
-    "q_null_anti",
-    "q_doc_chunk",
-    "q_decontaminate",
+    # pinned iterative / ML block
+    "q_als",
+    "q_kmeans",
+    "q_logreg",
+    "q_calibration",
+    "q_bpe_train",
+    "q_bpe_pairs",
+    "q_textrank",
+    "q_markov_attribution",
+    "q_stem",
+    "q_hll_merge",
+    "q_cms_topk",
+    "q_embed_quantize",
+    # TPC-H-shape relational block
+    "q_local_volume",
+    "q_returned_items",
+    "q_large_orders",
+    "q_market_share",
+    "q_nation_trade",
+    "q_min_cost_supplier",
+    "q_top_supplier",
+    "q_important_parts",
+    "q_blame_supplier",
+    "q_excess_shippers",
+    "q_small_quantity",
+    "q_priority_count",
+    "q_order_count_dist",
+    "q_part_supplier_count",
+    "q_idle_customers",
+    # pinned dedup / similarity / media block
+    "q_repetition_filter",
+    "q_item_cosine",
+    "q_triangles",
+    "q_media_dedup",
+    "q_media_storage",
+    "q_incremental_dedup",
+    "q_minhash_pairs",
+    "q_simhash_pairs",
+    "q_embedding_pairs",
+    "q_ndcg",
+    "q_perplexity",
+    "q_psi",
+    "q_wasserstein",
+    "q_mutual_info",
+    "q_theil",
+    "q_zipf_fit",
+    "q_vocab_coverage",
+    "q_rank_surface",
+    "q_inverted_index",
+    "q_pack_contexts",
+    "q_rare_collapse",
+    "q_feature_hash",
+    "q_jaccard_users",
+]
+
+# Round-8 window (VERDICT r6 #8: plan the final window NOW).  These are
+# the 45 queries that will still lack a driver row after round 7; round
+# 8 swaps this list into DRIVER_WINDOW_FIRST (plus 5 re-checks of any
+# round-7 fixes) and the rotation is complete: all 252 driver-checked.
+DRIVER_WINDOW_R8 = [
+    "q_attribution",
+    "q_average_precision",
+    "q_basket_lift",
+    "q_class_weights",
+    "q_cohens_d",
+    "q_concurrency",
+    "q_confusion",
+    "q_cv_folds",
+    "q_dataset_card",
+    "q_dataset_diff",
+    "q_debounce",
+    "q_disjunctive_join",
+    "q_dp_counts",
+    "q_event_paths",
+    "q_expectations",
+    "q_feature_table",
+    "q_freshness",
+    "q_funnel_steps",
+    "q_group_sample",
+    "q_growth_accounting",
+    "q_hash_ring",
+    "q_hhi",
+    "q_hierarchy_rollup",
+    "q_itemsets3",
+    "q_join_size",
+    "q_label_encode",
+    "q_lateral_topk",
+    "q_mom_growth",
+    "q_new_vs_returning",
+    "q_pareto",
+    "q_percent_of_total",
+    "q_rolling_dau",
+    "q_revenue_deciles",
+    "q_ri_audit",
+    "q_sample_size",
+    "q_seasonal_decompose",
+    "q_simpson",
+    "q_skew_profile",
+    "q_snaive_forecast",
+    "q_spatial_join",
+    "q_streaks",
+    "q_time_rollup",
+    "q_transitions",
+    "q_uplift",
+    "q_weighted_sample",
 ]
 
 
@@ -146,6 +199,13 @@ def _sql_literal(v: object) -> str:
         # double-rounds 17-digit values (found by the hypothesis
         # round-trip property: 36028797019.657524 came back 1 ulp off).
         # E-notation is typed DOUBLE directly, so force an exponent.
+        # Non-finite floats have no SQL literal form ('infe0' would be
+        # invalid SQL) — pins should never contain them, so fail loudly
+        # at pin-generation time rather than at oracle-parse time.
+        if not math.isfinite(v):
+            raise ValueError(
+                f"non-finite float {v!r} cannot be pinned as a SQL literal"
+            )
         r = repr(v)
         if "e" not in r and "E" not in r:
             r += "e0"
@@ -4244,18 +4304,19 @@ register(
     "q_bootstrap_ci",
     analytics.q_bootstrap_ci,
     f"""
-    WITH reps AS (
-        SELECT o_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS x,
-               t.rep AS rep
-        FROM orders CROSS JOIN range(1, {analytics.BOOTSTRAP_B + 1}) t(rep)
+    WITH blocks AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+               t.blk AS blk,
+               md5(CAST(o_orderkey AS VARCHAR) || ':'
+                   || CAST(t.blk AS VARCHAR)) AS h
+        FROM orders
+        CROSS JOIN range(0, {analytics.BOOTSTRAP_B // 4}) t(blk)
     ),
     uu AS (
-        SELECT rep, x,
-               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
-                    || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT
+        SELECT blk * 4 + s.i + 1 AS rep, x,
+               ('0x' || substr(h, CAST(1 + 8 * s.i AS INT), 8))::UBIGINT
                    / 4294967296.0 AS u
-        FROM reps
+        FROM blocks CROSS JOIN range(0, 4) s(i)
     ),
     weighted AS (
         SELECT rep, x,

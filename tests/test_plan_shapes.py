@@ -13,6 +13,28 @@ import pytest
 from etl_embargo_spark import registry
 
 
+@pytest.fixture(autouse=True)
+def _clean_cache(spark):
+    """Plan guards assert the CLEAN-SESSION plan.
+
+    Query builders persist shared relations (q_tfidf's tf, q_ngram_counts'
+    token arrays — the CLAUDE.md shared-lineage rule) and cannot unpersist
+    them (the consumer is lazy), so a session that has EXECUTED those
+    queries carries cache entries that Spark substitutes into any later
+    query whose subtree canonically matches.  That substitution is
+    legitimate free reuse at runtime, but it changes the PRINTED plan: a
+    materialized InMemoryTableScan prints the cached relation's logical
+    and codegen'd physical plan, so e.g. q_repetition_filter's unigram
+    explode appeared as 3 'Generate's in full-suite runs (after
+    test_oracle_parity executed q_tfidf) while execution still ran
+    exactly 2 tokenize passes — one of them from cache (round-6 verdict's
+    cross-file flake, root-caused round 7).  Clearing the cache pins the
+    guards to the plan a fresh session would run.
+    """
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(spark, sf_dir, name: str) -> str:
     df = registry.queries()[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
