@@ -3526,10 +3526,18 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ×B explode + md5s are CPU-bound on a byte-sized scan:
     # widen partitioning first or one core does all the hashing
     n_blocks = BOOTSTRAP_B // 4
+    # x rides the ×B explode as exact BIGINT cents (decimal parse once
+    # per ORDER, not a decimal multiply per replicate row); the replicate
+    # mean is then CAST(sum_cents AS DOUBLE)/100.0/sum_w — sum_cents is
+    # exactly representable (< 2^53 through sf100) and /100.0 is one
+    # correctly-rounded IEEE division, so mean_r is BIT-identical to the
+    # decimal-sum formulation, just without 30M BigDecimal ops.
     blocks = (
         spread_for_cpu(orders.select("o_orderkey", "o_totalprice"), spark)
         .select(
-            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("x_cents"),
             F.col("o_orderkey"),
             F.explode(
                 F.sequence(F.lit(0), F.lit(n_blocks - 1))
@@ -3538,7 +3546,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         # projection BEFORE the second explode: md5 evaluates once per
         # (row, block), not once per (row, replicate)
         .select(
-            "x",
+            "x_cents",
             "blk",
             F.md5(
                 F.concat_ws(
@@ -3550,12 +3558,12 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     reps = blocks.select(
-        "x",
+        "x_cents",
         "blk",
         "h",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
     ).select(
-        "x",
+        "x_cents",
         (F.col("blk") * 4 + F.col("i") + 1).alias("rep"),
         (
             F.conv(
@@ -3568,10 +3576,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(len(POISSON1_CDF))
     for k in range(len(POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
-    weighted = reps.select("rep", w.alias("w"), "x")
+    weighted = reps.select("rep", w.alias("w"), "x_cents")
     means = weighted.groupBy("rep").agg(
         (
-            F.sum(F.col("x") * F.col("w")).cast("double")
+            F.sum(F.col("x_cents") * F.col("w")).cast("double")
+            / F.lit(100.0)
             / F.sum("w")
         ).alias("mean_r")
     )

@@ -439,35 +439,77 @@ def _make_jaccard_block_kernel(threshold: float):
         p_total = int((cnt * (cnt - 1) // 2).sum())
 
         out_a, out_b, out_j = [], [], []
-        if nu > 4 * n and p_total <= int(5e7):
-            # sparse co-occurrence path
+        if nu > 4 * n:
+            # sparse co-occurrence path — CHUNKED by gram-group slices
+            # (ADVICE r6: the unchunked expansion held ~8 concurrent
+            # int64 arrays of p_total length, ~3-4 GB at the old 5e7
+            # instance cap).  Each slice expands at most CHUNK_PAIRS
+            # co-occurrence instances with ≤4 arrays concurrently live
+            # (~0.5 GB peak); a pair's instances can span slices, so
+            # slices emit (code, count) partials that merge at the end
+            # — the merged counts, and therefore J, are identical to
+            # the one-shot expansion.
+            CHUNK_PAIRS = int(1.5e7)
             grp_id = _np.cumsum(
                 _np.r_[0, (g[1:] != g[:-1]).astype(_np.int64)]
             )
             rank = _np.arange(g.size) - starts[grp_id]
             reps = cnt[grp_id] - rank - 1
-            tot = int(reps.sum())
-            if tot:
-                a_pos = _np.repeat(_np.arange(g.size), reps)
-                run_starts = _np.cumsum(reps) - reps
+            del grp_id, rank
+            # slice boundaries: contiguous gram groups whose pair
+            # expansions fit the chunk budget (a single giant group
+            # still expands alone — bounded by C(max_bucket, 2))
+            grp_pairs = cnt * (cnt - 1) // 2
+            grp_chunk = _np.searchsorted(
+                _np.cumsum(grp_pairs),
+                _np.arange(CHUNK_PAIRS, p_total + CHUNK_PAIRS, CHUNK_PAIRS),
+                side="left",
+            )
+            cut_grps = _np.unique(_np.r_[0, grp_chunk + 1])
+            cut_grps = cut_grps[cut_grps <= len(starts)]
+            cuts = _np.r_[starts[cut_grps[cut_grps < len(starts)]], g.size]
+            cuts = _np.unique(cuts)
+            codes_parts, cnts_parts = [], []
+            for clo, chi in zip(cuts[:-1], cuts[1:]):
+                reps_c = reps[clo:chi]
+                tot = int(reps_c.sum())
+                if not tot:
+                    continue
+                a_pos = _np.repeat(_np.arange(clo, chi), reps_c)
+                run_starts = _np.cumsum(reps_c) - reps_c
                 off = (
                     _np.arange(tot)
-                    - _np.repeat(run_starts, reps)
+                    - _np.repeat(run_starts, reps_c)
                     + 1
                 )
+                del run_starts
                 b_pos = a_pos + off
+                del off
                 di, dj = d[a_pos], d[b_pos]
-                lo_ = _np.minimum(di, dj)
-                hi_ = _np.maximum(di, dj)
-                code = lo_ * n + hi_
+                del a_pos, b_pos
+                code = _np.minimum(di, dj) * n + _np.maximum(di, dj)
+                del di, dj
                 code.sort(kind="stable")
                 bnd = _np.flatnonzero(
                     _np.r_[True, code[1:] != code[:-1]]
                 )
-                inter = _np.diff(_np.r_[bnd, code.size]).astype(
-                    _np.float64
+                codes_parts.append(code[bnd])
+                cnts_parts.append(
+                    _np.diff(_np.r_[bnd, code.size]).astype(_np.int64)
                 )
-                ucode = code[bnd]
+                del code, bnd
+            if codes_parts:
+                allc = _np.concatenate(codes_parts)
+                allk = _np.concatenate(cnts_parts)
+                del codes_parts, cnts_parts
+                o = _np.argsort(allc, kind="stable")
+                allc, allk = allc[o], allk[o]
+                del o
+                bnd = _np.flatnonzero(
+                    _np.r_[True, allc[1:] != allc[:-1]]
+                )
+                inter = _np.add.reduceat(allk, bnd).astype(_np.float64)
+                ucode = allc[bnd]
                 i_ = ucode // n
                 j_ = ucode % n
                 union = (sizes[i_] + sizes[j_]).astype(
@@ -1398,8 +1440,15 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine determinism: weights are exact binary fractions summed per
     row (no float aggregation); the balance-drift perturbation (+0.75)
-    and the |Δ| ≤ 1.0 compare are exact IEEE ops on identical doubles."""
-    cust = load_table(spark, sf_dir, "customer")
+    and the |Δ| ≤ 1.0 compare are exact IEEE ops on identical doubles.
+
+    The customer scan is byte-small at every test SF (sf1's 150k rows
+    are one ~20 MB parquet → ONE scan partition), but the deletion-
+    neighborhood explode is CPU-bound string slicing (len+1 substrings
+    per row, ~2.9M at sf1) — spread before it or one core does all of
+    it (round-7 profile: the sf1 run spent its 13 s on single-task
+    stages)."""
+    cust = spread_for_cpu(load_table(spark, sf_dir, "customer"), spark)
     k = F.col("c_custkey")
     dirty = cust.filter(k % LINK_DIRTY_DROP_MOD != 2).select(
         (k + LINK_ID_OFFSET).alias("d_id"),

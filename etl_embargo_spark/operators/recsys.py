@@ -81,7 +81,15 @@ def _init_factors(df: DataFrame, id_col: str, prefix: str) -> DataFrame:
     )
 
 
-ALS_SEGMENTS = 64
+# 32, not 64 (round 7): the segment count drives the TASK count of every
+# fit stage (the repartition pins it end-to-end), and at local[32] the
+# per-task scheduling+python-runner overhead of two 64-task waves per
+# half-step outweighed the finer balance — measured best-of-3 q_als
+# sf0.1: seg64 6.6 s, seg32 4.8-5.4 s, seg128 8.2 s (same session,
+# order-controlled).  Output-invariant: the kernel splits to entities
+# in-kernel and sorts rows (e, i), so per-entity math never sees the
+# segment layout and all pins survive.
+ALS_SEGMENTS = 32
 
 
 def _solve_side(inter_ei: DataFrame, fixed: DataFrame) -> DataFrame:

@@ -4305,7 +4305,8 @@ register(
     analytics.q_bootstrap_ci,
     f"""
     WITH blocks AS (
-        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x_cents,
                t.blk AS blk,
                md5(CAST(o_orderkey AS VARCHAR) || ':'
                    || CAST(t.blk AS VARCHAR)) AS h
@@ -4313,20 +4314,20 @@ register(
         CROSS JOIN range(0, {analytics.BOOTSTRAP_B // 4}) t(blk)
     ),
     uu AS (
-        SELECT blk * 4 + s.i + 1 AS rep, x,
+        SELECT blk * 4 + s.i + 1 AS rep, x_cents,
                ('0x' || substr(h, CAST(1 + 8 * s.i AS INT), 8))::UBIGINT
                    / 4294967296.0 AS u
         FROM blocks CROSS JOIN range(0, 4) s(i)
     ),
     weighted AS (
-        SELECT rep, x,
+        SELECT rep, x_cents,
                CASE {_POISSON_LADDER}
                     ELSE {len(analytics.POISSON1_CDF)} END AS w
         FROM uu
     ),
     means AS (
         SELECT rep,
-               CAST(sum(x * w) AS DOUBLE) / sum(w) AS mean_r
+               CAST(sum(x_cents * w) AS DOUBLE) / 100.0 / sum(w) AS mean_r
         FROM weighted GROUP BY rep
     ),
     ranked AS (
