@@ -81,15 +81,26 @@ def _init_factors(df: DataFrame, id_col: str, prefix: str) -> DataFrame:
     )
 
 
-# 32, not 64 (round 7): the segment count drives the TASK count of every
-# fit stage (the repartition pins it end-to-end), and at local[32] the
-# per-task scheduling+python-runner overhead of two 64-task waves per
-# half-step outweighed the finer balance — measured best-of-3 q_als
-# sf0.1: seg64 6.6 s, seg32 4.8-5.4 s, seg128 8.2 s (same session,
-# order-controlled).  Output-invariant: the kernel splits to entities
-# in-kernel and sorts rows (e, i), so per-entity math never sees the
-# segment layout and all pins survive.
-ALS_SEGMENTS = 32
+# Segment count is CORPUS-DERIVED (round 7): it drives the TASK count of
+# every fit stage (the repartition pins it end-to-end), and the right
+# value scales with the interaction count, not a constant — measured
+# best-of-runs q_als: sf0.1 seg32 4.8-5.4 s / seg64 6.6 s / seg128 8.2 s
+# (per-task scheduling+python-runner overhead dominates small fits), but
+# sf1 seg64 13.8 s / seg32 16.1 s / seg128 15.5 s (balance starts to
+# matter at 6M rows).  ~ALS_SEG_ROWS interaction rows per segment, floored
+# at the session's core count, bounds BOTH per-kernel memory at 100 TB
+# and task-overhead waste at test SFs.  Output-invariant: the kernel
+# splits to entities in-kernel and sorts rows (e, i), so per-entity math
+# never sees the segment layout and all pins survive any segment count
+# (the cross-config determinism check runs exactly this variation).
+ALS_SEG_ROWS = 100_000
+
+
+def _als_segments(spark: SparkSession, sf_dir: str) -> int:
+    from etl_embargo_spark.catalog import table_rows
+
+    rows = table_rows(sf_dir, "lineitem", default=600_000)
+    return max(spark.sparkContext.defaultParallelism, rows // ALS_SEG_ROWS)
 
 
 def _solve_side(inter_ei: DataFrame, fixed: DataFrame) -> DataFrame:
@@ -168,7 +179,9 @@ def _solve_side(inter_ei: DataFrame, fixed: DataFrame) -> DataFrame:
     )
 
 
-def _seg_side(inter: DataFrame, e_col: str, i_col: str) -> DataFrame:
+def _seg_side(
+    inter: DataFrame, e_col: str, i_col: str, segments: int
+) -> DataFrame:
     """Standardize one ALS side to (e, i, r, _seg), hash-partitioned on
     the coarse segment.  Persisted by the caller: the segment layout is
     identical across all rounds of the same side, so the 6 half-steps
@@ -177,11 +190,13 @@ def _seg_side(inter: DataFrame, e_col: str, i_col: str) -> DataFrame:
         F.col(e_col).alias("e"),
         F.col(i_col).alias("i"),
         "r",
-        F.pmod(F.col(e_col), F.lit(ALS_SEGMENTS)).cast("int").alias("_seg"),
-    ).repartition(ALS_SEGMENTS, "_seg")
+        F.pmod(F.col(e_col), F.lit(segments)).cast("int").alias("_seg"),
+    ).repartition(segments, "_seg")
 
 
-def als_fit(inter: DataFrame, n_rounds: int = ALS_ROUNDS):
+def als_fit(
+    inter: DataFrame, n_rounds: int = ALS_ROUNDS, segments: int = 32
+):
     """Run ALS rounds on (user, item, r); returns (user_factors,
     item_factors) as (id, factors) DataFrames.  Each round is two
     half-steps; factor relations are eagerly localCheckpointed between
@@ -191,8 +206,8 @@ def als_fit(inter: DataFrame, n_rounds: int = ALS_ROUNDS):
     preserves the child partitioning, so the per-half-step plan is
     cache-scan → BroadcastHashJoin → FlatMapGroupsInPandas with zero
     new exchanges."""
-    by_user = _seg_side(inter, "user", "item").persist()
-    by_item = _seg_side(inter, "item", "user").persist()
+    by_user = _seg_side(inter, "user", "item", segments).persist()
+    by_item = _seg_side(inter, "item", "user", segments).persist()
     yf = _init_factors(
         inter.select(F.col("item").alias("i")).distinct(), "i", "item"
     ).select("i", "factors")
@@ -242,7 +257,7 @@ def als_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("r"))
     ).localCheckpoint()
-    xf, yf = als_fit(inter)
+    xf, yf = als_fit(inter, segments=_als_segments(spark, sf_dir))
     # user factors are interaction-cardinality (one row per user — input-
     # sized, NOT a dimension): no broadcast hint, so at 100 TB Spark is
     # free to shuffle both sides on the key while AQE still broadcasts at
