@@ -116,11 +116,20 @@ DRIVER_WINDOW_FIRST = [
     "q_jaccard_users",
 ]
 
-# Round-8 window (VERDICT r6 #8: plan the final window NOW).  These are
-# the 45 queries that will still lack a driver row after round 7; round
-# 8 swaps this list into DRIVER_WINDOW_FIRST (plus 5 re-checks of any
-# round-7 fixes) and the rotation is complete: all 252 driver-checked.
+# Round-8 window (VERDICT r6 #8: plan the final window NOW).  The 45
+# queries that still lack a driver row after round 7, PLUS driver
+# re-proofs of the three queries whose round-7 changes moved semantics
+# or oracles (q_bootstrap_ci: new digest-sliced weights + cents oracle;
+# q_record_linkage: spread before the variant explode; q_dedup_ngram_
+# jaccard: chunked sparse kernel) — prior driver rows attest the OLD
+# forms.  Round 8 swaps this list into DRIVER_WINDOW_FIRST and the
+# rotation is complete: all 252 registered queries driver-checked.
 DRIVER_WINDOW_R8 = [
+    # round-7 change re-proofs
+    "q_bootstrap_ci",
+    "q_record_linkage",
+    "q_dedup_ngram_jaccard",
+    # never-driver-checked block (completes the rotation)
     "q_attribution",
     "q_average_precision",
     "q_basket_lift",
