@@ -51,80 +51,23 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     _REGISTRY[name] = (fn, oracle)
 
 
-# Driver-window rotation (VERDICT r3 #5, r4 #3, r5 #4, r6 #2): the
-# driver's per-round correctness artifact covers only the FIRST 50
-# entries of queries().  Rounds 1-6 covered 157 distinct queries; this
-# round fronts 50 of the 95 that have NEVER had a driver CORRECTNESS
-# row — the pinned iterative block (the riskiest: pins are where
-# driver-vs-replica drift hides, per q_table_checksum in r5), the
-# TPC-H-shape block, and the pinned dedup/similarity pair queries.
-# Round 8 MUST front the remaining 45 (listed in DRIVER_WINDOW_R8) so
-# every registered query ships driver-checked at least once.
+# Driver-window rotation (VERDICT r3 #5, r4 #3, r5 #4, r6 #2, r7 #1):
+# the driver's per-round correctness artifact covers only the FIRST 50
+# entries of queries().  Rounds 1-7 covered 207 distinct queries; this
+# round fronts the final 45 that have NEVER had a driver CORRECTNESS
+# row, PLUS driver re-proofs of the three queries whose round-7 changes
+# moved semantics or oracles (q_bootstrap_ci: digest-sliced weights +
+# cents oracle; q_record_linkage: spread before the variant explode;
+# q_dedup_ngram_jaccard: chunked sparse kernel) — their prior driver
+# rows attest the OLD forms.  After this window lands, every one of the
+# 252 registered queries carries a current green driver row.
+#
+# Standing rule from here on (VERDICT r7 #2): any query whose builder
+# source (transitive same-module helpers included) or oracle SQL
+# changes after its last driver attestation MUST appear in this list —
+# enforced by tools/attest.py + tests/test_attestations.py against the
+# baseline in tools/attestations.json (refreshed per driver round).
 DRIVER_WINDOW_FIRST = [
-    # pinned iterative / ML block
-    "q_als",
-    "q_kmeans",
-    "q_logreg",
-    "q_calibration",
-    "q_bpe_train",
-    "q_bpe_pairs",
-    "q_textrank",
-    "q_markov_attribution",
-    "q_stem",
-    "q_hll_merge",
-    "q_cms_topk",
-    "q_embed_quantize",
-    # TPC-H-shape relational block
-    "q_local_volume",
-    "q_returned_items",
-    "q_large_orders",
-    "q_market_share",
-    "q_nation_trade",
-    "q_min_cost_supplier",
-    "q_top_supplier",
-    "q_important_parts",
-    "q_blame_supplier",
-    "q_excess_shippers",
-    "q_small_quantity",
-    "q_priority_count",
-    "q_order_count_dist",
-    "q_part_supplier_count",
-    "q_idle_customers",
-    # pinned dedup / similarity / media block
-    "q_repetition_filter",
-    "q_item_cosine",
-    "q_triangles",
-    "q_media_dedup",
-    "q_media_storage",
-    "q_incremental_dedup",
-    "q_minhash_pairs",
-    "q_simhash_pairs",
-    "q_embedding_pairs",
-    "q_ndcg",
-    "q_perplexity",
-    "q_psi",
-    "q_wasserstein",
-    "q_mutual_info",
-    "q_theil",
-    "q_zipf_fit",
-    "q_vocab_coverage",
-    "q_rank_surface",
-    "q_inverted_index",
-    "q_pack_contexts",
-    "q_rare_collapse",
-    "q_feature_hash",
-    "q_jaccard_users",
-]
-
-# Round-8 window (VERDICT r6 #8: plan the final window NOW).  The 45
-# queries that still lack a driver row after round 7, PLUS driver
-# re-proofs of the three queries whose round-7 changes moved semantics
-# or oracles (q_bootstrap_ci: new digest-sliced weights + cents oracle;
-# q_record_linkage: spread before the variant explode; q_dedup_ngram_
-# jaccard: chunked sparse kernel) — prior driver rows attest the OLD
-# forms.  Round 8 swaps this list into DRIVER_WINDOW_FIRST and the
-# rotation is complete: all 252 registered queries driver-checked.
-DRIVER_WINDOW_R8 = [
     # round-7 change re-proofs
     "q_bootstrap_ci",
     "q_record_linkage",
