@@ -1,0 +1,93 @@
+"""Standing re-proof rule (VERDICT r7 #2): a query whose builder source
+(same-module transitive closure) or oracle/pin changed after its last
+driver CORRECTNESS row must ride the next driver window — stale
+attestations fail CI here, not in the judge's audit.
+
+All Spark-free: hashing is pure AST/source work.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(_REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(_REPO_ROOT))
+
+from etl_embargo_spark import registry  # noqa: E402
+from tools import attest  # noqa: E402
+
+
+def test_window_fits_driver_artifact():
+    """The driver records only the first 50 entries of queries(); an
+    oversized window silently drops coverage off the end."""
+    assert len(registry.DRIVER_WINDOW_FIRST) <= 50
+    q = registry.queries()
+    first50 = list(q)[:50]
+    for name in registry.DRIVER_WINDOW_FIRST:
+        assert name in q, f"{name} in DRIVER_WINDOW_FIRST but not registered"
+        assert name in first50, f"{name} fell outside the driver window"
+
+
+def test_baseline_covers_every_registered_query():
+    """A new registration must be baselined (tools/attest.py --refresh-all
+    or --refresh) so drift tracking starts at birth."""
+    base = attest.load_baseline()
+    cur = attest.current_hashes()
+    missing = sorted(set(cur) - set(base))
+    assert not missing, (
+        f"queries with no attestation baseline: {missing} — run "
+        "`python tools/attest.py --refresh-all` (new query) and front "
+        "them in DRIVER_WINDOW_FIRST"
+    )
+
+
+def test_changed_or_unchecked_queries_are_fronted():
+    """THE standing rule: never-driver-checked queries and queries whose
+    content hash drifted from the attested baseline must all be in
+    DRIVER_WINDOW_FIRST."""
+    never, drifted = attest.drift_report()
+    window = set(registry.DRIVER_WINDOW_FIRST)
+    bad = sorted(n for n in set(never) | set(drifted) if n not in window)
+    assert not bad, (
+        f"queries changed (or never checked) since their last driver "
+        f"attestation but not fronted in DRIVER_WINDOW_FIRST: {bad}"
+    )
+
+
+def test_drift_detection_fires(monkeypatch):
+    """Mechanism check: a baseline hash mismatch on a driver-checked
+    query must surface in drift_report (guards against the report
+    silently returning empty)."""
+    base = attest.load_baseline()
+    rounds = attest.correctness_rounds()
+    victim = next(n for n in base if n in rounds)
+    forged = dict(base)
+    forged[victim] = {**forged[victim], "hash": "0" * 16}
+    monkeypatch.setattr(attest, "load_baseline", lambda: forged)
+    _, drifted = attest.drift_report()
+    assert victim in drifted
+
+
+def test_closure_hash_sees_same_module_helpers():
+    """The hash must cover helpers the builder calls (the porter_stem
+    class of bug), not just the builder's own body."""
+    from etl_embargo_spark.operators import dedup
+
+    src = attest._closure_source(dedup.q_dedup_minhash)
+    assert "def _bucket_pairs" in src
+    assert "def q_dedup_minhash" in src
+
+
+def test_oracle_component_tracks_sql_and_pins():
+    """Oracle drift must be part of the hash: SQL queries embed the
+    resolved string; pinned queries embed the VALUES payload."""
+    sql_comp = attest._oracle_component("q_split_partition")
+    assert sql_comp.startswith("SQL:") and "visibility" in sql_comp
+    from etl_embargo_spark.pins import PINS
+
+    pinned_name = next(iter(PINS))
+    if pinned_name in registry._REGISTRY and \
+            registry._REGISTRY[pinned_name][1] is None:
+        assert attest._oracle_component(pinned_name).startswith("PIN:")
