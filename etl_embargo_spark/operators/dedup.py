@@ -367,7 +367,11 @@ def _jaccard_band(s: F.Column) -> F.Column:
     return band
 
 
-def _make_jaccard_block_kernel(threshold: float):
+def _make_jaccard_block_kernel(
+    threshold: float,
+    merge_codes: int = int(3e7),
+    chunk_pairs: int = int(1.5e7),
+):
     """applyInPandas kernel factory (nested per the cloudpickle by-value
     rule): ALL-PAIRS exact Jaccard inside one (lang, source, band) block,
     vectorized as a single set-membership GEMM.
@@ -449,7 +453,7 @@ def _make_jaccard_block_kernel(threshold: float):
             # slices emit (code, count) partials that merge at the end
             # — the merged counts, and therefore J, are identical to
             # the one-shot expansion.
-            CHUNK_PAIRS = int(1.5e7)
+            CHUNK_PAIRS = chunk_pairs
             grp_id = _np.cumsum(
                 _np.r_[0, (g[1:] != g[:-1]).astype(_np.int64)]
             )
@@ -470,6 +474,33 @@ def _make_jaccard_block_kernel(threshold: float):
             cuts = _np.r_[starts[cut_grps[cut_grps < len(starts)]], g.size]
             cuts = _np.unique(cuts)
             codes_parts, cnts_parts = [], []
+
+            # Merge-phase bound (ADVICE r7): a pair's instances span
+            # slices, so slice partials must merge — but when
+            # slice-local dedup is weak the deferred concat+argsort
+            # would hold ~3 int64 arrays of up to p_total length.
+            # Compact INCREMENTALLY instead: whenever pending partial
+            # codes exceed MERGE_CODES, sort-merge them down to one
+            # (code, summed count) pair.  Counts add associatively, so
+            # the final merged counts — and J — are bit-identical to
+            # the one-shot expansion.  Transient merge memory is
+            # bounded by max(MERGE_CODES, distinct pair codes): the
+            # first term is the ~0.7 GB compaction budget, the second
+            # is the kernel's own output size, irreducible by any
+            # merge strategy.  merge_codes is a factory arg so pytest
+            # can force compaction on small corpora and A/B the output.
+            MERGE_CODES = merge_codes
+
+            def _compact(cps, kps):
+                c = _np.concatenate(cps)
+                k = _np.concatenate(kps)
+                o = _np.argsort(c, kind="stable")
+                c, k = c[o], k[o]
+                del o
+                bnd_ = _np.flatnonzero(_np.r_[True, c[1:] != c[:-1]])
+                return c[bnd_], _np.add.reduceat(k, bnd_)
+
+            pending = 0
             for clo, chi in zip(cuts[:-1], cuts[1:]):
                 reps_c = reps[clo:chi]
                 tot = int(reps_c.sum())
@@ -498,18 +529,16 @@ def _make_jaccard_block_kernel(threshold: float):
                     _np.diff(_np.r_[bnd, code.size]).astype(_np.int64)
                 )
                 del code, bnd
+                pending += codes_parts[-1].size
+                if pending > MERGE_CODES and len(codes_parts) > 1:
+                    c, k = _compact(codes_parts, cnts_parts)
+                    codes_parts, cnts_parts = [c], [k]
+                    pending = c.size
             if codes_parts:
-                allc = _np.concatenate(codes_parts)
-                allk = _np.concatenate(cnts_parts)
+                ucode, allk = _compact(codes_parts, cnts_parts)
                 del codes_parts, cnts_parts
-                o = _np.argsort(allc, kind="stable")
-                allc, allk = allc[o], allk[o]
-                del o
-                bnd = _np.flatnonzero(
-                    _np.r_[True, allc[1:] != allc[:-1]]
-                )
-                inter = _np.add.reduceat(allk, bnd).astype(_np.float64)
-                ucode = allc[bnd]
+                inter = allk.astype(_np.float64)
+                del allk
                 i_ = ucode // n
                 j_ = ucode % n
                 union = (sizes[i_] + sizes[j_]).astype(

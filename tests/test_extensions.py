@@ -215,6 +215,54 @@ class TestNgramJaccardBanding:
         for (a, b), j in got_map.items():
             assert j >= 0.2 and a < b
 
+    def test_sparse_merge_compaction_is_output_identical(self):
+        """Spark-free A/B of the incremental merge compaction (ADVICE
+        r7): with chunk_pairs/merge_codes forced tiny, slices are
+        single-gram-group sized and compaction fires after nearly every
+        slice — the emitted (pair, J) map must equal the default
+        one-shot merge BIT-EXACTLY (counts sum associatively; J is the
+        same single IEEE division)."""
+        import numpy as np
+        import pandas as pd
+
+        from etl_embargo_spark.operators.dedup import (
+            _make_jaccard_block_kernel,
+        )
+
+        rng = np.random.default_rng(29)
+        # sparse path (nu > 4n) with heavy cross-slice overlap: 40-doc
+        # block drawn from a 4000-gram space with a shared 30-gram core
+        # so most pairs share MANY grams and their counts genuinely
+        # span compaction boundaries
+        core = np.unique(rng.integers(0, 10**9, 30)).astype(np.int64)
+        sets = [
+            np.unique(
+                np.concatenate(
+                    [core, rng.integers(0, 10**9, 25).astype(np.int64)]
+                )
+            )
+            for _ in range(40)
+        ]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.arange(40, dtype=np.int64),
+                "band": np.array([2] * 40, dtype=np.int64),
+                "_block": 2,
+                "sh": sets,
+            }
+        )
+        baseline = _make_jaccard_block_kernel(0.2)(pdf)
+        forced = _make_jaccard_block_kernel(
+            0.2, merge_codes=8, chunk_pairs=16
+        )(pdf)
+        to_map = lambda df: {  # noqa: E731
+            (a, b): j
+            for a, b, j in zip(df["doc_a"], df["doc_b"], df["_j"])
+        }
+        bm, fm = to_map(baseline), to_map(forced)
+        assert len(bm) > 100  # the case actually stresses the merge
+        assert fm == bm
+
 
 class TestSimHash:
     def test_near_dups_are_similar(self, spark, sf_dir):

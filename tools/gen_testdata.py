@@ -45,10 +45,10 @@ DAY_US = 86_400_000_000
 
 def synth_vocab(n_types: int) -> list[str]:
     """~n_types word types for large-SF corpora (VERDICT r5 #7: the
-    33-word driver vocab inflates near-dup density and makes
+    34-word driver vocab inflates near-dup density and makes
     token-distribution prefilters look artificially weak at sf1).
 
-    The ZIPF HEAD is the driver's 33-word vocabulary — real corpora
+    The ZIPF HEAD is the driver's 34-word vocabulary — real corpora
     carry function words and domain terms at the head of the rank
     distribution, and the standing-query operators (q_bm25's literal
     terms, the corpus-prep stopword gate) key on exactly those words;
@@ -117,7 +117,7 @@ def main() -> None:
         type=int,
         default=0,
         help="document vocabulary size; 0 = auto (driver-compatible "
-        "33-word VOCAB below sf1, 10000 synthetic types at sf>=1)",
+        "34-word VOCAB below sf1, 10000 synthetic types at sf>=1)",
     )
     args = ap.parse_args()
     rng = np.random.default_rng(args.seed)
