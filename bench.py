@@ -35,6 +35,13 @@ from etl_embargo_spark import registry  # noqa: E402
 from etl_embargo_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # promoted round 8 (VERDICT r7 #4/#5): every query the non-headliner
+    # sweep measured >2 s at sf0.1 joins the per-round bench so cost
+    # regressions on them are visible round-over-round
+    "q_pagerank",
+    "q_textrank",
+    "q_corpus_dedup",
+    "q_spatial_join",
     "q_split_partition",
     "q_whitelist_semi",
     "q_pricing_summary",

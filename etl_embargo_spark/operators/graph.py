@@ -28,6 +28,7 @@ def pagerank(
     damping: float = PR_DAMPING,
     n_iters: int = PR_ITERS,
     rank_partitions: int | None = None,
+    edge_partitions: int | None = None,
 ) -> DataFrame:
     """(id, rank) after ``n_iters`` power iterations over a directed edge
     list (pass both directions for an undirected graph — then there are
@@ -35,26 +36,48 @@ def pagerank(
 
     Fixed iteration count, not a convergence test: deterministic cost,
     deterministic result, and no per-round driver scalar beyond the
-    eager checkpoint.  Each round shuffles (edge ⋈ rank) on the node key
-    — the degree table and rank relation are O(nodes), edges dominate,
-    exactly the profile that scales out.
+    eager checkpoint.
 
-    ``rank_partitions`` sizes the checkpointed rank relation.  The
-    per-round localCheckpoint pins whatever partitioning the plan had, so
-    AQE's small-partition coalescing cannot help INSIDE the loop: with
-    the global shuffle default a 20k-node graph runs 64 near-empty tasks
-    per round (measured 18.0s → 14.1s at sf0.1 with 8 partitions), while
-    at cluster scale the same default would be too FEW.  Pick ~nodes/50k
-    when the node count is known; None keeps the session default (the
-    pinned-oracle configuration — repartitioning changes float-sum merge
-    order, so changing this knob on an oracle-checked path requires a pin
-    regeneration + layout-independence re-check)."""
-    # cache the edge relation: deg, nodes, and EVERY power-iteration round
-    # join against it — without the cache its construction lineage
-    # (bucket-pair expansion + distinct) re-executes n_iters+2 times
+    Scale shape (round-8 rewrite — found by the non-headliner timing
+    sweep: the old form ran 17.3 s at sf0.1): the EDGE relation never
+    moves inside the loop.  The degree join is static, so it is folded
+    out of the loop ONCE into a cached weighted-edge relation
+    (edges ⋈ broadcast(deg) — no shuffle, inherits the edge cache's
+    partitioning), and the per-round (edge ⋈ rank) join broadcasts the
+    O(nodes) rank relation instead of shuffling the O(edges) side.  The
+    only per-round shuffle is the map-side-combined contribution
+    aggregate — node-sized partials, never edge-sized rows.  The old
+    form shuffled the full edge relation TWICE per round (rank join +
+    degree join): 8 rounds × 2 edge shuffles was the whole cost.  At
+    cluster scale the same split holds until the rank relation outgrows
+    the broadcast budget (~100M+ nodes); past that, drop the two
+    broadcast hints and pre-partition edges and ranks on src with
+    ``rank_partitions`` so each round shuffles only the node-sized rank
+    relation against the cached edge partitioning.
+
+    ``edge_partitions`` sizes the cached weighted-edge relation —
+    measured 0.73 → 0.30 s/round at sf0.1 going 64 → 8 partitions, and
+    the mechanism is map-side-combine strength, not task count: the
+    per-round shuffle carries ≈ min(nodes, edges/P) × P partial rows,
+    so fat partitions collapse more edge rows per dst before the
+    exchange.  Callers derive P from the corpus (~1M edge rows per
+    partition, floored at 8 — CLAUDE.md's corpus-derived rule; a footer
+    read, never a job) and the repartition hashes on src, so row→
+    partition assignment is independent of upstream parallelism (a
+    keyless round-robin would vary with the producer's layout and
+    threaten pin determinism).  ``rank_partitions`` sizes the
+    checkpointed rank relation (both callers leave it None).  Changing
+    either knob on an oracle-checked path requires a pin regeneration +
+    layout-independence re-check (tools/detcheck.py)."""
+    # cache the edge relation: deg (evaluated twice: node set + ew
+    # broadcast) and the weighted-edge build read it — without the cache
+    # its construction lineage (bucket-pair expansion + distinct)
+    # re-executes per consumer
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("id")).distinct()
+    # the node set IS deg's key set — deriving it there saves the
+    # separate distinct shuffle over the full edge relation
+    nodes = deg.select(F.col("src").alias("id"))
     n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
     # attach the node count ONCE, outside the loop: (id, _n) is
     # checkpointed and reused every round — broadcasting the one-row
@@ -65,13 +88,22 @@ def pagerank(
     if rank_partitions:
         nodes_n = nodes_n.repartition(rank_partitions, "id")
     nodes_n = nodes_n.localCheckpoint()
+    # static weighted-edge relation, built once: (src, dst, deg).  deg
+    # stays a separate column (rank/deg in-loop, one IEEE division per
+    # edge) rather than a premultiplied 1/deg weight — rank*(1/deg)
+    # rounds twice and would shift pinned rank values for no win.
+    ew = edges.join(F.broadcast(deg), "src")
+    if edge_partitions:
+        ew = ew.repartition(edge_partitions, "src")
+    ew = ew.persist()
     ranks = nodes_n.select(
         "id", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     for _ in range(n_iters):
         contribs = (
-            edges.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
+            ew.join(
+                F.broadcast(ranks.withColumnRenamed("id", "src")), "src"
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("_c"))
             .withColumnRenamed("dst", "id")
@@ -86,10 +118,11 @@ def pagerank(
         if rank_partitions:
             nxt = nxt.repartition(rank_partitions, "id")
         ranks = nxt.localCheckpoint()
-    # loop-scoped cache: the final ranks are checkpointed, so nothing
-    # downstream re-reads the edge lineage — release it rather than rely
-    # on LRU eviction across a 250-query sweep session
+    # loop-scoped caches: the final ranks are checkpointed, so nothing
+    # downstream re-reads the edge lineage — release both rather than
+    # rely on LRU eviction across a 250-query sweep session
     edges.unpersist()
+    ew.unpersist()
     return ranks
 
 
@@ -119,8 +152,14 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase part graph (detail form); pytest
     holds a pure-Python power-iteration oracle on the same edges
     (tests/test_extensions.py::TestPageRank)."""
+    from etl_embargo_spark.catalog import table_rows
+
     li = load_table(spark, sf_dir, "lineitem")
-    ranks = pagerank(copurchase_edges(li))
+    # symmetric co-purchase edges measure ~4x lineitem rows (2.39M at
+    # 600k); target ~1M edge rows per cached partition, floored at 8
+    rows = table_rows(sf_dir, "lineitem", default=600_000)
+    parts = max(8, (4 * rows) // 1_000_000)
+    ranks = pagerank(copurchase_edges(li), edge_partitions=parts)
     return ranks.select("id", F.round("rank", 8).alias("rank"))
 
 
@@ -419,10 +458,17 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     by word).  The same power iteration as q_pagerank on a different
     graph; pytest replays both the edge construction and the iteration
     in pure Python (tests/test_extensions.py::TestTextRank)."""
+    from etl_embargo_spark.catalog import table_rows
+
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") > 0
     )
-    ranks = pagerank(textrank_edges(docs))
+    # the word-adjacency edge set is vocabulary-bounded, not
+    # corpus-bounded — distinct pairs grow far slower than documents;
+    # ~2k docs of edges per partition, floored at 8, keeps partitions
+    # fat enough for the combine without starving cores on big vocabs
+    parts = max(8, table_rows(sf_dir, "documents", default=5_000) // 2_000)
+    ranks = pagerank(textrank_edges(docs), edge_partitions=parts)
     return (
         ranks.select(
             F.col("id").alias("word"), F.round("rank", 8).alias("rank")

@@ -72,6 +72,11 @@ DRIVER_WINDOW_FIRST = [
     "q_bootstrap_ci",
     "q_record_linkage",
     "q_dedup_ngram_jaccard",
+    # round-8 change re-proofs (broadcast-rank power iteration — pins
+    # regenerated bit-identical, but the builders changed so the
+    # attestation ledger fronts them)
+    "q_pagerank",
+    "q_textrank",
     # never-driver-checked block (completes the rotation)
     "q_attribution",
     "q_average_precision",

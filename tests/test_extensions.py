@@ -975,6 +975,28 @@ class TestPageRank:
         out = {r.id: r.rank for r in pagerank(edges).collect()}
         assert out[0] > max(v for k, v in out.items() if k != 0)
 
+    def test_edge_partitions_output_invariant(self, spark):
+        """The edge_partitions perf knob (round 8) must not change
+        ranks at the pinned round-8 quantum: per-dst contribution sums
+        are doubles whose merge order varies with the cached edge
+        layout, but rank magnitudes (~1/n) sit ~11 decimal orders above
+        the accumulated ulp noise, so round(,8) is layout-independent —
+        the property tools/detcheck.py verifies cross-config at the
+        pinned SFs; this pins it Spark-side at toy scale."""
+        from etl_embargo_spark.operators.graph import pagerank
+
+        pairs = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0), (1, 3)]
+        edges = spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "src long, dst long"
+        )
+        base = {r.id: round(r.rank, 8) for r in pagerank(edges).collect()}
+        for p in (1, 3):
+            got = {
+                r.id: round(r.rank, 8)
+                for r in pagerank(edges, edge_partitions=p).collect()
+            }
+            assert got == base, p
+
 
 class TestMediaFrameSampleQuery:
     def test_sampled_counts_match_frame_arithmetic(self, spark, sf_dir):
