@@ -8,16 +8,26 @@ q_hash_sample contract: geometry must not change when the engine does).
 The join itself is the scale-correct spatial shape:
 
 * points land in grid cells sized to the search radius, and each point
-  replicates to its 3×3 cell neighborhood — a bounded ×9, the spatial
-  analog of LSH banding;
+  replicates to its FORWARD HALF-NEIGHBORHOOD — home plus E, S, SE, SW
+  (a bounded ×5, the spatial analog of LSH banding).  The forward set
+  covers every unordered adjacent-or-same cell pair exactly once (the
+  four backward directions are each the mirror of a forward one), so
+  with the pair filter below every radius pair is emitted EXACTLY once
+  and no trailing distinct is needed;
 * candidate pairs come from ``dedup._bucket_pairs`` (groupBy cell →
   sorted collect_set → in-array expansion): one pass, one (cell, point)
-  shuffle, NO self-join — then distinct across shared cells;
+  shuffle, NO self-join.  Pairs where both sides are shifted copies are
+  dropped (their cells are non-adjacent, or the pair is generated in
+  one of the two home buckets instead);
 * the exact radius check runs on squared degree distance (pure
   arithmetic — no transcendentals, so the oracle compare is exact);
 * cost is Σ|cell|², bounded by point density × radius², never |points|²
   (the deliberately-quadratic DuckDB oracle IS |points|²: the plan
-  difference is the point).
+  difference is the point).  The round-8 full-registry soak caught the
+  original 3×3-both-sides form at sf1: ×9 replication generated each
+  true pair in ~5 shared cells and a 14M-row distinct cleaned it up —
+  37.9 s / ratio 16.4×; the half-neighborhood form has 3.2× fewer
+  candidates and zero post-expansion shuffles.
 
 The reference (m-lab/etl-embargo) has nothing spatial; extension scope
 per BASELINE.json.
@@ -65,10 +75,14 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap, sensor cross-matching), in the cell-blocked form that
     scales.
 
-    Each point replicates to its 3×3 neighbor cells; intra-cell pairs
-    expand in-array (no self-join) and dedupe across shared cells; the
-    exact distance check is squared-degree arithmetic (engine-exact).
-    Output: pair, rounded distance."""
+    Each point replicates to its forward half-neighborhood (home, E, S,
+    SE, SW); intra-cell pairs expand in-array (no self-join) and the
+    shifted×shifted pairs are dropped, which makes every radius pair
+    unique by construction — no distinct; the exact distance check is
+    squared-degree arithmetic (engine-exact).  Output: pair, rounded
+    distance (orientation cust_a < cust_b, preserved because the home
+    flag sits LAST in the payload struct and ids are unique, so
+    array_sort still orders by id)."""
     from etl_embargo_spark.operators.dedup import _bucket_pairs
 
     cust = load_table(spark, sf_dir, "customer")
@@ -76,8 +90,9 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_lat = F.floor(F.col("lat") / GEO_RADIUS_DEG).cast("int")
     cell_lon = F.floor(F.col("lon") / GEO_RADIUS_DEG).cast("int")
     offsets = F.expr(
-        "explode(transform(sequence(0, 8), "
-        "k -> struct(k div 3 - 1 AS dy, k % 3 - 1 AS dx)))"
+        "explode(array(struct(0 AS dy, 0 AS dx), struct(0 AS dy, 1 AS dx),"
+        " struct(1 AS dy, 0 AS dx), struct(1 AS dy, 1 AS dx),"
+        " struct(1 AS dy, -1 AS dx)))"
     )
     replicated = pts.select(
         "cust_id",
@@ -92,6 +107,7 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon",
         (F.col("cy") + F.col("o.dy")).alias("gy"),
         (F.col("cx") + F.col("o.dx")).alias("gx"),
+        ((F.col("o.dy") == 0) & (F.col("o.dx") == 0)).alias("home"),
     )
     pairs = _bucket_pairs(
         replicated,
@@ -100,8 +116,15 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cust_id").alias("id"),
             F.col("lat").alias("plat"),
             F.col("lon").alias("plon"),
+            F.col("home").alias("h"),
         ),
         max_bucket=None,
+    ).filter(
+        # at least one home occurrence: home×home = co-cell pair in its
+        # own bucket; home×shifted = each adjacent cell pair exactly
+        # once (a forward offset's mirror is never forward); both
+        # shifted would be a duplicate or a non-adjacent cell pair
+        F.col("a.h") | F.col("b.h")
     ).select(
         F.col("a.id").alias("cust_a"),
         F.col("b.id").alias("cust_b"),
@@ -112,12 +135,8 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("a.plon") - F.col("b.plon"))
         ).alias("d2"),
     )
-    return (
-        pairs.filter(
-            F.col("d2") <= F.lit(GEO_RADIUS_DEG * GEO_RADIUS_DEG)
-        )
-        .select(
-            "cust_a", "cust_b", F.round(F.sqrt("d2"), 6).alias("dist_deg")
-        )
-        .distinct()
+    return pairs.filter(
+        F.col("d2") <= F.lit(GEO_RADIUS_DEG * GEO_RADIUS_DEG)
+    ).select(
+        "cust_a", "cust_b", F.round(F.sqrt("d2"), 6).alias("dist_deg")
     )
