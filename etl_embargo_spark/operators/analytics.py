@@ -4555,37 +4555,91 @@ def q_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+WM_BIN_W = 128  # price-bin width for the two-phase crossing search
+
+
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median unit price per return flag: the price at
     which half the shipped QUANTITY (not half the line items) is cheaper
     — the robust "typical price" a plain median gets wrong when cheap
     lines carry big quantities.
 
-    Scale shape: rows collapse to the per-(flag, price) weight relation
-    first (map-side combined); the cumulative-weight scan and the
-    first-crossing pick are one window pass over that collapsed
-    relation.  All weights are exact integers: the crossing test
-    2·cumw ≥ totw never touches floating point."""
+    Scale shape (round-8 rewrite — the first full-registry sf1 soak
+    measured the old single-window form at 8.0 s): prices are
+    near-unique, so the per-(flag, price) weight relation is
+    corpus-sized and the old cumulative window sorted ~all of it in ONE
+    task per flag — exactly the single-partition running total
+    SCALE.md §2 forbids.  Two-phase crossing search instead: (1) weights
+    roll up into fixed-width price bins (the price DOMAIN is
+    value-bounded, so the bin relation is ~hundreds of rows per flag —
+    window-safe at any corpus size) and the crossing BIN plus the
+    cumulative weight below it come from that tiny relation; (2) only
+    the crossing bin's prices are scanned for the exact crossing row,
+    via a broadcast join of the 3-row crossing info.  All weights are
+    exact integers: the crossing test 2·cumw ≥ totw never touches
+    floating point, and the first global crossing price provably lies
+    in the first bin whose cumulative weight reaches half."""
     li = load_table(spark, sf_dir, "lineitem")
-    per_price = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("price"),
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
-    wcum = (
+    # consumed twice (bin rollup + in-bin scan): persist, never
+    # re-shuffle the corpus-sized relation (CLAUDE.md shared-lineage rule)
+    per_price = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+        .persist()
+    )
+    pbin = F.floor(F.col("price") / F.lit(WM_BIN_W)).cast("int")
+    binned = per_price.groupBy("flag", pbin.alias("bin")).agg(
+        F.sum("w").alias("bw")
+    )
+    wcum_b = (
+        Window.partitionBy("flag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall_b = Window.partitionBy("flag")
+    bins = binned.select(
+        "flag",
+        "bin",
+        (F.sum("bw").over(wcum_b) - F.col("bw")).alias("below_w"),
+        F.sum("bw").over(wcum_b).alias("cumbw"),
+        F.sum("bw").over(wall_b).alias("totw"),
+    )
+    first_bin = Window.partitionBy("flag").orderBy("bin")
+    crossing = (
+        bins.filter(2 * F.col("cumbw") >= F.col("totw"))
+        .withColumn("rn", F.row_number().over(first_bin))
+        .filter(F.col("rn") == 1)
+        # renamed: crossing shares per_price's lineage, so the join
+        # below is a self-join — unqualified names would be ambiguous
+        .select(
+            F.col("flag").alias("cflag"),
+            F.col("bin").alias("cbin"),
+            "below_w",
+            "totw",
+        )
+    )
+    in_bin = per_price.join(
+        F.broadcast(crossing),
+        (F.col("flag") == F.col("cflag")) & (pbin == F.col("cbin")),
+    ).select("flag", "price", "w", "below_w", "totw")
+    wcum_p = (
         Window.partitionBy("flag")
         .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wall = Window.partitionBy("flag")
-    cum = per_price.select(
-        "flag",
-        "price",
-        F.sum("w").over(wcum).alias("cumw"),
-        F.sum("w").over(wall).alias("totw"),
-    ).filter(2 * F.col("cumw") >= F.col("totw"))
-    first = Window.partitionBy("flag").orderBy("price")
+    first_price = Window.partitionBy("flag").orderBy("price")
     return (
-        cum.withColumn("rn", F.row_number().over(first))
+        in_bin.select(
+            "flag",
+            "price",
+            (F.col("below_w") + F.sum("w").over(wcum_p)).alias("cumw"),
+            "totw",
+        )
+        .filter(2 * F.col("cumw") >= F.col("totw"))
+        .withColumn("rn", F.row_number().over(first_price))
         .filter(F.col("rn") == 1)
         .select(
             "flag",

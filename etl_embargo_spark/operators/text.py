@@ -1646,8 +1646,11 @@ def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     this statistic).
 
     Scale shape: one doc_id co-partitioned join of predictions to
-    truth, then everything runs over the |classes|-sized marginal
-    relations (full-outer broadcast join of the two marginals).
+    truth collapses to the |classes|² contingency relation in a SINGLE
+    pass; the grand totals and both marginals all derive from that tiny
+    persisted relation (round 8 — the old form fed the un-materialized
+    join into three separate aggregates, so the lang-ID scoring lineage
+    executed three times: 4.3 s at sf1 for a 1-row answer).
 
     Engine determinism: observed agreement and expected agreement are
     each ONE IEEE division of exact bigints (pₑ's numerator Σ rowᵍ·colᵍ
@@ -1657,20 +1660,26 @@ def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars") > 0
     )
     pred = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
-    j = docs.select("doc_id", F.col("lang").alias("lang_true")).join(
-        pred, "doc_id"
+    cont = (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # classes²-sized; three consumers below
     )
-    base = j.groupBy().agg(
-        F.count(F.lit(1)).alias("n"),
+    base = cont.groupBy().agg(
+        F.sum("c").alias("n"),
         F.sum(
-            (F.col("pred_lang") == F.col("lang_true")).cast("bigint")
+            F.when(
+                F.col("pred_lang") == F.col("lang_true"), F.col("c")
+            ).otherwise(F.lit(0))
         ).alias("agree"),
     )
-    per_true = j.groupBy(F.col("lang_true").alias("cls")).agg(
-        F.count(F.lit(1)).alias("n_true")
+    per_true = cont.groupBy(F.col("lang_true").alias("cls")).agg(
+        F.sum("c").alias("n_true")
     )
-    per_pred = j.groupBy(F.col("pred_lang").alias("cls")).agg(
-        F.count(F.lit(1)).alias("n_pred")
+    per_pred = cont.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("c").alias("n_pred")
     )
     marg = per_true.join(F.broadcast(per_pred), "cls", "full_outer").select(
         (

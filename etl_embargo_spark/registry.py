@@ -125,6 +125,19 @@ DRIVER_WINDOW_FIRST = [
     "q_weighted_sample",
 ]
 
+# Changed after the current 50-slot window was already full: these carry
+# stale driver attestations until they ride the TOP of the NEXT round's
+# window.  tests/test_attestations.py accepts DRIFTED queries here (the
+# queue is the visible promise), never-checked ones still need a real
+# window slot; `python tools/attest.py` keeps flagging queue entries so
+# the next window swap cannot forget them.  (q_spatial_join's round-8
+# rewrite needs no queue slot — it sits in the never-checked window
+# block above, so its round-8 driver row attests the new form directly.)
+DRIVER_QUEUE_NEXT = [
+    "q_weighted_median",  # two-phase crossing search rewrite (r8)
+    "q_kappa",            # single-pass contingency rewrite (r8)
+]
+
 
 def queries() -> dict[str, QueryFn]:
     front = {

@@ -46,14 +46,32 @@ def test_baseline_covers_every_registered_query():
 def test_changed_or_unchecked_queries_are_fronted():
     """THE standing rule: never-driver-checked queries and queries whose
     content hash drifted from the attested baseline must all be in
-    DRIVER_WINDOW_FIRST."""
+    DRIVER_WINDOW_FIRST — or, for DRIFTED queries only, visibly queued
+    in DRIVER_QUEUE_NEXT when the current window is already full (a
+    never-checked query has no driver row at all, so a queue entry is
+    not an acceptable home for it)."""
     never, drifted = attest.drift_report()
     window = set(registry.DRIVER_WINDOW_FIRST)
-    bad = sorted(n for n in set(never) | set(drifted) if n not in window)
+    queue = set(registry.DRIVER_QUEUE_NEXT)
+    bad = sorted(
+        [n for n in never if n not in window]
+        + [n for n in drifted if n not in window | queue]
+    )
     assert not bad, (
         f"queries changed (or never checked) since their last driver "
-        f"attestation but not fronted in DRIVER_WINDOW_FIRST: {bad}"
+        f"attestation but not fronted in DRIVER_WINDOW_FIRST (or queued "
+        f"in DRIVER_QUEUE_NEXT for drift): {bad}"
     )
+
+
+def test_queue_is_registered_and_disjoint_from_window():
+    """Queue hygiene: every DRIVER_QUEUE_NEXT name must be registered,
+    and a name in both lists would double-book a window slot."""
+    q = registry.queries()
+    window = set(registry.DRIVER_WINDOW_FIRST)
+    for name in registry.DRIVER_QUEUE_NEXT:
+        assert name in q, f"{name} queued but not registered"
+        assert name not in window, f"{name} both queued and in window"
 
 
 def test_drift_detection_fires(monkeypatch):

@@ -894,12 +894,19 @@ class TestRound1FinalBatchPlans:
     def test_weighted_median_crossing_pick_group_limited(
         self, spark, sf_dir
     ):
-        """q_weighted_median: first-crossing pick = per-flag rank filter
-        (WindowGroupLimit); cumulative weights run over the per-price
-        aggregate, never raw lineitem rows."""
+        """q_weighted_median (two-phase, round 8): first-crossing picks
+        = per-flag rank filters (WindowGroupLimit); the corpus-sized
+        per-price relation is persisted and consumed from cache by both
+        phases (never re-shuffled), and the crossing-bin info reaches
+        the in-bin scan via a broadcast join — cumulative windows only
+        ever run over the bin rollup and the single crossing bin's
+        prices, never a corpus-sized partition."""
         plan = _plan(spark, sf_dir, "q_weighted_median")
         assert "WindowGroupLimit" in plan
         assert plan.count("HashAggregate") >= 2  # partial+final collapse
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("InMemoryTableScan") >= 2  # shared per_price
 
     def test_interarrival_shares_gap_relation(self, spark, sf_dir):
         """q_interarrival: the lag-window gap relation is persisted and

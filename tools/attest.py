@@ -230,15 +230,22 @@ def main(argv: list[str]) -> int:
         return 0
     never, drifted = drift_report()
     window = set(registry.DRIVER_WINDOW_FIRST)
-    bad = [n for n in never + drifted if n not in window]
+    queue = set(getattr(registry, "DRIVER_QUEUE_NEXT", []))
+    # a queue entry is an acceptable home for DRIFT (the visible promise
+    # to ride the next window) but not for never-checked queries
+    bad = [n for n in never if n not in window] + [
+        n for n in drifted if n not in window | queue
+    ]
     for n in never:
         print(f"never-checked: {n}"
               + ("" if n in window else "  ** NOT IN WINDOW **"))
     for n in drifted:
-        print(f"drifted:       {n}"
-              + ("" if n in window else "  ** NOT IN WINDOW **"))
+        tag = ("" if n in window
+               else "  (queued for next window)" if n in queue
+               else "  ** NOT IN WINDOW **")
+        print(f"drifted:       {n}{tag}")
     print(f"{len(never)} never-checked, {len(drifted)} drifted, "
-          f"{len(bad)} missing from DRIVER_WINDOW_FIRST")
+          f"{len(bad)} missing from DRIVER_WINDOW_FIRST/QUEUE")
     return 1 if bad else 0
 
 
