@@ -2353,3 +2353,36 @@ class TestLevPrefilterExactness:
             for r in q_dedup_levenshtein(spark, str(tmp_path)).collect()
         }
         assert got == want, (got, want)
+
+
+class TestSpatialJoin:
+    def test_matches_brute_force_and_pairs_unique(self, spark, sf_dir):
+        """The forward-half-neighborhood grid join (round 8) must emit
+        EXACTLY the brute-force O(n²) radius pair set, each pair once
+        (uniqueness is by construction now — no trailing distinct to
+        hide a double-covered cell adjacency) and oriented a < b."""
+        import itertools
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.geo import (
+            GEO_RADIUS_DEG,
+            customer_points,
+            q_spatial_join,
+        )
+
+        cust = load_table(spark, sf_dir, "customer")
+        pts = {
+            r.cust_id: (r.lat, r.lon)
+            for r in customer_points(cust).collect()
+        }
+        r2 = GEO_RADIUS_DEG * GEO_RADIUS_DEG
+        want = {}
+        for a, b in itertools.combinations(sorted(pts), 2):
+            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+            if d2 <= r2:
+                want[(a, b)] = round(d2 ** 0.5, 6)
+        rows = q_spatial_join(spark, sf_dir).collect()
+        got = [((r.cust_a, r.cust_b), r.dist_deg) for r in rows]
+        assert len(got) == len(set(p for p, _ in got)), "duplicate pairs"
+        assert all(a < b for (a, b), _ in got), "orientation"
+        assert dict(got) == want
