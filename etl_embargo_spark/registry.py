@@ -51,92 +51,76 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     _REGISTRY[name] = (fn, oracle)
 
 
-# Driver-window rotation (VERDICT r3 #5, r4 #3, r5 #4, r6 #2, r7 #1):
-# the driver's per-round correctness artifact covers only the FIRST 50
-# entries of queries().  Rounds 1-7 covered 207 distinct queries; this
-# round fronts the final 45 that have NEVER had a driver CORRECTNESS
-# row, PLUS driver re-proofs of the three queries whose round-7 changes
-# moved semantics or oracles (q_bootstrap_ci: digest-sliced weights +
-# cents oracle; q_record_linkage: spread before the variant explode;
-# q_dedup_ngram_jaccard: chunked sparse kernel) — their prior driver
-# rows attest the OLD forms.  After this window lands, every one of the
-# 252 registered queries carries a current green driver row.
-#
-# Standing rule from here on (VERDICT r7 #2): any query whose builder
-# source (transitive same-module helpers included) or oracle SQL
-# changes after its last driver attestation MUST appear in this list —
-# enforced by tools/attest.py + tests/test_attestations.py against the
-# baseline in tools/attestations.json (refreshed per driver round).
+# Driver-window rotation — STANDING POLICY from round 9 on (VERDICT r8
+# #2): the driver's per-round correctness artifact covers only the
+# FIRST 50 entries of queries(), and after round 8 the rotation is
+# complete (252/252 driver-checked).  Each round's window is GENERATED
+# by `python tools/attest.py --window 50`: never-checked and drifted
+# queries first (they MUST ride — tests/test_attestations.py), then
+# everything else oldest-attestation-first so no query's driver row
+# rots beyond ~5 rounds.  tests/test_attestations.py asserts this list
+# equals the tool's output; regenerate it after any builder/oracle
+# edit.  Round 9: the 2 r8-rewrite re-proofs (q_weighted_median,
+# q_kappa — clearing r8's queue) + the 48 oldest attestations
+# (rounds 3-4).
 DRIVER_WINDOW_FIRST = [
-    # round-7 change re-proofs
-    "q_bootstrap_ci",
-    "q_record_linkage",
-    "q_dedup_ngram_jaccard",
-    # round-8 change re-proofs (broadcast-rank power iteration — pins
-    # regenerated bit-identical, but the builders changed so the
-    # attestation ledger fronts them)
-    "q_pagerank",
-    "q_textrank",
-    # never-driver-checked block (completes the rotation)
-    "q_attribution",
-    "q_average_precision",
-    "q_basket_lift",
-    "q_class_weights",
-    "q_cohens_d",
-    "q_concurrency",
-    "q_confusion",
-    "q_cv_folds",
-    "q_dataset_card",
-    "q_dataset_diff",
-    "q_debounce",
-    "q_disjunctive_join",
-    "q_dp_counts",
-    "q_event_paths",
-    "q_expectations",
-    "q_feature_table",
-    "q_freshness",
-    "q_funnel_steps",
-    "q_group_sample",
-    "q_growth_accounting",
-    "q_hash_ring",
-    "q_hhi",
-    "q_hierarchy_rollup",
-    "q_itemsets3",
-    "q_join_size",
-    "q_label_encode",
-    "q_lateral_topk",
-    "q_mom_growth",
-    "q_new_vs_returning",
-    "q_pareto",
-    "q_percent_of_total",
-    "q_rolling_dau",
-    "q_revenue_deciles",
-    "q_ri_audit",
-    "q_sample_size",
-    "q_seasonal_decompose",
-    "q_simpson",
-    "q_skew_profile",
-    "q_snaive_forecast",
-    "q_spatial_join",
-    "q_streaks",
-    "q_time_rollup",
-    "q_transitions",
-    "q_uplift",
-    "q_weighted_sample",
+    "q_kappa",
+    "q_weighted_median",
+    "q_corpus_prep",
+    "q_dedup_exact",
+    "q_doc_fingerprint",
+    "q_lang_id",
+    "q_range_join",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_topk_similarity",
+    "q_ann_ivf",
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    "q_asof_join",
+    "q_basename",
+    "q_compaction_plan",
+    "q_compare_full_outer",
+    "q_contrastive_pairs",
+    "q_count",
+    "q_cube",
+    "q_date_add_year",
+    "q_date_as_int",
+    "q_date_cutoff",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_levenshtein",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_dsir_weights",
+    "q_embargo_anti",
+    "q_empty_check",
+    "q_filename_parse",
+    "q_intersect",
+    "q_ipv6_normalize",
+    "q_join_revenue",
+    "q_json_sites",
+    "q_knn_join",
+    "q_lag_lead",
+    "q_limit",
+    "q_metrics_rollup",
+    "q_overwrite_merge",
+    "q_prefix_scan",
+    "q_pricing_summary",
+    "q_range_check",
+    "q_rename_rewrite",
+    "q_rollup",
+    "q_semdedup",
+    "q_split_partition",
+    "q_sql_split",
 ]
 
-# Changed after the current 50-slot window was already full: these carry
-# stale driver attestations until they ride the TOP of the NEXT round's
-# window.  tests/test_attestations.py accepts DRIFTED queries here (the
-# queue is the visible promise), never-checked ones still need a real
-# window slot; `python tools/attest.py` keeps flagging queue entries so
-# the next window swap cannot forget them.  (q_spatial_join's round-8
-# rewrite needs no queue slot — it sits in the never-checked window
-# block above, so its round-8 driver row attests the new form directly.)
-DRIVER_QUEUE_NEXT = [
-    "q_weighted_median",  # two-phase crossing search rewrite (r8)
-    "q_kappa",            # single-pass contingency rewrite (r8)
-]
+# Changed after the current window was already full: drifted queries may
+# ride here when the 50 slots are taken; the NEXT round's window swap
+# MUST front this queue first, then empty it.  Empty since round 9 —
+# the window generator fronts drift automatically.
+DRIVER_QUEUE_NEXT: list[str] = []
 
 
 def queries() -> dict[str, QueryFn]:

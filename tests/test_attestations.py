@@ -74,6 +74,34 @@ def test_queue_is_registered_and_disjoint_from_window():
         assert name not in window, f"{name} both queued and in window"
 
 
+def test_window_follows_standing_policy():
+    """VERDICT r8 #2: the checked-in window must be exactly what the
+    generator emits — never-checked + drifted first, then
+    oldest-attestation-first.  Regenerate with
+    `python tools/attest.py --window 50` after any builder/oracle
+    edit (the edit drifts the hash, which moves the query to the
+    window front)."""
+    assert registry.DRIVER_WINDOW_FIRST == attest.window_list(50), (
+        "DRIVER_WINDOW_FIRST is stale — regenerate it with "
+        "`python tools/attest.py --window 50` and paste into "
+        "registry.py"
+    )
+
+
+def test_closure_hash_follows_cross_module_imports():
+    """ADVICE r8: an in-function `from etl_embargo_spark.operators.X
+    import Y` must pull Y's source into the consumer's hash (the
+    dedup._bucket_pairs-inside-geo case), while the documented
+    catalog/parity/session boundary stays excluded."""
+    from etl_embargo_spark.operators import geo
+
+    src = attest._closure_source(geo.q_spatial_join)
+    assert "def _bucket_pairs" in src, "cross-module kernel not hashed"
+    assert "def load_table" not in src, "scope boundary violated"
+    assert not attest._followable("etl_embargo_spark.catalog")
+    assert attest._followable("etl_embargo_spark.operators.dedup")
+
+
 def test_drift_detection_fires(monkeypatch):
     """Mechanism check: a baseline hash mismatch on a driver-checked
     query must surface in drift_report (guards against the report

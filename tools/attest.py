@@ -21,11 +21,17 @@ has never been driver-checked) and it is NOT fronted in
 ``registry.DRIVER_WINDOW_FIRST`` — i.e. a semantic change can no longer
 ship on a stale attestation; it must ride the next driver window.
 
-Scope boundary (documented, deliberate): cross-module helpers
-(catalog.load_table, parity, session) are shared by essentially every
-query — hashing them would flag all 252 on any touch, overflowing the
-50-slot window.  Changes there are covered by the local sf0.01 full
-sweep (.claude/skills/verify) and the pytest oracles instead.
+The closure also follows in-function ``from etl_embargo_spark.… import
+X`` statements into SIBLING modules (ADVICE r8: geo.q_spatial_join's
+use of dedup._bucket_pairs must flag the geo consumer when the dedup
+kernel changes), EXCEPT the deliberate scope boundary below.
+
+Scope boundary (documented, deliberate): cross-module helpers shared by
+essentially every query (catalog.load_table / table_rows /
+spread_for_cpu, parity, session) are NOT hashed — they would flag all
+252 on any touch, overflowing the 50-slot window.  Changes there are
+covered by the local sf0.01 full sweep (.claude/skills/verify) and the
+pytest oracles instead.
 
 Usage:
     python tools/attest.py                    # report drift (exit 1 if
@@ -34,10 +40,25 @@ Usage:
     python tools/attest.py --refresh          # after a driver round:
                                               # re-attest the queries in
                                               # the LATEST CORRECTNESS
-                                              # file at their current
-                                              # hashes
+                                              # file (prefers the
+                                              # committed round-end
+                                              # snapshot's hashes, and
+                                              # warns when the current
+                                              # hash already differs)
     python tools/attest.py --refresh-all      # bootstrap / rebuild the
                                               # whole baseline
+    python tools/attest.py --snapshot         # round-end: freeze the
+                                              # current hashes the
+                                              # driver is about to
+                                              # attest (commit it) so
+                                              # the next --refresh
+                                              # can't attest post-run
+                                              # edits (ADVICE r8)
+    python tools/attest.py --window [N]       # emit the next driver
+                                              # window: never-checked +
+                                              # drifted first, then
+                                              # oldest-attested-first
+                                              # (VERDICT r8 #2)
 """
 
 from __future__ import annotations
@@ -55,6 +76,10 @@ if str(_REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(_REPO_ROOT))
 
 BASELINE_PATH = _REPO_ROOT / "tools" / "attestations.json"
+SNAPSHOT_PATH = _REPO_ROOT / "tools" / "attest_snapshot.json"
+
+# Modules deliberately OUTSIDE the hash closure (see module docstring).
+_SCOPE_EXCLUDE = {"catalog", "parity", "session"}
 
 _MOD_CACHE: dict[str, tuple[str, dict[str, ast.AST]]] = {}
 
@@ -83,29 +108,48 @@ def _module_defs(mod) -> tuple[str, dict[str, ast.AST]]:
     return src, defs
 
 
+def _followable(modname: str | None) -> bool:
+    """True for repo modules inside the hash scope (sibling operator /
+    function / source modules), False for the documented exclusions."""
+    if not modname or not modname.startswith("etl_embargo_spark"):
+        return False
+    return modname.rsplit(".", 1)[-1] not in _SCOPE_EXCLUDE
+
+
 def _closure_source(fn) -> str:
-    """Source of fn plus every same-module top-level definition it
-    (transitively) references by bare name, in sorted-name order so the
-    hash is insertion-order independent."""
+    """Source of fn plus every top-level definition it (transitively)
+    references — same-module bare names AND in-function ``from
+    etl_embargo_spark.… import X`` targets in sibling modules (ADVICE
+    r8: a dedup._bucket_pairs change must flag its geo/graph
+    consumers).  Parts are keyed (module, name) and emitted in sorted
+    order so the hash is insertion-order independent."""
+    import importlib
+
     mod = inspect.getmodule(fn)
-    src, defs = _module_defs(mod)
-    root = fn.__name__
-    seen: set[str] = set()
-    stack = [root]
+    seen: set[tuple[str, str]] = set()
+    stack: list[tuple[str, str]] = [(mod.__name__, fn.__name__)]
+    parts: dict[tuple[str, str], str] = {}
     while stack:
-        n = stack.pop()
-        if n in seen or n not in defs:
+        modname, n = stack.pop()
+        if (modname, n) in seen:
             continue
-        seen.add(n)
-        for sub in ast.walk(defs[n]):
+        seen.add((modname, n))
+        try:
+            src, defs = _module_defs(importlib.import_module(modname))
+        except Exception:
+            continue
+        if n not in defs:
+            continue
+        node = defs[n]
+        parts[(modname, n)] = ast.get_source_segment(src, node) or ""
+        for sub in ast.walk(node):
             if isinstance(sub, ast.Name) and sub.id in defs:
-                if sub.id not in seen:
-                    stack.append(sub.id)
-    parts = []
-    for n in sorted(seen):
-        seg = ast.get_source_segment(src, defs[n])
-        parts.append(seg or "")
-    return "\n".join(parts)
+                stack.append((modname, sub.id))
+            elif isinstance(sub, ast.ImportFrom) and _followable(
+                    sub.module):
+                for alias in sub.names:
+                    stack.append((sub.module, alias.name))
+    return "\n".join(parts[k] for k in sorted(parts))
 
 
 def _oracle_component(name: str) -> str:
@@ -195,6 +239,22 @@ def drift_report() -> tuple[list[str], list[str]]:
     return never, drifted
 
 
+def window_list(n: int = 50) -> list[str]:
+    """The next driver window under the standing policy (VERDICT r8 #2):
+    never-checked queries and drifted queries first (they MUST ride),
+    then everything else oldest-attestation-first so no query's driver
+    row rots beyond ~5 rounds.  Deterministic: ties break on name."""
+    cur = current_hashes()
+    base = load_baseline()
+    never, drifted = drift_report()
+    front = sorted(never) + sorted(d for d in drifted if d not in never)
+    rest = sorted(
+        (q for q in cur if q not in set(front)),
+        key=lambda q: (base.get(q, {}).get("attested_round") or 0, q),
+    )
+    return (front + rest)[:n]
+
+
 def main(argv: list[str]) -> int:
     from etl_embargo_spark import registry
 
@@ -208,6 +268,13 @@ def main(argv: list[str]) -> int:
         print(f"attestations.json: {len(cur)} queries baselined "
               f"({sum(1 for n in cur if n in rounds)} with driver rows)")
         return 0
+    if "--snapshot" in argv:
+        SNAPSHOT_PATH.write_text(json.dumps(
+            {"note": "hashes frozen at round end, pre-driver-run; "
+                     "--refresh attests THESE, not post-run edits",
+             "hashes": dict(sorted(cur.items()))}, indent=1) + "\n")
+        print(f"snapshot: {len(cur)} hashes -> {SNAPSHOT_PATH.name}")
+        return 0
     if "--refresh" in argv:
         files = sorted(
             _REPO_ROOT.glob("CORRECTNESS_r*.json"),
@@ -220,13 +287,33 @@ def main(argv: list[str]) -> int:
         names = set(json.loads(latest.read_text()))
         base = load_baseline()
         rnd = int(re.search(r"r(\d+)", latest.name).group(1))
+        # ADVICE r8: attest the hash the driver actually RAN (the
+        # committed round-end snapshot), not whatever the source hashes
+        # to now — an edit landed between the driver run and this
+        # refresh must stay visibly drifted.
+        snap: dict[str, str] = {}
+        if SNAPSHOT_PATH.exists():
+            snap = json.loads(SNAPSHOT_PATH.read_text()).get("hashes", {})
         hit = 0
         for n in names:
             if n in cur:
-                base[n] = {"hash": cur[n], "attested_round": rnd}
+                attested = snap.get(n, cur[n])
+                if n in snap and snap[n] != cur[n]:
+                    print(f"WARNING: {n} edited after the driver run — "
+                          f"attesting the snapshot hash; it stays "
+                          f"drifted until re-ridden", file=sys.stderr)
+                base[n] = {"hash": attested, "attested_round": rnd}
                 hit += 1
         save_baseline(base)
-        print(f"re-attested {hit} queries from {latest.name}")
+        print(f"re-attested {hit} queries from {latest.name}"
+              + (" (snapshot hashes)" if snap else " (no snapshot)"))
+        return 0
+    if "--window" in argv:
+        i = argv.index("--window")
+        n = int(argv[i + 1]) if i + 1 < len(argv) and \
+            argv[i + 1].isdigit() else 50
+        for q in window_list(n):
+            print(q)
         return 0
     never, drifted = drift_report()
     window = set(registry.DRIVER_WINDOW_FIRST)

@@ -47,13 +47,19 @@ def main() -> None:
                 ).save()
             except Exception as exc:
                 print(f"# {name} FAILED: {exc}", file=sys.stderr)
+                # ADVICE r8: a run-2 failure must record -1.0, not keep
+                # run 1's time — a flaky query is a red row, not green
+                # (mirrors tools/soak.py).
+                best = None
                 break
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3) if best is not None else -1.0
         print(f"  {name}: {timings[name]}", file=sys.stderr, flush=True)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    out = _REPO_ROOT / "BENCH_nonheadline_r8.json"
+    out = _REPO_ROOT / (
+        sys.argv[1] if len(sys.argv) > 1 else "BENCH_nonheadline_r9.json"
+    )
     out.write_text(
         json.dumps(
             {
