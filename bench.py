@@ -208,6 +208,13 @@ HEADLINE = [
     "q_textrank",
     "q_corpus_dedup",
     "q_spatial_join",
+    # new in round 9 (same placed-last warm-JIT rule): community
+    # detection (iterative), bigram LM scoring, exact Shapley
+    # attribution, and the corpus-sized bloom membership audit
+    "q_label_propagation",
+    "q_bigram_lm",
+    "q_shapley_attribution",
+    "q_bloom_fpr",
 ]
 
 

@@ -1722,6 +1722,122 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHAPLEY_CONV = "purchase"
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution — the game-theoretic
+    completion of the attribution family (q_attribution's last-touch
+    rule, q_markov_attribution's removal effects): each channel's credit
+    is its average marginal contribution across ALL coalition orders.
+
+    The game: a user's coalition is the set of channels touched before
+    their first conversion; v(S) = conversions from users whose whole
+    coalition fits inside S.  phi_i = sum over S not containing i of
+    |S|!(n-1-|S|)!/n! * (v(S+i) - v(S)), computed EXACTLY — no
+    permutation sampling — because the channel universe is small even
+    when the event log is 100 TB.
+
+    Scale shape: the log collapses to one row per (user, touched
+    channel) in a single distinct (map-side combined), then to the
+    |observed-coalition|-sized bitmask relation (<= 2^n rows); every
+    later step runs on 2^n-sized relations joined broadcast.  The
+    subset-sum v(S), the coalition enumeration, and the factorial
+    weights are all exact BIGINT arithmetic: the only floats are the
+    two final single divisions (exact-int numerator / exact-int
+    denominator — bit-identical across engines, the CLAUDE.md
+    engine-exact-division rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == SHAPLEY_CONV, F.col("ts"))
+        ).alias("fpts")
+    )
+    # channel universe: every non-conversion event type; cid by name.
+    # |channels|-sized relation, so the unpartitioned row_number is fine.
+    ch = (
+        ev.filter(F.col("event_type") != SHAPLEY_CONV)
+        .select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                F.row_number().over(Window.orderBy("event_type")) - 1
+            ).alias("cid"),
+        )
+    )
+    touched = (
+        ev.join(u, "user_id")
+        .filter(
+            (F.col("event_type") != SHAPLEY_CONV)
+            & (F.col("fpts").isNull() | (F.col("ts") < F.col("fpts")))
+        )
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    masks_u = (
+        touched.join(F.broadcast(ch), "event_type")
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(shiftleft(1, cid))").alias("mask"))
+    )
+    per_user = u.join(masks_u, "user_id", "left").select(
+        F.coalesce(F.col("mask"), F.lit(0)).alias("mask"),
+        F.col("fpts").isNotNull().cast("int").alias("conv"),
+    )
+    obs = per_user.groupBy("mask").agg(F.sum("conv").alias("conv"))
+    nch = ch.agg(F.count(F.lit(1)).alias("nch"))
+    allmasks = nch.select(
+        F.explode(
+            F.sequence(F.lit(0), F.expr("shiftleft(1, nch) - 1"))
+        ).alias("s"),
+        "nch",
+    )
+    # v(S) = subset-sum of observed-coalition conversions: a 2^n x
+    # |observed| broadcast theta-join — both sides channel-bounded
+    v = (
+        allmasks.join(
+            F.broadcast(obs), F.expr("(s & mask) = mask"), "left"
+        )
+        .groupBy("s", "nch")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).alias("v"))
+    )
+    # persist, not lazy localCheckpoint: v's lineage carries shuffles and
+    # lazy checkpoint materializes those at BUILD time under AQE
+    # (CLAUDE.md); the cache is shared by both consumers below
+    v = F.broadcast(v.persist())
+    v2 = v.select(
+        F.col("s").alias("s_with"), F.col("v").alias("v_with")
+    )
+    term = (
+        ch.join(v, F.expr("((s >> cid) & 1) = 0"))
+        .withColumn("s_with", F.expr("s | shiftleft(1, cid)"))
+        .join(v2, "s_with")
+    )
+    num = term.groupBy("event_type").agg(
+        F.max("nch").alias("nch"),
+        F.sum(
+            F.expr(
+                "factorial(bit_count(s)) "
+                "* factorial(nch - 1 - bit_count(s)) * (v_with - v)"
+            )
+        ).alias("num"),
+    )
+    total = F.sum("num").over(Window.partitionBy(F.lit(1)))
+    return num.select(
+        F.col("event_type").alias("channel"),
+        F.col("num").cast("bigint").alias("num_weighted"),
+        F.round(
+            F.col("num").cast("double") / F.factorial(F.col("nch")),
+            6,
+        ).alias("shapley"),
+        F.round(
+            F.col("num").cast("double")
+            / F.nullif(total, F.lit(0)).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-hierarchy rollup: order revenue at (year, quarter, month),
     (year, quarter), (year), and grand-total grains in ONE pass — the

@@ -415,6 +415,128 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LP_ITERS = 4
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = LP_ITERS,
+    edge_partitions: int | None = None,
+) -> DataFrame:
+    """(id, label) community assignment after ``n_iters`` SYNCHRONOUS
+    label-propagation rounds over a symmetric edge list: every node's
+    label becomes the most frequent label among its neighbours, ties to
+    the SMALLEST label — both rules exact-integer, so the result is
+    deterministic across runs, partitionings, and engines (no random
+    visit order, the classic LPA nondeterminism source).  Fixed round
+    count, not convergence: deterministic cost and output, the same
+    contract as :func:`pagerank`.
+
+    Scale shape mirrors the pagerank rewrite: the cached edge relation
+    never moves — each round broadcasts the node-sized label relation
+    into the edge join, partial-aggregates (dst, label) counts map-side
+    (the per-node distinct-label relation, far smaller than edges), and
+    reduces the argmax per node as ``max(struct(n, -label))`` — one
+    edge-stationary broadcast join + two node-ish-sized shuffles per
+    round, no edge shuffle anywhere.  Past the broadcast budget
+    (~100M+ nodes) the same fallback applies: drop the hint and
+    co-partition edges and labels on dst."""
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    if edge_partitions:
+        edges_k = edges.repartition(edge_partitions, "dst").persist()
+    else:
+        edges_k = edges
+    labels = labels.localCheckpoint()
+    for _ in range(n_iters):
+        nbr = edges_k.join(
+            F.broadcast(labels.withColumnRenamed("id", "src")), "src"
+        )
+        counts = nbr.groupBy("dst", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        nxt = (
+            counts.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n").alias("n"),
+                        (-F.col("label")).alias("neg_label"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("dst").alias("id"),
+                (-F.col("m.neg_label")).alias("label"),
+            )
+        )
+        labels = nxt.localCheckpoint()
+    if edge_partitions:
+        edges_k.unpersist()
+    edges.unpersist()
+    return labels
+
+
+def label_propagation_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-propagation communities of the spatial neighbor graph —
+    customers within GEO_RADIUS_DEG of each other (geo.q_spatial_join's
+    exactly-once pair set, symmetrized).  The geometric graph is the
+    honest LPA input here: it has locality and a large hop diameter, so
+    fixed-round propagation yields real multi-community structure —
+    the dense co-purchase graph is diameter-~2 and any propagation
+    rule degenerates to one global label on it (checked; CLAUDE.md
+    degeneracy rule).  Detail form; pytest replays the identical
+    synchronous update in pure Python on the same edges
+    (tests/test_extensions.py::TestLabelPropagation)."""
+    from etl_embargo_spark.catalog import table_rows
+    from etl_embargo_spark.operators.geo import q_spatial_join
+
+    # persist before symmetrizing: both union branches read the
+    # bucket-expansion lineage (the _bucket_pairs "executes twice"
+    # pitfall, same as copurchase_edges)
+    base = (
+        q_spatial_join(spark, sf_dir)
+        .select("cust_a", "cust_b")
+        .persist()
+    )
+    sym = base.select(
+        F.col("cust_a").alias("src"), F.col("cust_b").alias("dst")
+    ).unionByName(
+        base.select(F.col("cust_b").alias("src"), F.col("cust_a").alias("dst"))
+    )
+    # neighbor pairs grow ~linearly in customers at fixed density; same
+    # corpus-derived fat-partition rule as pagerank_ranks
+    rows = table_rows(sf_dir, "customer", default=1_500)
+    parts = max(8, rows // 500_000)
+    return label_propagation(sym, edge_partitions=parts)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered checksum-rollup of :func:`label_propagation_labels`
+    (the node-level labels stay pytest-checked): per id%8 group the node
+    count, distinct-community count, and an order-insensitive hash-sum —
+    pinnable as a literal DuckDB oracle at every SF.  Community
+    detection closes the graph family (pagerank centrality, triangle
+    census, components in dedup_clusters) with the assignment-style
+    clustering a 100 TB neighbor graph actually gets: per round one
+    broadcast join against the stationary edge cache, never an edge
+    shuffle."""
+    from etl_embargo_spark.operators.aggregates import rows_checksum
+
+    lab = label_propagation_labels(spark, sf_dir)
+    return lab.groupBy((F.col("id") % 8).cast("int").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.count_distinct("label").alias("n_labels"),
+        rows_checksum("id", "label").alias("rows_sum"),
+    )
+
+
 TEXTRANK_MIN_LEN = 4  # crude content-word filter (POS tags need no engine)
 TEXTRANK_TOP = 20
 

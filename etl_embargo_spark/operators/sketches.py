@@ -152,6 +152,105 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS_PER_KEY = 8  # m = BLOOM_BITS_PER_KEY x probed population
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(key, row, m: int):
+    """Row-seeded md5 bit position in [0, m) — the same
+    engine-independent md5-slice idiom as :func:`_kmv_hash`."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", row.cast("string"), key)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % m
+    )
+
+
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: insert the urgent-priority order
+    keys into an m=BLOOM_M, k=BLOOM_K Bloom filter, probe it with EVERY
+    order key, and report the EXACT false-positive count against ground
+    truth — the sketch that powers runtime join filters (Spark's own
+    bloomFilter injection, enabled in session.py) built explicitly so
+    its merge algebra and error are visible and testable.
+
+    Scale shape: the filter state is the distinct-bit-position relation
+    — at most m rows whatever the inserted cardinality (the explode is
+    k rows per key, collapsed map-side by the distinct) — and it
+    broadcasts into the probe join exactly like a production runtime
+    filter ships to scan tasks.  Probes reduce per key with a map-side
+    combined count; a key is bloom-positive iff all k of its probe rows
+    hit.  Hashes are md5 slices, so the bit pattern — and therefore the
+    exact FP set — is deterministic across engines, runs, and
+    partitionings, which is what makes a SKETCH oracle-checkable.
+
+    m is CORPUS-DERIVED (BLOOM_BITS_PER_KEY bits per probed key, from
+    the parquet footer count — job-free), so the fill fraction and FPR
+    stay in the useful regime at every SF; a fixed m saturates to
+    FPR≈1 at 10x the design size (measured: 16384 bits is 99.6% full
+    at sf0.1).  The oracle recomputes the same m as 8*count(*)."""
+    from etl_embargo_spark.catalog import table_rows
+
+    m = BLOOM_BITS_PER_KEY * table_rows(sf_dir, "orders", default=1_500)
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias(
+            "member"
+        ),
+    )
+    pos = keyed.select(
+        "k",
+        "member",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(BLOOM_K)])
+        ).alias("r"),
+    ).select(
+        "k", "member", _bloom_pos(F.col("k"), F.col("r"), m).alias("p")
+    )
+    # two consumers of the position lineage (filter build + probe):
+    # cache it rather than hash 2x3n md5s
+    pos = pos.persist()
+    bits = pos.filter(F.col("member") == 1).select("p").distinct()
+    hits = (
+        pos.join(F.broadcast(bits), "p")
+        .groupBy("k", "member")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_fp = hits.filter(
+        (F.col("member") == 0) & (F.col("n_hit") == BLOOM_K)
+    ).agg(F.count(F.lit(1)).alias("n_fp"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    base = keyed.agg(
+        F.sum("member").cast("bigint").alias("n_inserted"),
+        F.sum(1 - F.col("member")).cast("bigint").alias("n_true_neg"),
+    )
+    return (
+        base.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_fp))
+        .select(
+            F.lit(m).cast("bigint").alias("m"),
+            F.lit(BLOOM_K).alias("k"),
+            "n_inserted",
+            "n_bits_set",
+            "n_true_neg",
+            "n_fp",
+            # exact ints, one IEEE division each: engine-identical
+            F.round(
+                F.col("n_fp").cast("double") / F.col("n_true_neg"), 6
+            ).alias("fpr"),
+            F.round(
+                F.col("n_bits_set").cast("double") / F.lit(float(m)), 6
+            ).alias("fill_frac"),
+        )
+    )
+
+
 KMV_K = 64  # sketch size: k smallest hashes retained per population
 KMV_BITS = 60  # 15 md5 hex chars -> [0, 2^60) integer hash
 

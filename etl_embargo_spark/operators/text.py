@@ -663,6 +663,86 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_LL_DECIMALS = 6  # quantize per-bigram log-likelihoods
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed BIGRAM language model, trained and applied in
+    one declarative plan: corpus-wide conditional bigram likelihoods
+    p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), then every document scored by
+    its total bigram negative log-likelihood — the context-sensitive
+    upgrade of q_perplexity's unigram gate (boilerplate and shuffled
+    text score high under a bigram LM even when their unigram profile
+    looks natural).
+
+    Scale shape: the model is BIGRAM-VOCAB-sized, never corpus-sized —
+    bigram and context counts collapse map-side from one pass over the
+    in-array adjacent pairs (codegen transform over sequence, the
+    q_pmi shape), and the per-doc reduction joins doc-local bigram
+    TYPE counts against the model on its natural (w1, w2) key (every
+    observed doc bigram is in the model by construction, so the join
+    is inner and lossless).  Engine determinism: each log-likelihood
+    is rounded to BIGRAM_LL_DECIMALS and cast DECIMAL before the
+    per-doc sum (decimal sums are associative; libm 1-ulp skew never
+    flips the rounding — the q_naive_bayes rule), and the emitted
+    score is the exact micro-unit integer."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    t = docs.select("doc_id", "lang", _tokens().alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+    dbc = big.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_b"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_u"))
+    # smoothing denominator uses the FULL vocabulary (final-position
+    # tokens included), not just observed contexts
+    vdf = docs.select(F.explode(_tokens()).alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    ll = (
+        cb.join(cu, "w1")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("n_b") + F.lit(1.0))
+                    / (F.col("n_u") + F.col("v"))
+                ),
+                BIGRAM_LL_DECIMALS,
+            )
+            .cast(f"decimal(18,{BIGRAM_LL_DECIMALS})")
+            .alias("ll"),
+        )
+    )
+    per_doc = dbc.join(ll, ["w1", "w2"]).groupBy("doc_id", "lang").agg(
+        F.sum(F.col("n_d") * F.col("ll")).alias("s"),
+        F.sum("n_d").alias("n_bigrams"),
+    )
+    # s carries exactly BIGRAM_LL_DECIMALS decimals -> micro units are
+    # an exact integer; the bigint cast truncates nothing
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        (-F.col("s") * 1000000).cast("bigint").alias("nll_micro"),
+    )
+
+
 ZIPF_TOP = 1000
 
 

@@ -60,10 +60,15 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # everything else oldest-attestation-first so no query's driver row
 # rots beyond ~5 rounds.  tests/test_attestations.py asserts this list
 # equals the tool's output; regenerate it after any builder/oracle
-# edit.  Round 9: the 2 r8-rewrite re-proofs (q_weighted_median,
-# q_kappa — clearing r8's queue) + the 48 oldest attestations
-# (rounds 3-4).
+# edit.  Round 9: the 4 new queries (q_bigram_lm q_bloom_fpr
+# q_label_propagation q_shapley_attribution — never-checked) + the 2
+# r8-rewrite re-proofs (q_weighted_median, q_kappa — clearing r8's
+# queue) + the 44 oldest attestations (rounds 3-4).
 DRIVER_WINDOW_FIRST = [
+    "q_bigram_lm",
+    "q_bloom_fpr",
+    "q_label_propagation",
+    "q_shapley_attribution",
     "q_kappa",
     "q_weighted_median",
     "q_corpus_prep",
@@ -110,10 +115,6 @@ DRIVER_WINDOW_FIRST = [
     "q_pricing_summary",
     "q_range_check",
     "q_rename_rewrite",
-    "q_rollup",
-    "q_semdedup",
-    "q_split_partition",
-    "q_sql_split",
 ]
 
 # Changed after the current window was already full: drifted queries may
@@ -6347,4 +6348,155 @@ register(
     ORDER BY log_importance DESC, doc_id
     LIMIT {sampling.DSIR_TOP_K}
     """,
+)
+
+register(
+    "q_bigram_lm",
+    text.q_bigram_lm,
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE n_chars > 0
+    ),
+    vocab AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    big AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(0, len(t) - 1),
+                                     i -> t[i+1])) AS w1,
+               unnest(list_transform(range(0, len(t) - 1),
+                                     i -> t[i+2])) AS w2
+        FROM toks WHERE len(t) >= 2
+    ),
+    dbc AS (
+        SELECT doc_id, lang, w1, w2, count(*) AS n_d
+        FROM big GROUP BY 1, 2, 3, 4
+    ),
+    cb AS (SELECT w1, w2, count(*) AS n_b FROM big GROUP BY 1, 2),
+    cu AS (SELECT w1, count(*) AS n_u FROM big GROUP BY 1),
+    ll AS (
+        SELECT cb.w1, cb.w2,
+               CAST(round(ln((n_b + 1.0) / (n_u + v)),
+                          {text.BIGRAM_LL_DECIMALS})
+                    AS DECIMAL(18,{text.BIGRAM_LL_DECIMALS})) AS ll
+        FROM cb JOIN cu USING (w1), vocab
+    )
+    SELECT doc_id, lang,
+           CAST(sum(n_d) AS BIGINT) AS n_bigrams,
+           CAST(-sum(n_d * ll) * 1000000 AS BIGINT) AS nll_micro
+    FROM dbc JOIN ll ON dbc.w1 = ll.w1 AND dbc.w2 = ll.w2
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "q_shapley_attribution",
+    analytics.q_shapley_attribution,
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = '{analytics.SHAPLEY_CONV}'
+                        THEN ts END) AS fpts
+        FROM events GROUP BY 1
+    ),
+    ch AS (
+        SELECT event_type,
+               CAST(row_number() OVER (ORDER BY event_type) - 1
+                    AS INT) AS cid
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE event_type <> '{analytics.SHAPLEY_CONV}')
+    ),
+    touched AS (
+        SELECT DISTINCT e.user_id, e.event_type
+        FROM events e JOIN u USING (user_id)
+        WHERE e.event_type <> '{analytics.SHAPLEY_CONV}'
+          AND (u.fpts IS NULL OR e.ts < u.fpts)
+    ),
+    mu AS (
+        SELECT user_id, bit_or(1 << cid) AS mask
+        FROM touched JOIN ch USING (event_type) GROUP BY 1
+    ),
+    pu AS (
+        SELECT coalesce(mu.mask, 0) AS mask,
+               CASE WHEN u.fpts IS NULL THEN 0 ELSE 1 END AS conv
+        FROM u LEFT JOIN mu USING (user_id)
+    ),
+    obs AS (SELECT mask, sum(conv) AS conv FROM pu GROUP BY 1),
+    nch AS (SELECT count(*) AS n FROM ch),
+    masks AS (SELECT unnest(range(0, 1 << n)) AS s, n FROM nch),
+    v AS (
+        SELECT s, n, coalesce(sum(conv), 0) AS v
+        FROM masks LEFT JOIN obs ON (s & mask) = mask
+        GROUP BY 1, 2
+    ),
+    term AS (
+        SELECT ch.event_type, v.s, v.n, v.v, v2.v AS v_with
+        FROM ch JOIN v ON ((v.s >> ch.cid) & 1) = 0
+        JOIN v v2 ON v2.s = (v.s | (1 << ch.cid))
+    ),
+    num AS (
+        SELECT event_type, max(n) AS n,
+               sum(factorial(CAST(bit_count(s) AS INT))
+                   * factorial(CAST(n - 1 - bit_count(s) AS INT))
+                   * (v_with - v)) AS num
+        FROM term GROUP BY 1
+    )
+    SELECT event_type AS channel,
+           CAST(num AS BIGINT) AS num_weighted,
+           round(num / factorial(CAST(n AS INT)), 6) AS shapley,
+           round(num / nullif(sum(num) OVER (), 0), 6) AS share
+    FROM num
+    """,
+)
+
+register(
+    "q_bloom_fpr",
+    sketches.q_bloom_fpr,
+    f"""
+    WITH msel AS (
+        SELECT {sketches.BLOOM_BITS_PER_KEY} * count(*) AS m FROM orders
+    ),
+    keyed AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS kk,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS member
+        FROM orders
+    ),
+    pos AS (
+        SELECT kk, member,
+               CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || kk),
+                                    1, 8))::UBIGINT AS BIGINT) % m AS p
+        FROM keyed, (SELECT unnest(range(0, {sketches.BLOOM_K})) AS r),
+             msel
+    ),
+    bits AS (SELECT DISTINCT p FROM pos WHERE member = 1),
+    hits AS (
+        SELECT kk, member, count(*) AS n_hit
+        FROM pos JOIN bits USING (p) GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT count(*) AS n_fp FROM hits
+        WHERE member = 0 AND n_hit = {sketches.BLOOM_K}
+    ),
+    nb AS (SELECT count(*) AS n_bits_set FROM bits),
+    base AS (
+        SELECT CAST(sum(member) AS BIGINT) AS n_inserted,
+               CAST(sum(1 - member) AS BIGINT) AS n_true_neg
+        FROM keyed
+    )
+    SELECT CAST(m AS BIGINT) AS m, {sketches.BLOOM_K} AS k,
+           n_inserted, n_bits_set, n_true_neg, n_fp,
+           round(n_fp * 1.0 / n_true_neg, 6) AS fpr,
+           round(n_bits_set * 1.0 / m, 6) AS fill_frac
+    FROM base, nb, fp, msel
+    """,
+)
+
+register(
+    "q_label_propagation",
+    graph.q_label_propagation,
+    pinned_oracle("q_label_propagation"),
 )

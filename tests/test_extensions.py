@@ -2386,3 +2386,167 @@ class TestSpatialJoin:
         assert len(got) == len(set(p for p, _ in got)), "duplicate pairs"
         assert all(a < b for (a, b), _ in got), "orientation"
         assert dict(got) == want
+
+
+class TestLabelPropagation:
+    def test_matches_python_sync_lpa(self, spark, sf_dir):
+        """Spark label propagation must match a sequential synchronous
+        replay (most-frequent neighbour label, ties to smallest) over
+        the same spatial neighbour edges — exact integer labels, so the
+        compare is equality, no tolerance."""
+        from collections import Counter, defaultdict
+
+        from etl_embargo_spark.operators.geo import q_spatial_join
+        from etl_embargo_spark.operators.graph import (
+            LP_ITERS,
+            label_propagation_labels,
+        )
+
+        pairs = [
+            (r.cust_a, r.cust_b)
+            for r in q_spatial_join(spark, sf_dir).collect()
+        ]
+        nbrs = defaultdict(list)
+        for a, b in pairs:
+            nbrs[a].append(b)
+            nbrs[b].append(a)
+        labels = {v: v for v in nbrs}
+        for _ in range(LP_ITERS):
+            nxt = {}
+            for v, ns in nbrs.items():
+                cnt = Counter(labels[u] for u in ns)
+                nxt[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            labels = nxt
+        got = {
+            r.id: r.label
+            for r in label_propagation_labels(spark, sf_dir).collect()
+        }
+        assert got == labels
+        # non-degenerate on the geometric graph: more than one community
+        assert len(set(got.values())) > 1
+
+    def test_toy_two_cliques(self, spark):
+        """Two triangles joined by a single bridge keep two communities
+        (each triangle's majority beats the one bridge vote)."""
+        from etl_embargo_spark.operators.graph import label_propagation
+
+        tri_a = [(0, 1), (1, 2), (0, 2)]
+        tri_b = [(10, 11), (11, 12), (10, 12)]
+        bridge = [(2, 10)]
+        und = tri_a + tri_b + bridge
+        edges = spark.createDataFrame(
+            und + [(b, a) for a, b in und], "src long, dst long"
+        )
+        out = {r.id: r.label for r in label_propagation(edges).collect()}
+        assert len({out[0], out[1], out[2]} | {out[10], out[11], out[12]}) == 2
+        assert {out[0], out[1], out[2]} != {out[10], out[11], out[12]}
+
+
+class TestBloomFpr:
+    def test_matches_bruteforce(self, spark, sf_dir):
+        """The exact bit set, FP count, and corpus-derived m must match
+        a sequential md5 replay over the same keys."""
+        import hashlib
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.sketches import (
+            BLOOM_BITS_PER_KEY,
+            BLOOM_K,
+            q_bloom_fpr,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).collect()
+        m = BLOOM_BITS_PER_KEY * len(orders)
+
+        def pos(key, r):
+            h = hashlib.md5(f"{r}:{key}".encode()).hexdigest()
+            return int(h[:8], 16) % m
+
+        bits = {
+            pos(o.o_orderkey, r)
+            for o in orders
+            if o.o_orderpriority == "1-URGENT"
+            for r in range(BLOOM_K)
+        }
+        n_fp = sum(
+            1
+            for o in orders
+            if o.o_orderpriority != "1-URGENT"
+            and all(pos(o.o_orderkey, r) in bits for r in range(BLOOM_K))
+        )
+        row = q_bloom_fpr(spark, sf_dir).collect()[0]
+        assert row.m == m
+        assert row.n_bits_set == len(bits)
+        assert row.n_fp == n_fp
+        # one-sided error: every inserted key is bloom-positive by
+        # construction, so the only error mode is false positives,
+        # and the fill fraction stays in the designed regime
+        assert row.fill_frac < 0.5
+
+
+class TestShapleyAttribution:
+    def test_matches_bruteforce_and_axioms(self, spark, sf_dir):
+        """Exact-integer Shapley numerators must match a sequential
+        replay (coalitions, subset-sum v, factorial weights), and the
+        result must satisfy the efficiency axiom:
+        sum(num_i) = n! * (v(N) - v(empty))."""
+        from math import factorial
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.analytics import (
+            SHAPLEY_CONV,
+            q_shapley_attribution,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts"
+        ).collect()
+        fpts = {}
+        for e in ev:
+            if e.event_type == SHAPLEY_CONV:
+                cur = fpts.get(e.user_id)
+                if cur is None or e.ts < cur:
+                    fpts[e.user_id] = e.ts
+        users = {e.user_id for e in ev}
+        channels = sorted(
+            {e.event_type for e in ev if e.event_type != SHAPLEY_CONV}
+        )
+        cid = {c: i for i, c in enumerate(channels)}
+        n = len(channels)
+        mask = dict.fromkeys(users, 0)
+        for e in ev:
+            if e.event_type == SHAPLEY_CONV:
+                continue
+            f = fpts.get(e.user_id)
+            if f is None or e.ts < f:
+                mask[e.user_id] |= 1 << cid[e.event_type]
+        conv = {}
+        for u in users:
+            conv[mask[u]] = conv.get(mask[u], 0) + (1 if u in fpts else 0)
+
+        def v(s):
+            return sum(c for m_, c in conv.items() if (s & m_) == m_)
+
+        nums = {}
+        for c in channels:
+            i = cid[c]
+            tot = 0
+            for s in range(1 << n):
+                if (s >> i) & 1:
+                    continue
+                b = bin(s).count("1")
+                tot += (
+                    factorial(b)
+                    * factorial(n - 1 - b)
+                    * (v(s | (1 << i)) - v(s))
+                )
+            nums[c] = tot
+        rows = q_shapley_attribution(spark, sf_dir).collect()
+        got = {r.channel: r.num_weighted for r in rows}
+        assert got == nums
+        # efficiency axiom
+        assert sum(got.values()) == factorial(n) * (
+            v((1 << n) - 1) - v(0)
+        )
