@@ -215,6 +215,7 @@ HEADLINE = [
     "q_bigram_lm",
     "q_shapley_attribution",
     "q_bloom_fpr",
+    "q_dbscan",
 ]
 
 

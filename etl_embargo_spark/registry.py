@@ -60,16 +60,23 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # everything else oldest-attestation-first so no query's driver row
 # rots beyond ~5 rounds.  tests/test_attestations.py asserts this list
 # equals the tool's output; regenerate it after any builder/oracle
-# edit.  Round 9: the 4 new queries (q_bigram_lm q_bloom_fpr
-# q_label_propagation q_shapley_attribution — never-checked) + the 2
-# r8-rewrite re-proofs (q_weighted_median, q_kappa — clearing r8's
-# queue) + the 44 oldest attestations (rounds 3-4).
+# edit.  Round 9: the 5 new queries (q_bigram_lm q_bloom_fpr q_dbscan
+# q_label_propagation q_shapley_attribution — never-checked) + the 5
+# drifted (q_weighted_median/q_kappa: r8-rewrite re-proofs clearing
+# r8's queue; q_spatial_join: radius_pairs refactor;
+# q_dedup_clusters/q_corpus_dedup: dedup_clusters gained opt-in
+# pointer-doubling/broadcast flags — all output-identical, pins
+# revalidated) + the 40 oldest attestations (rounds 3-4).
 DRIVER_WINDOW_FIRST = [
     "q_bigram_lm",
     "q_bloom_fpr",
+    "q_dbscan",
     "q_label_propagation",
     "q_shapley_attribution",
+    "q_corpus_dedup",
+    "q_dedup_clusters",
     "q_kappa",
+    "q_spatial_join",
     "q_weighted_median",
     "q_corpus_prep",
     "q_dedup_exact",
@@ -92,7 +99,6 @@ DRIVER_WINDOW_FIRST = [
     "q_date_add_year",
     "q_date_as_int",
     "q_date_cutoff",
-    "q_dedup_clusters",
     "q_dedup_embedding",
     "q_dedup_levenshtein",
     "q_dedup_minhash",
@@ -112,9 +118,6 @@ DRIVER_WINDOW_FIRST = [
     "q_metrics_rollup",
     "q_overwrite_merge",
     "q_prefix_scan",
-    "q_pricing_summary",
-    "q_range_check",
-    "q_rename_rewrite",
 ]
 
 # Changed after the current window was already full: drifted queries may
@@ -6500,3 +6503,5 @@ register(
     graph.q_label_propagation,
     pinned_oracle("q_label_propagation"),
 )
+
+register("q_dbscan", geo.q_dbscan, pinned_oracle("q_dbscan"))

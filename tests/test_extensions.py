@@ -2550,3 +2550,83 @@ class TestShapleyAttribution:
         assert sum(got.values()) == factorial(n) * (
             v((1 << n) - 1) - v(0)
         )
+
+
+class TestDbscan:
+    def test_matches_bruteforce(self, spark, sf_dir):
+        """Full DBSCAN replay: O(n²) neighbor scan in numpy, core/
+        border/noise roles, components by union-find, border assigned
+        the smallest core neighbour's cluster — exact equality against
+        the tiled/contracted Spark implementation."""
+        import math
+
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table, table_rows
+        from etl_embargo_spark.operators.geo import (
+            DBSCAN_MINPTS,
+            DBSCAN_TARGET_DEG,
+            GEO_SPAN,
+            customer_points,
+            dbscan_points,
+        )
+
+        n = table_rows(sf_dir, "customer", default=1_500)
+        eps = math.sqrt(
+            DBSCAN_TARGET_DEG * GEO_SPAN * GEO_SPAN / (math.pi * n)
+        )
+        pts = {
+            r.cust_id: (r.lat, r.lon)
+            for r in customer_points(
+                load_table(spark, sf_dir, "customer")
+            ).collect()
+        }
+        ids = sorted(pts)
+        xy = np.array([pts[i] for i in ids])
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+        nbr = (d2 <= eps * eps) & ~np.eye(len(ids), dtype=bool)
+        is_core = nbr.sum(1) + 1 >= DBSCAN_MINPTS
+        parent = {i: i for i in range(len(ids))}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(ids)):
+            if not is_core[i]:
+                continue
+            for j in np.nonzero(nbr[i])[0]:
+                if j > i and is_core[j]:
+                    ri, rj = find(i), find(int(j))
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        # component min ID per core
+        comp_min: dict[int, int] = {}
+        for i in range(len(ids)):
+            if is_core[i]:
+                r = find(i)
+                comp_min[r] = min(comp_min.get(r, ids[i]), ids[i])
+        want = {}
+        for i, cid in enumerate(ids):
+            if is_core[i]:
+                want[cid] = ("core", comp_min[find(i)])
+            else:
+                core_nbrs = [
+                    comp_min[find(int(j))]
+                    for j in np.nonzero(nbr[i])[0]
+                    if is_core[j]
+                ]
+                if core_nbrs:
+                    want[cid] = ("border", min(core_nbrs))
+                else:
+                    want[cid] = ("noise", None)
+        got = {
+            r.id: (r.role, r.cluster)
+            for r in dbscan_points(spark, sf_dir).collect()
+        }
+        assert got == want
+        # structural non-degeneracy at the pinned density
+        roles = {v[0] for v in got.values()}
+        assert roles == {"core", "border", "noise"}

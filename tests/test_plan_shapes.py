@@ -480,6 +480,8 @@ class TestJobFreeBuilders:
             "q_textrank",    # pagerank subroutine checkpoints per round
             "q_calibration",  # scores q_logreg's Newton fit
             "q_als",         # ALS rounds checkpoint factor tables
+            "q_label_propagation",  # LPA rounds checkpoint label tables
+            "q_dbscan",      # tile kernel + boundary component rounds
         }
         tracker = spark.sparkContext._jsc.sc().statusTracker()
         offenders = []

@@ -69,6 +69,7 @@ PINNED_QUERIES: dict[str, str] = {name: "lineitem" for name in [
     "q_simhash_pairs",
     "q_embedding_pairs",
     "q_label_propagation",
+    "q_dbscan",
 ]}
 
 MAX_PIN_ROWS = 600  # per-SF cap: keeps pins.py reviewable
