@@ -416,6 +416,42 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LP_ITERS = 4
+LP_TARGET_DEG = 8.0  # design mean neighbor count: supercritical (one
+# giant component with a large hop diameter — the regime where fixed-
+# round propagation yields real multi-community structure) but PINNED,
+# so the edge count stays ~LP_TARGET_DEG*n/2 at every SF
+
+
+def lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric spatial neighbor edges at a CORPUS-DERIVED radius (the
+    q_dbscan density pin): with a fixed radius the mean degree grows
+    with point density — measured ~188 neighbors/point at sf1 vs ~19 at
+    sf0.1, turning the LPA loop quadratic in corpus size (23.6 s sf1,
+    10.8x).  eps = sqrt(target*area/(pi*n)) pins the degree, so edges
+    and loop cost stay linear."""
+    import math
+
+    from etl_embargo_spark.catalog import table_rows
+    from etl_embargo_spark.operators.geo import (
+        GEO_SPAN,
+        customer_points,
+        radius_pairs,
+    )
+
+    n = table_rows(sf_dir, "customer", default=1_500)
+    eps = math.sqrt(LP_TARGET_DEG * GEO_SPAN * GEO_SPAN / (math.pi * n))
+    pts = customer_points(load_table(spark, sf_dir, "customer"))
+    # persist before symmetrizing: both union branches read the
+    # bucket-expansion lineage (the _bucket_pairs "executes twice"
+    # pitfall, same as copurchase_edges)
+    base = radius_pairs(pts, eps).select("cust_a", "cust_b").persist()
+    return base.select(
+        F.col("cust_a").alias("src"), F.col("cust_b").alias("dst")
+    ).unionByName(
+        base.select(
+            F.col("cust_b").alias("src"), F.col("cust_a").alias("dst")
+        )
+    )
 
 
 def label_propagation(
@@ -484,9 +520,8 @@ def label_propagation(
 def label_propagation_labels(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Label-propagation communities of the spatial neighbor graph —
-    customers within GEO_RADIUS_DEG of each other (geo.q_spatial_join's
-    exactly-once pair set, symmetrized).  The geometric graph is the
+    """Label-propagation communities of the density-pinned spatial
+    neighbor graph (:func:`lpa_edges`).  The geometric graph is the
     honest LPA input here: it has locality and a large hop diameter, so
     fixed-round propagation yields real multi-community structure —
     the dense co-purchase graph is diameter-~2 and any propagation
@@ -495,23 +530,10 @@ def label_propagation_labels(
     synchronous update in pure Python on the same edges
     (tests/test_extensions.py::TestLabelPropagation)."""
     from etl_embargo_spark.catalog import table_rows
-    from etl_embargo_spark.operators.geo import q_spatial_join
 
-    # persist before symmetrizing: both union branches read the
-    # bucket-expansion lineage (the _bucket_pairs "executes twice"
-    # pitfall, same as copurchase_edges)
-    base = (
-        q_spatial_join(spark, sf_dir)
-        .select("cust_a", "cust_b")
-        .persist()
-    )
-    sym = base.select(
-        F.col("cust_a").alias("src"), F.col("cust_b").alias("dst")
-    ).unionByName(
-        base.select(F.col("cust_b").alias("src"), F.col("cust_a").alias("dst"))
-    )
-    # neighbor pairs grow ~linearly in customers at fixed density; same
-    # corpus-derived fat-partition rule as pagerank_ranks
+    sym = lpa_edges(spark, sf_dir)
+    # neighbor pairs grow ~linearly in customers at the pinned density;
+    # same corpus-derived fat-partition rule as pagerank_ranks
     rows = table_rows(sf_dir, "customer", default=1_500)
     parts = max(8, rows // 500_000)
     return label_propagation(sym, edge_partitions=parts)

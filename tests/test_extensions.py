@@ -2396,20 +2396,16 @@ class TestLabelPropagation:
         compare is equality, no tolerance."""
         from collections import Counter, defaultdict
 
-        from etl_embargo_spark.operators.geo import q_spatial_join
         from etl_embargo_spark.operators.graph import (
             LP_ITERS,
             label_propagation_labels,
+            lpa_edges,
         )
 
-        pairs = [
-            (r.cust_a, r.cust_b)
-            for r in q_spatial_join(spark, sf_dir).collect()
-        ]
+        sym = [(r.src, r.dst) for r in lpa_edges(spark, sf_dir).collect()]
         nbrs = defaultdict(list)
-        for a, b in pairs:
+        for a, b in sym:
             nbrs[a].append(b)
-            nbrs[b].append(a)
         labels = {v: v for v in nbrs}
         for _ in range(LP_ITERS):
             nxt = {}
