@@ -5573,3 +5573,140 @@ def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theil_within"),
         )
     )
+
+
+WELCH_SEGMENTS = ("HOUSEHOLD", "MACHINERY")
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two customer segments'
+    balances — the significance companion the stats family was missing
+    (q_anova assumes equal variances, q_mannwhitney is rank-based,
+    q_cohens_d is the effect size): t plus the Welch–Satterthwaite
+    degrees of freedom.
+
+    Scale shape: one map-side-combined pass to per-group (n, Σx, Σx²)
+    in exact cents; everything after is scalar arithmetic on 6 numbers.
+    Engine determinism: the computational identity Σx² − (Σx)²/n on
+    exact ints, then a short correctly-rounded chain (the q_cohens_d
+    contract)."""
+    a, b = WELCH_SEGMENTS
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(a, b)
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    g = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("q"),
+    )
+    wide = g.groupBy().agg(
+        *[
+            F.sum(
+                F.when(F.col("c_mktsegment") == seg, F.col(c))
+            ).alias(f"{c}{i}")
+            for i, seg in ((1, a), (2, b))
+            for c in ("n", "s", "q")
+        ]
+    )
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
+    v1 = (q1 - s1.cast("double") * s1 / n1) / (n1 - 1)
+    v2 = (q2 - s2.cast("double") * s2 / n2) / (n2 - 1)
+    se1 = v1 / n1
+    se2 = v2 / n2
+    t = (s1.cast("double") / n1 - s2.cast("double") / n2) / F.sqrt(
+        se1 + se2
+    )
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)
+    )
+    return wide.select(
+        n1.alias("n_a"),
+        n2.alias("n_b"),
+        F.round(s1.cast("double") / n1 / 100.0, 6).alias("mean_a"),
+        F.round(s2.cast("double") / n2 / 100.0, 6).alias("mean_b"),
+        F.round(t, 9).alias("t_welch"),
+        F.round(df, 4).alias("df_welch"),
+    )
+
+
+XCORR_PRIORITIES = ("1-URGENT", "5-LOW")
+XCORR_MAX_LAG = 7
+
+
+def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation between two order-priority daily
+    revenue series: Pearson r of (urgent_t, low_{t+lag}) for every lag
+    in ±XCORR_MAX_LAG — does one stream lead the other?  The
+    time-series family's bivariate companion to q_autocorr.
+
+    Scale shape: the fact collapses to ONE daily two-column relation
+    (map-side combined, |days| rows); the lag alignment is a bounded
+    ×(2L+1) explode of that day relation joined back to itself on the
+    shifted day — never a fact-side shuffle.  Engine determinism: both
+    series are exact cent integers; the five co-moment sums per lag are
+    exact (DECIMAL(38,0) for the products — a bigint cent product
+    crosses 2^63 at scale, the q_stump overflow lesson), each cast to
+    double ONCE (identical rounding of identical exact decimals), then
+    a short correctly-rounded chain per lag."""
+    p1, p2 = XCORR_PRIORITIES
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(p1, p2)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("day")
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderpriority") == p1, cents)),
+            F.lit(0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderpriority") == p2, cents)),
+            F.lit(0),
+        ).alias("y"),
+    )
+    # the day relation is small (|days| rows): broadcast both legs of
+    # the lag alignment; the ×(2L+1) explode stays bounded
+    lags = daily.select(
+        "day",
+        "x",
+        F.explode(
+            F.sequence(
+                F.lit(-XCORR_MAX_LAG), F.lit(XCORR_MAX_LAG)
+            )
+        ).alias("lag"),
+    )
+    shifted = daily.select(
+        F.col("day").alias("day2"), F.col("y").alias("y2")
+    )
+    aligned = lags.join(
+        F.broadcast(shifted),
+        F.col("day") + F.col("lag") == F.col("day2"),
+    )
+    # cast operands BEFORE multiplying (the q_stump overflow lesson:
+    # a bigint cent product crosses 2^63 around 1e10 daily cents)
+    dx = F.col("x").cast("decimal(19,0)")
+    dy = F.col("y2").cast("decimal(19,0)")
+    sums = aligned.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dy).alias("sxy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") - sx * sy / n
+    vx = F.col("sxx").cast("double") - sx * sx / n
+    vy = F.col("syy").cast("double") - sy * sy / n
+    return sums.select(
+        "lag",
+        F.col("n").alias("n_days"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("r"),
+    )

@@ -60,19 +60,22 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # everything else oldest-attestation-first so no query's driver row
 # rots beyond ~5 rounds.  tests/test_attestations.py asserts this list
 # equals the tool's output; regenerate it after any builder/oracle
-# edit.  Round 9: the 5 new queries (q_bigram_lm q_bloom_fpr q_dbscan
-# q_label_propagation q_shapley_attribution — never-checked) + the 5
-# drifted (q_weighted_median/q_kappa: r8-rewrite re-proofs clearing
-# r8's queue; q_spatial_join: radius_pairs refactor;
-# q_dedup_clusters/q_corpus_dedup: dedup_clusters gained opt-in
-# pointer-doubling/broadcast flags — all output-identical, pins
-# revalidated) + the 40 oldest attestations (rounds 3-4).
+# edit.  Round 9: the 7 new queries (q_bigram_lm q_bloom_fpr
+# q_crosscorr q_dbscan q_label_propagation q_shapley_attribution
+# q_welch_ttest — never-checked) + the 5 drifted (q_weighted_median/
+# q_kappa: r8-rewrite re-proofs clearing r8's queue; q_spatial_join:
+# radius_pairs refactor; q_dedup_clusters/q_corpus_dedup:
+# dedup_clusters gained opt-in pointer-doubling/broadcast flags — all
+# output-identical, pins revalidated) + the 38 oldest attestations
+# (rounds 3-4).
 DRIVER_WINDOW_FIRST = [
     "q_bigram_lm",
     "q_bloom_fpr",
+    "q_crosscorr",
     "q_dbscan",
     "q_label_propagation",
     "q_shapley_attribution",
+    "q_welch_ttest",
     "q_corpus_dedup",
     "q_dedup_clusters",
     "q_kappa",
@@ -116,8 +119,6 @@ DRIVER_WINDOW_FIRST = [
     "q_lag_lead",
     "q_limit",
     "q_metrics_rollup",
-    "q_overwrite_merge",
-    "q_prefix_scan",
 ]
 
 # Changed after the current window was already full: drifted queries may
@@ -6505,3 +6506,107 @@ register(
 )
 
 register("q_dbscan", geo.q_dbscan, pinned_oracle("q_dbscan"))
+
+register(
+    "q_welch_ttest",
+    analytics.q_welch_ttest,
+    f"""
+    WITH g AS (
+        SELECT c_mktsegment,
+               count(*) AS n,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                   * CAST(round(c_acctbal * 100) AS BIGINT)) AS q
+        FROM customer
+        WHERE c_mktsegment IN ({analytics.WELCH_SEGMENTS[0]!r},
+                               {analytics.WELCH_SEGMENTS[1]!r})
+        GROUP BY 1
+    ),
+    wide AS (
+        SELECT
+            sum(CASE WHEN c_mktsegment = {analytics.WELCH_SEGMENTS[0]!r}
+                     THEN n END) AS n1,
+            sum(CASE WHEN c_mktsegment = {analytics.WELCH_SEGMENTS[0]!r}
+                     THEN s END) AS s1,
+            sum(CASE WHEN c_mktsegment = {analytics.WELCH_SEGMENTS[0]!r}
+                     THEN q END) AS q1,
+            sum(CASE WHEN c_mktsegment = {analytics.WELCH_SEGMENTS[1]!r}
+                     THEN n END) AS n2,
+            sum(CASE WHEN c_mktsegment = {analytics.WELCH_SEGMENTS[1]!r}
+                     THEN s END) AS s2,
+            sum(CASE WHEN c_mktsegment = {analytics.WELCH_SEGMENTS[1]!r}
+                     THEN q END) AS q2
+        FROM g
+    ),
+    se AS (
+        SELECT n1, n2, s1, s2,
+               ((q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+                   AS se1,
+               ((q2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2
+                   AS se2
+        FROM wide
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           round(CAST(s1 AS DOUBLE) / n1 / 100.0, 6) AS mean_a,
+           round(CAST(s2 AS DOUBLE) / n2 / 100.0, 6) AS mean_b,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(se1 + se2), 9) AS t_welch,
+           round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 4)
+               AS df_welch
+    FROM se
+    """,
+)
+
+register(
+    "q_crosscorr",
+    analytics.q_crosscorr,
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate::DATE - DATE '1992-01-01' AS INT) AS day,
+               coalesce(sum(CASE WHEN o_orderpriority =
+                                 {analytics.XCORR_PRIORITIES[0]!r}
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            END), 0) AS x,
+               coalesce(sum(CASE WHEN o_orderpriority =
+                                 {analytics.XCORR_PRIORITIES[1]!r}
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            END), 0) AS y
+        FROM orders
+        WHERE o_orderpriority IN ({analytics.XCORR_PRIORITIES[0]!r},
+                                  {analytics.XCORR_PRIORITIES[1]!r})
+        GROUP BY 1
+    ),
+    lagged AS (
+        SELECT l.lag, d.x, d2.y AS y2
+        FROM daily d,
+             (SELECT unnest(range(-{analytics.XCORR_MAX_LAG},
+                                  {analytics.XCORR_MAX_LAG} + 1))
+                     AS lag) l
+        JOIN daily d2 ON d.day + l.lag = d2.day
+    ),
+    sums AS (
+        SELECT lag, count(*) AS n,
+               sum(CAST(x AS DECIMAL(19,0))) AS sx,
+               sum(CAST(y2 AS DECIMAL(19,0))) AS sy,
+               sum(CAST(x AS DECIMAL(19,0)) * CAST(y2 AS DECIMAL(19,0)))
+                   AS sxy,
+               sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                   AS sxx,
+               sum(CAST(y2 AS DECIMAL(19,0)) * CAST(y2 AS DECIMAL(19,0)))
+                   AS syy
+        FROM lagged GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                                        * CAST(sy AS DOUBLE) / n)
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                                               * CAST(sx AS DOUBLE) / n)
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                                                 * CAST(sy AS DOUBLE) / n)),
+                 6) AS r
+    FROM sums
+    """,
+)
