@@ -216,6 +216,9 @@ HEADLINE = [
     "q_shapley_attribution",
     "q_bloom_fpr",
     "q_dbscan",
+    # promoted round 9 (the r8 >2s rule): the only non-headliner whose
+    # >2s sweep reading replicated in an alone re-run (3.2 s)
+    "q_dedup_clusters",
 ]
 
 
