@@ -1723,6 +1723,12 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SHAPLEY_CONV = "purchase"
+# Exact 2^n coalition enumeration is only sane for a small channel
+# universe; past this the mask explode is the bug, not the data.
+# ADVICE r9: fail FAST and LOUDLY if a vocabulary change grows the
+# universe, instead of silently wrapping a 32-bit shift / exploding
+# 2^n rows.  20 channels = 1,048,576 masks — still trivially cheap.
+SHAPLEY_MAX_CHANNELS = 20
 
 
 def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1775,20 +1781,52 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .distinct()
     )
+    # ADVICE r9: shift a BIGINT one (shiftleft(1,cid) is a 32-bit int
+    # shift that silently corrupts masks past cid=30); the builder-level
+    # cap below keeps the 2^n explode bounded regardless.
     masks_u = (
         touched.join(F.broadcast(ch), "event_type")
         .groupBy("user_id")
-        .agg(F.expr("bit_or(shiftleft(1, cid))").alias("mask"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), cid))"
+            ).alias("mask")
+        )
     )
     per_user = u.join(masks_u, "user_id", "left").select(
         F.coalesce(F.col("mask"), F.lit(0)).alias("mask"),
         F.col("fpts").isNotNull().cast("int").alias("conv"),
     )
     obs = per_user.groupBy("mask").agg(F.sum("conv").alias("conv"))
-    nch = ch.agg(F.count(F.lit(1)).alias("nch"))
+    # job-free guard (builders must not run jobs at construction): the
+    # cap is enforced IN the plan — raise_error fires at execution time
+    # if the channel universe outgrew exact enumeration.
+    nch_guarded = F.when(
+        F.col("nch") <= F.lit(SHAPLEY_MAX_CHANNELS), F.col("nch")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "q_shapley_attribution: channel universe "
+                ),
+                F.col("nch").cast("string"),
+                F.lit(
+                    f" exceeds SHAPLEY_MAX_CHANNELS="
+                    f"{SHAPLEY_MAX_CHANNELS}; exact 2^n enumeration "
+                    "refused — sample permutations instead"
+                ),
+            )
+        ).cast("int")
+    )
+    nch = ch.agg(F.count(F.lit(1)).alias("nch")).select(
+        nch_guarded.alias("nch")
+    )
     allmasks = nch.select(
         F.explode(
-            F.sequence(F.lit(0), F.expr("shiftleft(1, nch) - 1"))
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), nch) - 1"),
+            )
         ).alias("s"),
         "nch",
     )
@@ -1810,7 +1848,9 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term = (
         ch.join(v, F.expr("((s >> cid) & 1) = 0"))
-        .withColumn("s_with", F.expr("s | shiftleft(1, cid)"))
+        .withColumn(
+            "s_with", F.expr("s | shiftleft(CAST(1 AS BIGINT), cid)")
+        )
         .join(v2, "s_with")
     )
     num = term.groupBy("event_type").agg(
@@ -4886,10 +4926,13 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     four-op IEEE chain over those exact values."""
     cust = load_table(spark, sf_dir, "customer")
     cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    # ADVICE r9 (q_welch_ttest class): sum cents² as decimal(38,0) — a
+    # BIGINT sum wraps silently around sf~300 while DuckDB widens to
+    # HUGEINT.  The per-row product still fits bigint; only the SUM widens.
     per_g = cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_g"),
         F.sum(cents).alias("s_g"),
-        F.sum(cents * cents).alias("q_g"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("q_g"),
     )
     term = F.round(
         F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"), 6
@@ -5392,10 +5435,12 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").isin(a, b)
     )
     cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    # ADVICE r9 (q_welch_ttest class): Σcents² as decimal(38,0), not
+    # BIGINT — silent wrap around sf~300 vs DuckDB's HUGEINT.
     g = cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s"),
-        F.sum(cents * cents).alias("q"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("q"),
     )
     wide = g.groupBy().agg(
         *[
@@ -5408,8 +5453,8 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
     n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
-    ss1 = q1 - s1.cast("double") * s1 / n1
-    ss2 = q2 - s2.cast("double") * s2 / n2
+    ss1 = q1.cast("double") - s1.cast("double") * s1 / n1
+    ss2 = q2.cast("double") - s2.cast("double") * s2 / n2
     pooled_sd = F.sqrt((ss1 + ss2) / (n1 + n2 - 2))
     d = (s1.cast("double") / n1 - s2.cast("double") / n2) / pooled_sd
     return wide.select(
@@ -5595,10 +5640,14 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").isin(a, b)
     )
     cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    # ADVICE r9: sum the squared term as decimal(38,0) — a BIGINT sum of
+    # cents² (~3e16·sf) wraps silently around sf~300 while the DuckDB
+    # oracle accumulates HUGEINT (the q_stump overflow class).  The
+    # per-row product still fits bigint (≤~1e13); only the SUM widens.
     g = cust.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s"),
-        F.sum(cents * cents).alias("q"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("q"),
     )
     wide = g.groupBy().agg(
         *[
@@ -5611,8 +5660,8 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
     n2, s2, q2 = F.col("n2"), F.col("s2"), F.col("q2")
-    v1 = (q1 - s1.cast("double") * s1 / n1) / (n1 - 1)
-    v2 = (q2 - s2.cast("double") * s2 / n2) / (n2 - 1)
+    v1 = (q1.cast("double") - s1.cast("double") * s1 / n1) / (n1 - 1)
+    v2 = (q2.cast("double") - s2.cast("double") * s2 / n2) / (n2 - 1)
     se1 = v1 / n1
     se2 = v2 / n2
     t = (s1.cast("double") / n1 - s2.cast("double") / n2) / F.sqrt(
@@ -5669,6 +5718,12 @@ def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("y"),
     )
+    # ADVICE r9: persist — `daily` is read by BOTH the lag explode and
+    # the shifted leg, and Spark 4 does not reuse exchanges across
+    # duplicated subtrees (CLAUDE.md q_top_supplier lesson); without the
+    # cache the orders scan+aggregate executes twice.  |days|-sized, so
+    # the cache is tiny; truly lazy (persist, never lazy checkpoint).
+    daily = daily.persist()
     # the day relation is small (|days| rows): broadcast both legs of
     # the lag alignment; the ×(2L+1) explode stays bounded
     lags = daily.select(

@@ -325,8 +325,11 @@ def dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     core_lab = labels0.join(comp, "root", "left").select(
         "id", F.coalesce("cluster", F.col("root")).alias("cluster")
     )
-    # border: non-core with >= 1 core neighbor -> smallest core
-    # neighbor's cluster (deterministic tie-break)
+    # border: non-core with >= 1 core neighbor -> smallest CLUSTER ID
+    # among its core neighbors (min over cluster, NOT the smallest-id
+    # neighbor's cluster — these differ when the smallest-id neighbor
+    # belongs to a larger-id cluster; deterministic either way, this is
+    # the pinned semantics and what the brute-force pytest replays)
     border = (
         sym.join(
             core_lab.withColumnRenamed("id", "dst"), "dst"

@@ -60,65 +60,64 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # everything else oldest-attestation-first so no query's driver row
 # rots beyond ~5 rounds.  tests/test_attestations.py asserts this list
 # equals the tool's output; regenerate it after any builder/oracle
-# edit.  Round 9: the 7 new queries (q_bigram_lm q_bloom_fpr
-# q_crosscorr q_dbscan q_label_propagation q_shapley_attribution
-# q_welch_ttest — never-checked) + the 5 drifted (q_weighted_median/
-# q_kappa: r8-rewrite re-proofs clearing r8's queue; q_spatial_join:
-# radius_pairs refactor; q_dedup_clusters/q_corpus_dedup:
-# dedup_clusters gained opt-in pointer-doubling/broadcast flags — all
-# output-identical, pins revalidated) + the 38 oldest attestations
-# (rounds 3-4).
+# edit.  Round 10: the 6 ADVICE-fix drifts fronted (q_anova/q_cohens_d/
+# q_welch_ttest: Σcents² widened to decimal(38,0); q_shapley_attribution:
+# bigint masks + SHAPLEY_MAX_CHANNELS raise_error guard; q_crosscorr:
+# shared `daily` persisted; q_dbscan: border-comment fix — all
+# output-identical at test SFs, re-verified vs oracles), then the 44
+# oldest attestations (the r4 block q_overwrite_merge ...
+# q_zorder_layout, five rounds old, plus the oldest r5 rows).
 DRIVER_WINDOW_FIRST = [
-    "q_bigram_lm",
-    "q_bloom_fpr",
+    "q_anova",
+    "q_cohens_d",
     "q_crosscorr",
     "q_dbscan",
-    "q_label_propagation",
     "q_shapley_attribution",
     "q_welch_ttest",
-    "q_corpus_dedup",
-    "q_dedup_clusters",
-    "q_kappa",
-    "q_spatial_join",
-    "q_weighted_median",
-    "q_corpus_prep",
-    "q_dedup_exact",
-    "q_doc_fingerprint",
-    "q_lang_id",
-    "q_range_join",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_topk_similarity",
-    "q_ann_ivf",
-    "q_approx_distinct",
-    "q_approx_quantiles",
-    "q_asof_join",
-    "q_basename",
-    "q_compaction_plan",
-    "q_compare_full_outer",
-    "q_contrastive_pairs",
-    "q_count",
-    "q_cube",
-    "q_date_add_year",
-    "q_date_as_int",
-    "q_date_cutoff",
-    "q_dedup_embedding",
-    "q_dedup_levenshtein",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_distinct",
-    "q_dsir_weights",
-    "q_embargo_anti",
-    "q_empty_check",
-    "q_filename_parse",
-    "q_intersect",
-    "q_ipv6_normalize",
-    "q_join_revenue",
-    "q_json_sites",
-    "q_knn_join",
-    "q_lag_lead",
-    "q_limit",
-    "q_metrics_rollup",
+    "q_overwrite_merge",
+    "q_prefix_scan",
+    "q_pricing_summary",
+    "q_range_check",
+    "q_rename_rewrite",
+    "q_rollup",
+    "q_semdedup",
+    "q_split_partition",
+    "q_sql_split",
+    "q_substr_dedup",
+    "q_suffix_filter",
+    "q_sync_anti",
+    "q_tar_roundtrip",
+    "q_topk_per_group",
+    "q_union_distinct",
+    "q_whitelist_semi",
+    "q_zorder_layout",
+    "q_ab_test",
+    "q_anomaly_seasonal",
+    "q_auc",
+    "q_autocorr",
+    "q_benford",
+    "q_bm25",
+    "q_bollinger",
+    "q_chi2",
+    "q_cohort_ltv",
+    "q_corpus_mix",
+    "q_corpus_pack",
+    "q_corpus_split",
+    "q_cusum",
+    "q_did",
+    "q_equidepth",
+    "q_ewma",
+    "q_gini",
+    "q_interarrival",
+    "q_interp",
+    "q_kmv_overlap",
+    "q_ks_test",
+    "q_mann_kendall",
+    "q_mannwhitney",
+    "q_naive_bayes",
+    "q_ols",
+    "q_pca",
+    "q_pmi",
 ]
 
 # Changed after the current window was already full: drifted queries may

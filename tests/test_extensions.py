@@ -2548,12 +2548,47 @@ class TestShapleyAttribution:
         )
 
 
+class TestShapleyChannelCap:
+    def test_oversized_universe_fails_loudly(self, spark, tmp_path):
+        """ADVICE r9: >SHAPLEY_MAX_CHANNELS event types must raise at
+        execution (raise_error in the plan — builders stay job-free),
+        never silently wrap the mask shift or explode 2^n rows."""
+        import datetime
+
+        import pytest
+
+        from etl_embargo_spark.operators.analytics import (
+            SHAPLEY_MAX_CHANNELS,
+            q_shapley_attribution,
+        )
+
+        nch = SHAPLEY_MAX_CHANNELS + 1
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i, base + datetime.timedelta(minutes=i), 1,
+             f"ch_{i:02d}", 1.0, "{}")
+            for i in range(nch)
+        ] + [(nch, base + datetime.timedelta(days=1), 1,
+              "purchase", 5.0, "{}")]
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "events.parquet")
+        )
+        with pytest.raises(Exception, match="SHAPLEY_MAX_CHANNELS"):
+            q_shapley_attribution(spark, str(tmp_path)).collect()
+
+
 class TestDbscan:
     def test_matches_bruteforce(self, spark, sf_dir):
         """Full DBSCAN replay: O(n²) neighbor scan in numpy, core/
         border/noise roles, components by union-find, border assigned
-        the smallest core neighbour's cluster — exact equality against
-        the tiled/contracted Spark implementation."""
+        the smallest CLUSTER ID among its core neighbours (min over
+        cluster, not the smallest-id neighbour's cluster) — exact
+        equality against the tiled/contracted Spark implementation."""
         import math
 
         import numpy as np
