@@ -32,7 +32,7 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from etl_embargo_spark import registry  # noqa: E402
-from etl_embargo_spark.session import get_spark  # noqa: E402
+from etl_embargo_spark.session import get_spark, load_context  # noqa: E402
 
 HEADLINE = [
     "q_split_partition",
@@ -229,6 +229,9 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # capture BEFORE the session spins up its own 32 workers (VERDICT r9
+    # #5: contended runs must be machine-detectable in the artifact)
+    load_start = load_context()
     spark = get_spark("etl_embargo_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     qmap = registry.queries()
@@ -262,6 +265,7 @@ def main() -> None:
         timings[name] = round(best, 3) if best is not None else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    load = {"start": load_start, "end": load_context()}
     # Full per-query history sidecar (VERDICT r4 #8): the driver keeps only
     # the TAIL of the stdout line, losing the first ~73 queries' times each
     # round — persist the complete map to a file the round can commit.
@@ -273,6 +277,7 @@ def main() -> None:
             json.dump(
                 {
                     "queries": timings,
+                    "load": load,
                     "metric": "headline_queries_total",
                     "unit": "sec",
                     "n_queries": len(timings),
@@ -293,6 +298,7 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
+                "load": load,
                 "metric": "headline_queries_total",
                 "unit": "sec",
                 "n_queries": len(timings),

@@ -24,11 +24,12 @@ if str(_REPO_ROOT) not in sys.path:
 
 import bench  # noqa: E402
 from etl_embargo_spark import registry  # noqa: E402
-from etl_embargo_spark.session import get_spark  # noqa: E402
+from etl_embargo_spark.session import get_spark, load_context  # noqa: E402
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = load_context()  # VERDICT r9 #5: contention in-artifact
     spark = get_spark("etl_embargo_spark_bench_nonheadline")
     spark.sparkContext.setLogLevel("ERROR")
     qmap = registry.queries()
@@ -64,6 +65,7 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
+                "load": {"start": load_start, "end": load_context()},
                 "metric": "nonheadline_queries_total",
                 "unit": "sec",
                 "n_queries": len(timings),
