@@ -5765,3 +5765,106 @@ def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.round(cov / F.sqrt(vx * vy), 6).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval calibration
+# ---------------------------------------------------------------------------
+
+# 1 - alpha target coverage; k = ceil((n_cal + 1) * (1 - alpha)) kept in
+# EXACT integer arithmetic (9*(n+1)+9) div 10 — (n+1)*0.9 in binary is
+# inexact and its ceil can disagree across engines at exact multiples
+CONFORMAL_ALPHA = 0.1
+
+
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of a per-priority mean-price model:
+    train/calibrate/test on an o_orderkey mod-3 split, q_hat = the
+    ceil((n_cal+1)(1-alpha))-th smallest absolute residual on the
+    calibration split, then the empirical coverage of the interval
+    mean ± q_hat on the held-out test split — the distribution-free
+    uncertainty readout a model-scoring pipeline attaches to any point
+    model.
+
+    Scale shape: the model is a 5-row broadcast (per-priority decimal
+    mean); residuals are INTEGER cents against the ROUNDED mean, so the
+    exact order statistic collapses to per-distinct-residual counts +
+    one cumulative window over that value-sized relation (the q_auc /
+    q_ks_test shape) — never a global row sort, never a top-k of 0.1·n
+    rows through the driver.
+
+    Engine determinism: everything up to q_hat is exact integer
+    arithmetic (cents, counts, the integer ceil identity); coverage is
+    one exact-int division."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        (F.col("o_orderkey") % 3).alias("split"),
+        F.col("o_orderpriority").alias("prio"),
+        cents.alias("cents"),
+        "o_orderkey",
+    )
+    # per-priority mean on the TRAIN split, rounded to integer cents —
+    # widen the sum (CLAUDE.md overflow class) and round explicitly
+    # (Spark int cast truncates, DuckDB's rounds)
+    mu = (
+        base.filter(F.col("split") == 0)
+        .groupBy("prio")
+        .agg(
+            F.round(
+                F.sum(F.col("cents").cast("decimal(28,0)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("mu_cents")
+        )
+        # persist the 5-row model: the cal and test legs each re-execute
+        # scored's lineage (Spark 4 reuses no exchanges across duplicated
+        # subtrees), and without the cache the TRAIN scan runs twice —
+        # 3 fact scans (train/cal/test), not 4 (plan-guarded)
+        .persist()
+    )
+    scored = base.filter(F.col("split") != 0).join(
+        F.broadcast(mu), "prio"
+    )
+    s_col = F.abs(F.col("cents") - F.col("mu_cents"))
+    cal = scored.filter(F.col("split") == 1).select(s_col.alias("s"))
+    # exact k-th smallest via the collapsed distinct-residual relation
+    sc = cal.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = sc.select(
+        "s",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(wall).alias("n_cal"),
+    )
+    k = F.expr("(9 * (n_cal + 1) + 9) div 10")
+    qhat = (
+        ranked.filter(F.col("cum") >= k)
+        .groupBy("n_cal")
+        .agg(F.min("s").alias("q_hat"))
+        .select("n_cal", k.alias("k_rank"), "q_hat")
+    )
+    test = scored.filter(F.col("split") == 2).select(
+        s_col.alias("s_t")
+    )
+    cov = test.crossJoin(F.broadcast(qhat)).groupBy(
+        "n_cal", "k_rank", "q_hat"
+    ).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            (F.col("s_t") <= F.col("q_hat")).cast("bigint")
+        ).alias("n_covered"),
+    )
+    return cov.select(
+        "n_cal",
+        "n_test",
+        "k_rank",
+        "q_hat",
+        "n_covered",
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test"), 6
+        ).alias("coverage"),
+    )

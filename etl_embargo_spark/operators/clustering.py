@@ -585,3 +585,83 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_pred"),
         F.round(F.col("n_pos") / F.col("n"), 6).alias("frac_pos"),
     )
+
+
+ISO_BINS = 200
+
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (depends on the iterative logreg fit): isotonic
+    (PAV) calibration of q_logreg's scores — the monotone-regression
+    completion of the calibration family (q_calibration bins and
+    eyeballs the diagonal; this FITS the best non-decreasing rate
+    function, the standard post-hoc calibrator when binning is too
+    coarse).  Output is one row per fitted pool: its bin span, counts,
+    and the pooled rate.
+
+    Scale shape: scoring is q_logreg's single-scan GEMM pass; scores
+    collapse map-side to ≤ISO_BINS fixed-width (bin, n, pos) rows — a
+    BOUNDED relation at any corpus size — and pool-adjacent-violators
+    runs in ONE applyInPandas kernel over that collapsed relation (the
+    constant-size-partials pattern; never a driver collect in the
+    query path).
+
+    Engine determinism: PAV pools on EXACT integer cross-products
+    (pos_i·n_j > pos_j·n_i — no float enters the merge decision); the
+    emitted rate is one exact-int division.  Pytest replays the pooling
+    sequentially (tests/test_extensions.py::TestIsotonic)."""
+    scored = q_logreg(spark, sf_dir)
+    bin_ = F.least(
+        F.floor(F.col("p") * ISO_BINS), F.lit(ISO_BINS - 1)
+    ).cast("int")
+    binned = scored.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+    )
+
+    def _make_pav():
+        # nested factory (cloudpickle by-value rule)
+        def _pav(pdf):
+            import pandas as _pd
+
+            pdf = pdf.sort_values("bin").reset_index(drop=True)
+            # each pool: [bin_lo, bin_hi, n, pos]; merge while the
+            # previous pool's rate exceeds the next's — compared via
+            # integer cross-multiplication, exact at any magnitude
+            pools: list[list[int]] = []
+            for r in pdf.itertuples(index=False):
+                cur = [int(r.bin), int(r.bin), int(r.n), int(r.pos)]
+                while pools and (
+                    pools[-1][3] * cur[2] > cur[3] * pools[-1][2]
+                ):
+                    p = pools.pop()
+                    cur = [p[0], cur[1], p[2] + cur[2], p[3] + cur[3]]
+                pools.append(cur)
+            return _pd.DataFrame(
+                {
+                    "pool_id": range(len(pools)),
+                    "bin_lo": [p[0] for p in pools],
+                    "bin_hi": [p[1] for p in pools],
+                    "n": [p[2] for p in pools],
+                    "n_pos": [p[3] for p in pools],
+                    # RAW division only — the builder applies F.round
+                    # (np/python round is banker's, CLAUDE.md rule)
+                    "rate": [
+                        p[3] / p[2] if p[2] else 0.0 for p in pools
+                    ],
+                }
+            )
+
+        return _pav
+
+    pooled = binned.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _make_pav(),
+        schema=(
+            "pool_id int, bin_lo int, bin_hi int, n bigint, "
+            "n_pos bigint, rate double"
+        ),
+    )
+    return pooled.select(
+        "pool_id", "bin_lo", "bin_hi", "n", "n_pos",
+        F.round("rate", 6).alias("rate"),
+    )

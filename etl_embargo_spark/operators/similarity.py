@@ -882,3 +882,102 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pos.join(neg, "anchor")
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance diversification (retrieval post-processing)
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 64  # candidate pool: top-MMR_POOL by exact cosine
+MMR_K = 10  # diversified results returned
+MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (greedy-iterative): Maximal Marginal Relevance
+    re-ranking of the dense retrieval pool — the standard redundancy
+    killer between ANN retrieval and an LLM context window: pick
+    argmax lambda*rel(d) - (1-lambda)*max_sim(d, selected) one result
+    at a time, so near-duplicate hits can't crowd the top-k
+    (q_contrastive_pairs mines training pairs; this diversifies SERVING
+    results).
+
+    Scale shape: relevance comes from the engine-exact decimal cosine
+    relation (exact_cosine_scores — ranking identical in any engine);
+    the pool cut is orderBy().limit() → TakeOrderedAndProject (never a
+    global sort); the greedy loop runs in ONE applyInPandas kernel over
+    the MMR_POOL-row pooled relation (constant-size at any corpus
+    scale — the quadratic pairwise-similarity matrix is 64x64).
+
+    Engine determinism: candidates iterate in vec_id order with a
+    strict-improvement argmax (ties keep the lowest id); the kernel's
+    pairwise cosines are single-threaded fixed-order numpy over the
+    deterministic pool; the kernel emits RAW mmr scores and the builder
+    applies F.round (banker's-rounding rule).  Pytest replays the
+    greedy selection sequentially
+    (tests/test_extensions.py::TestMmrDiversify)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rel = exact_cosine_scores(emb).filter(
+        F.col("vec_id") != RRF_QUERY_VEC
+    )
+    pool = rel.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(
+        MMR_POOL
+    )
+    pooled = pool.join(emb.select("vec_id", "embedding"), "vec_id")
+
+    def _make_mmr(lam: float, k: int):
+        # nested factory (cloudpickle by-value rule)
+        def _mmr(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            e = _np.vstack(pdf["embedding"].to_numpy()).astype(
+                _np.float64
+            )
+            n = len(pdf)
+            norms = _np.sqrt(_np.einsum("ij,ij->i", e, e))
+            sims = (e @ e.T) / _np.outer(norms, norms)
+            rels = pdf["cos"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            chosen: list[int] = []
+            out_rank, out_id, out_rel, out_mmr = [], [], [], []
+            for rank in range(min(k, n)):
+                best_i, best_m = -1, None
+                for i in range(n):
+                    if i in chosen:
+                        continue
+                    pen = (
+                        max(sims[i][j] for j in chosen)
+                        if chosen
+                        else 0.0
+                    )
+                    m = lam * rels[i] - (1.0 - lam) * pen
+                    if best_m is None or m > best_m:  # strict: lowest
+                        best_i, best_m = i, m  # id wins ties
+                chosen.append(best_i)
+                out_rank.append(rank + 1)
+                out_id.append(int(ids[best_i]))
+                out_rel.append(float(rels[best_i]))
+                out_mmr.append(float(best_m))
+            return _pd.DataFrame(
+                {
+                    "rank": out_rank,
+                    "vec_id": out_id,
+                    "cosine": out_rel,
+                    "mmr": out_mmr,  # RAW; builder rounds
+                }
+            )
+
+        return _mmr
+
+    picked = pooled.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _make_mmr(MMR_LAMBDA, MMR_K),
+        schema="rank int, vec_id long, cosine double, mmr double",
+    )
+    return picked.select(
+        "rank",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("mmr", 6).alias("mmr"),
+    )

@@ -936,10 +936,14 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only (iterative): BPE_MERGES rounds of byte-pair-encoding
-    training over the word-frequency vocabulary; returns the learned
-    merge table (step, left, right, merged, weight).
+def bpe_train_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """(learned merge list, final encoded (sym, cnt) vocabulary) after
+    BPE_MERGES training rounds — the shared engine behind q_bpe_train
+    (which returns the merge table) and q_bpe_encode (which reads the
+    final vocabulary state: training's last round has already APPLIED
+    every merge, so encoding the corpus costs nothing extra).
 
     Scale shape: the corpus collapses ONCE to (word, count) — the
     zipf-bounded vocabulary — and every round after that runs over the
@@ -1013,8 +1017,54 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sym"),
             "cnt",
         ).localCheckpoint(eager=False)
+    return merges, wc
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (iterative): the learned BPE merge table (step, left,
+    right, merged, weight) — see :func:`bpe_train_state` for the
+    algorithm and scale shape."""
+    merges, _ = bpe_train_state(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, weight bigint"
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (iterative upstream): ENCODE the corpus with the
+    trained BPE merges — the apply half of the tokenizer lifecycle
+    (q_bpe_train learns; this measures what the learned vocabulary does
+    to the corpus): per tokens-per-word bucket, the distinct-word count,
+    the corpus word occurrences, and the exact character mass, plus the
+    per-bucket mean compression (chars per token).
+
+    Scale shape: training's final vocabulary state has ALREADY applied
+    every merge (greedy left-to-right, the canonical BPE apply), so
+    encoding adds one map-side-combined aggregate over the
+    vocabulary-sized relation — no extra corpus scan, no extra merge
+    passes.  Engine determinism: counts and character masses are exact
+    integers; the one division is exact-int/exact-int, rounded 6 dp."""
+    _, wc = bpe_train_state(spark, sf_dir)
+    toks = F.size(F.split(F.trim(F.col("sym")), " "))
+    chars = F.length(F.translate(F.col("sym"), " ", ""))
+    per = wc.select(
+        toks.alias("n_toks"), chars.alias("n_chars"), "cnt"
+    )
+    agg = per.groupBy("n_toks").agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum("cnt").alias("n_word_occurrences"),
+        F.sum(F.col("cnt") * F.col("n_chars")).alias("char_mass"),
+    )
+    return agg.select(
+        "n_toks",
+        "n_distinct_words",
+        "n_word_occurrences",
+        "char_mass",
+        F.round(
+            F.col("char_mass").cast("double")
+            / (F.col("n_toks") * F.col("n_word_occurrences")),
+            6,
+        ).alias("chars_per_token"),
     )
 
 

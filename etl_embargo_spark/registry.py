@@ -60,15 +60,26 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # everything else oldest-attestation-first so no query's driver row
 # rots beyond ~5 rounds.  tests/test_attestations.py asserts this list
 # equals the tool's output; regenerate it after any builder/oracle
-# edit.  Round 10: the 6 ADVICE-fix drifts fronted (q_anova/q_cohens_d/
-# q_welch_ttest: Σcents² widened to decimal(38,0); q_shapley_attribution:
-# bigint masks + SHAPLEY_MAX_CHANNELS raise_error guard; q_crosscorr:
-# shared `daily` persisted; q_dbscan: border-comment fix — all
-# output-identical at test SFs, re-verified vs oracles), then the 44
-# oldest attestations (the r4 block q_overwrite_merge ...
-# q_zorder_layout, five rounds old, plus the oldest r5 rows).
+# edit.  Round 10: the 6 NEW queries first (q_conformal: split-conformal
+# SQL oracle; q_kcore/q_hits: iterative graph ops, pinned; q_isotonic:
+# PAV calibration, pinned; q_bpe_encode: tokenizer apply, pinned;
+# q_mmr_diversify: greedy MMR re-rank, pinned — all det-checked
+# cross-config at sf0.01+sf1 before pinning), then the 7 drifts
+# (ADVICE fixes: q_anova/q_cohens_d/q_welch_ttest Σcents² widened to
+# decimal(38,0); q_shapley_attribution bigint masks + channel-cap
+# guard; q_crosscorr shared `daily` persisted; q_dbscan border-comment
+# fix; q_bpe_train refactored through bpe_train_state — all
+# output-identical, re-verified vs oracles/pins), then the 37 oldest
+# attestations (the r4 block, five rounds old).
 DRIVER_WINDOW_FIRST = [
+    "q_bpe_encode",
+    "q_conformal",
+    "q_hits",
+    "q_isotonic",
+    "q_kcore",
+    "q_mmr_diversify",
     "q_anova",
+    "q_bpe_train",
     "q_cohens_d",
     "q_crosscorr",
     "q_dbscan",
@@ -111,13 +122,6 @@ DRIVER_WINDOW_FIRST = [
     "q_interarrival",
     "q_interp",
     "q_kmv_overlap",
-    "q_ks_test",
-    "q_mann_kendall",
-    "q_mannwhitney",
-    "q_naive_bayes",
-    "q_ols",
-    "q_pca",
-    "q_pmi",
 ]
 
 # Changed after the current window was already full: drifted queries may
@@ -6608,4 +6612,68 @@ register(
                  6) AS r
     FROM sums
     """,
+)
+
+register(
+    "q_conformal",
+    analytics.q_conformal,
+    """
+    WITH base AS (
+        SELECT o_orderkey % 3 AS split, o_orderpriority AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    mu AS (
+        SELECT prio,
+               CAST(round(CAST(sum(CAST(cents AS DECIMAL(28,0)))
+                               AS DOUBLE) / count(*)) AS BIGINT)
+                   AS mu_cents
+        FROM base WHERE split = 0 GROUP BY prio
+    ),
+    scored AS (
+        SELECT b.split, abs(b.cents - m.mu_cents) AS s
+        FROM base b JOIN mu m USING (prio) WHERE b.split <> 0
+    ),
+    sc AS (
+        SELECT s, count(*) AS c FROM scored WHERE split = 1 GROUP BY s
+    ),
+    ranked AS (
+        SELECT s,
+               sum(c) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(c) OVER () AS n_cal
+        FROM sc
+    ),
+    qhat AS (
+        SELECT n_cal, (9 * (n_cal + 1) + 9) // 10 AS k_rank,
+               min(s) AS q_hat
+        FROM ranked WHERE cum >= (9 * (n_cal + 1) + 9) // 10
+        GROUP BY n_cal
+    )
+    SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(q.k_rank AS BIGINT) AS k_rank,
+           CAST(q.q_hat AS BIGINT) AS q_hat,
+           CAST(sum(CASE WHEN t.s <= q.q_hat THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           round(sum(CASE WHEN t.s <= q.q_hat THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS coverage
+    FROM (SELECT s FROM scored WHERE split = 2) t, qhat q
+    GROUP BY q.n_cal, q.k_rank, q.q_hat
+    """,
+)
+
+register("q_kcore", graph.q_kcore, pinned_oracle("q_kcore"))
+
+register("q_hits", graph.q_hits, pinned_oracle("q_hits"))
+
+register("q_isotonic", clustering.q_isotonic, pinned_oracle("q_isotonic"))
+
+register("q_bpe_encode", text.q_bpe_encode, pinned_oracle("q_bpe_encode"))
+
+register(
+    "q_mmr_diversify",
+    similarity.q_mmr_diversify,
+    pinned_oracle("q_mmr_diversify"),
 )

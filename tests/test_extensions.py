@@ -1376,7 +1376,7 @@ class TestBpeTrain:
                 k = tuple(out)
                 new_vocab[k] = new_vocab.get(k, 0) + c
             vocab = new_vocab
-        return merges
+        return merges, vocab
 
     def test_merge_table_matches_python(self, spark, sf_dir):
         import re
@@ -1398,7 +1398,7 @@ class TestBpeTrain:
             for w in re.split(r"\s+", d.text.strip().lower()):
                 if len(w) >= 2:
                     wc[w] += 1
-        expect = self._python_bpe(wc, BPE_MERGES)
+        expect, _ = self._python_bpe(wc, BPE_MERGES)
         assert got == expect
         assert len(got) == BPE_MERGES
 
@@ -2661,3 +2661,258 @@ class TestDbscan:
         # structural non-degeneracy at the pinned density
         roles = {v[0] for v in got.values()}
         assert roles == {"core", "border", "noise"}
+
+
+class TestKcore:
+    def test_matches_bruteforce_peel(self, spark, sf_dir):
+        """kcore_edges must equal a numpy iterative peel: same surviving
+        node set, same edge count (and the rollup's counts agree)."""
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.graph import (
+            KCORE_K,
+            kcore_edges,
+            q_kcore,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).collect()
+        by_order: dict = {}
+        for r in li:
+            by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        pairs = set()
+        for parts in by_order.values():
+            ps = sorted(parts)
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    pairs.add((ps[i], ps[j]))
+        ea = np.array([a for a, _ in pairs], dtype=np.int64)
+        eb = np.array([b for _, b in pairs], dtype=np.int64)
+        while len(ea):
+            m = int(max(ea.max(), eb.max())) + 1
+            deg = np.bincount(ea, minlength=m) + np.bincount(
+                eb, minlength=m
+            )
+            bad = deg < KCORE_K
+            mask = ~(bad[ea] | bad[eb])
+            if mask.all():
+                break
+            ea, eb = ea[mask], eb[mask]
+        want_nodes = (
+            set(np.unique(np.concatenate([ea, eb])).tolist())
+            if len(ea)
+            else set()
+        )
+        core, _rounds = kcore_edges(spark, sf_dir)
+        got_nodes = {
+            r.src for r in core.select("src").distinct().collect()
+        }
+        assert got_nodes == want_nodes
+        assert core.count() == 2 * len(ea)  # symmetric relation
+        roll = q_kcore(spark, sf_dir).collect()[0]
+        assert roll.n_core_nodes == len(want_nodes)
+        assert roll.n_core_edges == len(ea)
+        # non-degenerate at the gate SF: a strict, non-empty subset
+        assert 0 < len(want_nodes) < len(
+            {n for n in np.concatenate([[a for a, _ in pairs],
+                                        [b for _, b in pairs]])}
+        )
+
+
+class TestHits:
+    def test_matches_python_replay(self, spark, sf_dir):
+        """hits_scores must match a sequential pure-python HITS run
+        (same edges, same rounds, max normalization) to within the
+        detail's own 8 dp rounding (≤5e-9) plus float merge-order
+        noise — 1e-8 total."""
+        from collections import defaultdict
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.graph import (
+            HITS_ITERS,
+            hits_scores,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        ).collect()
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).collect()
+        cust_of = {r.o_orderkey: r.o_custkey for r in orders}
+        edges = {
+            (cust_of[r.l_orderkey], r.l_partkey)
+            for r in li
+            if r.l_orderkey in cust_of
+        }
+        h = {c: 1.0 for c, _ in edges}
+        for _ in range(HITS_ITERS):
+            a = defaultdict(float)
+            for c, p in sorted(edges):
+                a[p] += h[c]
+            am = max(a.values())
+            a = {p: v / am for p, v in a.items()}
+            h2 = defaultdict(float)
+            for c, p in sorted(edges):
+                h2[c] += a[p]
+            hm = max(h2.values())
+            h = {c: v / hm for c, v in h2.items()}
+        hubs, auths = hits_scores(spark, sf_dir)
+        got_h = {r.cust: r.score for r in hubs.collect()}
+        got_a = {r.part: r.score for r in auths.collect()}
+        assert set(got_h) == set(h) and set(got_a) == set(a)
+        assert max(abs(got_h[c] - h[c]) for c in h) < 1e-8
+        assert max(abs(got_a[p] - a[p]) for p in a) < 1e-8
+        # hubs and authorities are non-constant (the readout is
+        # informative, not a normalization artifact)
+        assert len({round(v, 6) for v in got_h.values()}) > 10
+        assert len({round(v, 6) for v in got_a.values()}) > 10
+
+
+class TestIsotonic:
+    def test_matches_sequential_pav(self, spark, sf_dir):
+        """q_isotonic must equal a sequential pool-adjacent-violators
+        replay over q_logreg's scores (exact integer pooling; rates
+        compared after the builder's 6 dp rounding), and the fit must
+        be non-decreasing and non-degenerate."""
+        from etl_embargo_spark.operators.clustering import (
+            ISO_BINS,
+            q_isotonic,
+            q_logreg,
+        )
+
+        scored = q_logreg(spark, sf_dir).select("p", "y").collect()
+        bins: dict[int, list[int]] = {}
+        for r in scored:
+            b = min(int(r.p * ISO_BINS), ISO_BINS - 1)
+            cur = bins.setdefault(b, [0, 0])
+            cur[0] += 1
+            cur[1] += int(r.y)
+        pools = []
+        for b in sorted(bins):
+            n, pos = bins[b]
+            cur = [b, b, n, pos]
+            while pools and pools[-1][3] * cur[2] > cur[3] * pools[-1][2]:
+                p = pools.pop()
+                cur = [p[0], cur[1], p[2] + cur[2], p[3] + cur[3]]
+            pools.append(cur)
+        got = sorted(
+            q_isotonic(spark, sf_dir).collect(),
+            key=lambda r: r.pool_id,
+        )
+        assert [(g.bin_lo, g.bin_hi, g.n, g.n_pos) for g in got] == [
+            (p[0], p[1], p[2], p[3]) for p in pools
+        ]
+        for g, p in zip(got, pools):
+            assert abs(g.rate - p[3] / p[2]) < 5.1e-7  # 6 dp rounding
+        rates = [g.rate for g in got]
+        assert rates == sorted(rates)  # isotonic
+        assert len(got) >= 3  # non-degenerate pooling at the gate SF
+
+
+class TestBpeEncode:
+    def test_rollup_matches_python_encode(self, spark, sf_dir):
+        """q_bpe_encode must equal the tokens-per-word rollup of the
+        python reference trainer's FINAL vocabulary state (training's
+        last round has already applied every merge)."""
+        import re
+        from collections import Counter, defaultdict
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.text import (
+            BPE_MERGES,
+            q_bpe_encode,
+        )
+
+        wc: Counter = Counter()
+        for d in load_table(spark, sf_dir, "documents").collect():
+            if d.n_chars <= 0:
+                continue
+            for w in re.split(r"\s+", d.text.strip().lower()):
+                if len(w) >= 2:
+                    wc[w] += 1
+        _, vocab = TestBpeTrain._python_bpe(wc, BPE_MERGES)
+        buckets: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
+        for syms, c in vocab.items():
+            b = buckets[len(syms)]
+            b[0] += 1
+            b[1] += c
+            b[2] += c * sum(len(s) for s in syms)
+        got = {
+            r.n_toks: (
+                r.n_distinct_words,
+                r.n_word_occurrences,
+                r.char_mass,
+            )
+            for r in q_bpe_encode(spark, sf_dir).collect()
+        }
+        want = {k: tuple(v) for k, v in buckets.items()}
+        assert got == want
+        assert len(got) >= 3  # non-degenerate bucket spread
+
+
+class TestMmrDiversify:
+    def test_matches_sequential_greedy(self, spark, sf_dir):
+        """q_mmr_diversify must equal a sequential greedy MMR replay
+        over the same pool (relevance from the engine-exact cosine
+        relation; pairwise sims recomputed in numpy)."""
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.similarity import (
+            MMR_K,
+            MMR_LAMBDA,
+            MMR_POOL,
+            RRF_QUERY_VEC,
+            exact_cosine_scores,
+            q_mmr_diversify,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rel = {
+            r.vec_id: r.cos
+            for r in exact_cosine_scores(emb)
+            .filter(F.col("vec_id") != RRF_QUERY_VEC)
+            .collect()
+        }
+        pool = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_POOL]
+        vecs = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.filter(
+                F.col("vec_id").isin([int(v) for v in pool])
+            ).collect()
+        }
+
+        def cos(a, b):
+            return float(
+                vecs[a] @ vecs[b]
+                / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+            )
+
+        chosen: list[int] = []
+        expect = []
+        for rank in range(min(MMR_K, len(pool))):
+            best, best_m = None, None
+            for v in sorted(pool):
+                if v in chosen:
+                    continue
+                pen = max((cos(v, c) for c in chosen), default=0.0)
+                m = MMR_LAMBDA * rel[v] - (1.0 - MMR_LAMBDA) * pen
+                if best_m is None or m > best_m:
+                    best, best_m = v, m
+            chosen.append(best)
+            expect.append((rank + 1, best, best_m))
+        got = sorted(
+            q_mmr_diversify(spark, sf_dir).collect(),
+            key=lambda r: r.rank,
+        )
+        assert [(g.rank, g.vec_id) for g in got] == [
+            (r, v) for r, v, _ in expect
+        ]
+        for g, (_, v, m) in zip(got, expect):
+            assert abs(g.mmr - m) < 1e-6 + 1e-9
+            assert abs(g.cosine - rel[v]) < 5.1e-7
+        # diversification actually reordered something vs pure relevance
+        assert [g.vec_id for g in got] != pool[:MMR_K]

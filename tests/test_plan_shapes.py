@@ -482,6 +482,9 @@ class TestJobFreeBuilders:
             "q_als",         # ALS rounds checkpoint factor tables
             "q_label_propagation",  # LPA rounds checkpoint label tables
             "q_dbscan",      # tile kernel + boundary component rounds
+            "q_kcore",       # peel rounds checkpoint + count per round
+            "q_hits",        # HITS rounds checkpoint score tables
+            "q_isotonic",    # scores q_logreg's Newton fit
         }
         tracker = spark.sparkContext._jsc.sc().statusTracker()
         offenders = []
@@ -1017,3 +1020,36 @@ class TestOpsFinalPlans:
         plan = _plan(spark, sf_dir, "q_table_checksum")
         assert "Join" not in plan
         assert plan.count("HashAggregate") >= 4
+
+
+class TestRound10Plans:
+    def test_conformal_windows_over_collapsed_residuals(
+        self, spark, sf_dir
+    ):
+        """q_conformal: the order statistic accumulates over the
+        distinct-integer-residual aggregate (the q_auc collapse shape),
+        never a global sort of raw calibration rows; the 5-row model
+        and the 1-row q_hat attach as broadcasts."""
+        plan = _plan(spark, sf_dir, "q_conformal")
+        # the 5-row model is persisted and read by BOTH legs; a persist
+        # prints its child (the train scan) under every
+        # InMemoryTableScan, so count cache reads, not scan strings
+        # (CLAUDE.md persist-print rule): real fact scans per execution
+        # = cal + test + one train materialization = 3
+        cached = plan.count("InMemoryTableScan")
+        assert cached >= 2
+        assert plan.count("orders.parquet") - cached <= 2
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "WindowGroupLimit" not in plan  # no top-k of 0.1*n rows
+        assert "Window" in plan  # cumulative count over collapsed s
+
+    def test_mmr_pool_cut_is_take_ordered(self, spark, sf_dir):
+        """q_mmr_diversify: the MMR_POOL cut must be
+        TakeOrderedAndProject (per-partition heaps), and the greedy
+        selection one FlatMapGroupsInPandas over the pooled relation —
+        never a global sort or a pairwise join."""
+        plan = _plan(spark, sf_dir, "q_mmr_diversify")
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("FlatMapGroupsInPandas") == 1
+        assert "CartesianProduct" not in plan

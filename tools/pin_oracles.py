@@ -70,6 +70,12 @@ PINNED_QUERIES: dict[str, str] = {name: "lineitem" for name in [
     "q_embedding_pairs",
     "q_label_propagation",
     "q_dbscan",
+    # round 10 (det-checked cross-config before pinning, same recipe):
+    "q_kcore",
+    "q_hits",
+    "q_isotonic",
+    "q_bpe_encode",
+    "q_mmr_diversify",
 ]}
 
 MAX_PIN_ROWS = 600  # per-SF cap: keeps pins.py reviewable
