@@ -219,6 +219,13 @@ HEADLINE = [
     # promoted round 9 (the r8 >2s rule): the only non-headliner whose
     # >2s sweep reading replicated in an alone re-run (3.2 s)
     "q_dedup_clusters",
+    # new in round 10 (same placed-last warm-JIT rule, >2s at sf0.1):
+    # k-core peel, HITS rounds, isotonic PAV, BPE encode (q_conformal
+    # 1.98s and q_mmr_diversify 1.09s stay in the non-headliner sweep)
+    "q_kcore",
+    "q_hits",
+    "q_isotonic",
+    "q_bpe_encode",
 ]
 
 

