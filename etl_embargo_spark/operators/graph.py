@@ -666,15 +666,18 @@ def kcore_edges(
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li).persist()
     cur = edges
-    n_prev = edges.select("src").distinct().count()
+    # initial alive-node count comes from round 1's (checkpointed,
+    # node-sized) degree relation — a separate distinct over the 2.3M
+    # symmetric edges would be a full extra shuffle for one number
+    n_prev = None
     rounds = 0
     for _ in range(KCORE_MAX_ROUNDS):
-        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = (
-            deg.filter(F.col("deg") >= k)
-            .select("src")
-            .localCheckpoint()
-        )
+        deg = cur.groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg")
+        ).localCheckpoint()
+        if n_prev is None:
+            n_prev = deg.count()
+        keep = deg.filter(F.col("deg") >= k).select("src")
         cur = edges.join(F.broadcast(keep), "src").join(
             F.broadcast(keep.withColumnRenamed("src", "dst")), "dst"
         )
