@@ -485,6 +485,7 @@ class TestJobFreeBuilders:
             "q_kcore",       # peel rounds checkpoint + count per round
             "q_hits",        # HITS rounds checkpoint score tables
             "q_isotonic",    # scores q_logreg's Newton fit
+            "q_bpe_encode",  # runs bpe_train_state's per-round argmax
         }
         tracker = spark.sparkContext._jsc.sc().statusTracker()
         offenders = []
