@@ -234,8 +234,42 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+# Start-gate thresholds (VERDICT r10 #4): three consecutive rounds the
+# driver's bench ran on a contended box and needed min-merge archaeology.
+# Detection landed in r10 (the `load` field); this PREVENTS it — wait for
+# the box to go quiet before starting, and if it never does, self-label
+# the artifact so downstream tooling auto-prefers the min-merge sidecar.
+_LOAD_QUIET = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+_LOAD_WAIT_SECS = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+
+
+def _wait_for_quiet_box() -> bool:
+    """Spin-wait up to _LOAD_WAIT_SECS for loadavg_1m < _LOAD_QUIET.
+
+    Returns True if the box was (or became) quiet, False if the wait
+    expired — the caller stamps ``contended: true`` in that case so the
+    judge and tooling never have to adjudicate from prose again."""
+    deadline = time.monotonic() + _LOAD_WAIT_SECS
+    while True:
+        try:
+            la1 = os.getloadavg()[0]
+        except OSError:  # pragma: no cover - non-unix
+            return True
+        if la1 < _LOAD_QUIET:
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        print(
+            f"# box contended (loadavg {la1:.1f} >= {_LOAD_QUIET}); "
+            f"waiting up to {int(deadline - time.monotonic())}s more",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    started_quiet = _wait_for_quiet_box()
     # capture BEFORE the session spins up its own 32 workers (VERDICT r9
     # #5: contended runs must be machine-detectable in the artifact)
     load_start = load_context()
@@ -273,6 +307,10 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     load = {"start": load_start, "end": load_context()}
+    # contended = the start gate expired without the box going quiet.
+    # (End loadavg can't brand the run: the bench's own 32 workers
+    # legitimately push it past any threshold while queries execute.)
+    contended = not started_quiet
     # Full per-query history sidecar (VERDICT r4 #8): the driver keeps only
     # the TAIL of the stdout line, losing the first ~73 queries' times each
     # round — persist the complete map to a file the round can commit.
@@ -285,6 +323,7 @@ def main() -> None:
                 {
                     "queries": timings,
                     "load": load,
+                    "contended": contended,
                     "metric": "headline_queries_total",
                     "unit": "sec",
                     "n_queries": len(timings),
@@ -306,6 +345,7 @@ def main() -> None:
             {
                 "queries": timings,
                 "load": load,
+                "contended": contended,
                 "metric": "headline_queries_total",
                 "unit": "sec",
                 "n_queries": len(timings),

@@ -17,6 +17,8 @@ operators exist to demonstrate the full surface at scale:
 
 from __future__ import annotations
 
+from fractions import Fraction as _Fraction
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5772,9 +5774,20 @@ def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # 1 - alpha target coverage; k = ceil((n_cal + 1) * (1 - alpha)) kept in
-# EXACT integer arithmetic (9*(n+1)+9) div 10 — (n+1)*0.9 in binary is
-# inexact and its ceil can disagree across engines at exact multiples
+# EXACT integer arithmetic (P*(n+1) + Q-1) div Q — (n+1)*0.9 in binary is
+# inexact and its ceil can disagree across engines at exact multiples.
+# P/Q are DERIVED from CONFORMAL_ALPHA (ADVICE r10: the old hand-inlined
+# 9/10 made the constant a no-op tunable) and interpolated into BOTH the
+# Spark expr and the registry's DuckDB oracle SQL.
 CONFORMAL_ALPHA = 0.1
+_CONF_COV = _Fraction(1) - _Fraction(CONFORMAL_ALPHA).limit_denominator(10_000)
+CONFORMAL_COV_NUM = _CONF_COV.numerator
+CONFORMAL_COV_DEN = _CONF_COV.denominator
+# the exact integer-ceil rank identity both engines evaluate
+CONFORMAL_K_RANK_EXPR = (
+    f"({CONFORMAL_COV_NUM} * (n_cal + 1) + {CONFORMAL_COV_DEN - 1})"
+    f" {{div}} {CONFORMAL_COV_DEN}"
+)
 
 
 def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5840,7 +5853,7 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_cum).alias("cum"),
         F.sum("c").over(wall).alias("n_cal"),
     )
-    k = F.expr("(9 * (n_cal + 1) + 9) div 10")
+    k = F.expr(CONFORMAL_K_RANK_EXPR.format(div="div"))
     qhat = (
         ranked.filter(F.col("cum") >= k)
         .groupBy("n_cal")

@@ -643,49 +643,94 @@ KCORE_K = 65
 KCORE_MAX_ROUNDS = 30
 
 
+def _kcore_state(
+    spark: SparkSession, sf_dir: str, k: int = KCORE_K
+) -> tuple[DataFrame, DataFrame, int]:
+    """(persisted symmetric edges, converged node state, peel rounds) of
+    the k-core peel — the node state is the checkpointed (src, deg)
+    relation at the fixpoint, where deg is ALREADY the degree within the
+    core subgraph (the delta decrements removed every edge to a dropped
+    node), so rollups need no edge re-filter pass at all.
+
+    Delta-peel (VERDICT r10 #3): the naive peel recounts degree over
+    the FULL surviving edge relation every round, so total work is
+    O(E · rounds) shuffle aggregations and rounds grow with cascade
+    depth.  Here the full degree count runs ONCE; each round only
+    DECREMENTS the neighbors of this round's dropped nodes (edges ⋈
+    broadcast(drops) is a map-side hash filter whose aggregation input
+    is the dropped nodes' incident edges, not all of E), so total
+    aggregation work is O(E + Σ|incident(dropped)|) ≤ O(2E) no matter
+    how many cascade waves the diameter forces.  Only the node-sized
+    (src, deg) state checkpoints per round (past ~100M dropped-per-wave
+    nodes swap the broadcasts for a src/dst co-partitioned join,
+    pagerank's documented fallback).  Round semantics (simultaneous
+    drop of all deg<k nodes per wave) and the converged fixpoint are
+    identical to the naive peel — pins unchanged.  Convergence =
+    alive-node count unchanged, counted on the checkpointed node
+    state; a non-converged exhaustion of KCORE_MAX_ROUNDS raises
+    (ADVICE r10) instead of silently returning a partial core.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li).persist()
+    deg0 = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
+    n_prev = deg0.count()
+    alive = deg0
+    rounds = 0
+    converged = False
+    for _ in range(KCORE_MAX_ROUNDS):
+        rounds += 1
+        keep = alive.filter(F.col("deg") >= k)
+        n = keep.count()
+        if n == n_prev:
+            converged = True
+            break
+        drops = alive.filter(F.col("deg") < k).select(
+            F.col("src").alias("dst")
+        )
+        dec = (
+            edges.join(F.broadcast(drops), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        alive = (
+            keep.join(F.broadcast(dec), "src", "left")
+            .select(
+                "src",
+                (
+                    F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))
+                ).alias("deg"),
+            )
+            .localCheckpoint()
+        )
+        n_prev = n
+    if not converged:
+        # ADVICE r10: a silent partial core is a wrong answer — the
+        # sf1 k=85 scan needed ~63 waves, so a future k/corpus change
+        # can legitimately exhaust the cap; fail fast like Shapley.
+        raise RuntimeError(
+            f"k-core peel did not converge in {KCORE_MAX_ROUNDS} rounds "
+            f"(k={k}); raise KCORE_MAX_ROUNDS or re-derive k from the "
+            "corpus degree distribution"
+        )
+    return edges, alive, rounds
+
+
 def kcore_edges(
     spark: SparkSession, sf_dir: str, k: int = KCORE_K
 ) -> tuple[DataFrame, int]:
     """(surviving symmetric edge relation, peel rounds) of the k-core
     of the co-purchase part graph: repeatedly drop nodes with degree
-    < k until stable.
-
-    Scale shape: the EDGE relation is materialized exactly once (one
-    persist) and never moves again — each round is one map-side-combined
-    degree count (node-sized) over the alive-filtered view and two
-    BROADCAST semi-joins of the node-sized keep set (the q_pagerank
-    broadcast pattern; past ~100M surviving nodes, swap the broadcasts
-    for a src/dst co-partitioned join, same as pagerank's documented
-    fallback).  Only the NODE-sized keep set checkpoints per round —
-    the alive-filtered view is always (persisted edges ⋈ checkpointed
-    keep), so lineage depth is constant without ever re-materializing
-    the edge relation (the first form checkpointed 2.3M sym edges per
-    round: 7.0 → ~4 s at sf0.1).  Convergence = alive-node count
-    unchanged (equivalent to the edge-count test: no node dropped ⇒
-    identical filter), counted on the checkpointed node set."""
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li).persist()
-    cur = edges
-    # initial alive-node count comes from round 1's (checkpointed,
-    # node-sized) degree relation — a separate distinct over the 2.3M
-    # symmetric edges would be a full extra shuffle for one number
-    n_prev = None
-    rounds = 0
-    for _ in range(KCORE_MAX_ROUNDS):
-        deg = cur.groupBy("src").agg(
-            F.count(F.lit(1)).alias("deg")
-        ).localCheckpoint()
-        if n_prev is None:
-            n_prev = deg.count()
-        keep = deg.filter(F.col("deg") >= k).select("src")
-        cur = edges.join(F.broadcast(keep), "src").join(
-            F.broadcast(keep.withColumnRenamed("src", "dst")), "dst"
-        )
-        n = keep.count()
-        rounds += 1
-        if n == n_prev:
-            break
-        n_prev = n
+    < k until stable.  The peel itself is the delta-peel in
+    _kcore_state; this wrapper filters the persisted edge relation by
+    the converged keep set ONCE (two broadcast semi-joins) for callers
+    that need the actual core edges."""
+    edges, alive, rounds = _kcore_state(spark, sf_dir, k)
+    keep_ids = alive.filter(F.col("deg") >= k).select("src")
+    cur = edges.join(F.broadcast(keep_ids), "src").join(
+        F.broadcast(keep_ids.withColumnRenamed("src", "dst")), "dst"
+    )
     return cur, rounds
 
 
@@ -694,23 +739,24 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, peel rounds, and an order-insensitive checksum of the core
     node set (the q_pagerank checksum-rollup form — the node-level
     detail stays pytest-checked against a brute-force numpy peel,
-    tests/test_extensions.py::TestKcore)."""
+    tests/test_extensions.py::TestKcore).
+
+    The whole rollup reads the NODE-sized converged peel state, never
+    the edge relation: at the fixpoint each survivor's deg is exactly
+    its core-subgraph degree (every edge to a dropped node was
+    delta-decremented), so n_core_edges = Σdeg/2 and the node
+    count/checksum come from the same checkpointed relation — zero
+    edge passes beyond the peel's own single full aggregation
+    (rollup was 4.6 s of the 36.5 s sf1 cold total before this)."""
     from etl_embargo_spark.operators.aggregates import rows_checksum
 
-    core, rounds = kcore_edges(spark, sf_dir)
-    nodes = core.select(F.col("src").alias("id")).distinct()
-    return nodes.agg(
+    _edges, alive, rounds = _kcore_state(spark, sf_dir)
+    core_nodes = alive.filter(F.col("deg") >= KCORE_K)
+    return core_nodes.agg(
         F.count(F.lit(1)).alias("n_core_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_core_edges"),
         F.lit(rounds).cast("int").alias("peel_rounds"),
-        rows_checksum("id").alias("nodes_sum"),
-    ).crossJoin(
-        F.broadcast(
-            core.agg(
-                (F.count(F.lit(1)) / 2).cast("bigint").alias(
-                    "n_core_edges"
-                )
-            )
-        )
+        rows_checksum("src").alias("nodes_sum"),
     ).select("n_core_nodes", "n_core_edges", "peel_rounds", "nodes_sum")
 
 

@@ -72,56 +72,56 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # output-identical, re-verified vs oracles/pins), then the 37 oldest
 # attestations (the r4 block, five rounds old).
 DRIVER_WINDOW_FIRST = [
-    "q_bpe_encode",
-    "q_conformal",
-    "q_hits",
-    "q_isotonic",
-    "q_kcore",
-    "q_mmr_diversify",
-    "q_anova",
-    "q_bpe_train",
-    "q_cohens_d",
-    "q_crosscorr",
-    "q_dbscan",
-    "q_shapley_attribution",
-    "q_welch_ttest",
-    "q_overwrite_merge",
-    "q_prefix_scan",
-    "q_pricing_summary",
-    "q_range_check",
-    "q_rename_rewrite",
-    "q_rollup",
-    "q_semdedup",
-    "q_split_partition",
-    "q_sql_split",
-    "q_substr_dedup",
-    "q_suffix_filter",
-    "q_sync_anti",
-    "q_tar_roundtrip",
-    "q_topk_per_group",
-    "q_union_distinct",
-    "q_whitelist_semi",
-    "q_zorder_layout",
-    "q_ab_test",
-    "q_anomaly_seasonal",
-    "q_auc",
-    "q_autocorr",
-    "q_benford",
-    "q_bm25",
-    "q_bollinger",
-    "q_chi2",
-    "q_cohort_ltv",
-    "q_corpus_mix",
-    "q_corpus_pack",
-    "q_corpus_split",
-    "q_cusum",
-    "q_did",
-    "q_equidepth",
-    "q_ewma",
-    "q_gini",
-    "q_interarrival",
-    "q_interp",
-    "q_kmv_overlap",
+    "q_ks_test",
+    "q_mann_kendall",
+    "q_mannwhitney",
+    "q_naive_bayes",
+    "q_ols",
+    "q_pca",
+    "q_pmi",
+    "q_product_profit",
+    "q_promo_share",
+    "q_readability",
+    "q_revenue_forecast",
+    "q_ridge_path",
+    "q_rolling_beta",
+    "q_rrf",
+    "q_runs_test",
+    "q_seasonality",
+    "q_sprt",
+    "q_stump",
+    "q_survival",
+    "q_target_encode",
+    "q_theilsen",
+    "q_whitening",
+    "q_winsorize",
+    "q_woe_iv",
+    "q_anomaly_mad",
+    "q_conditional_agg",
+    "q_copurchase",
+    "q_corr_stats",
+    "q_data_profile",
+    "q_date_spine",
+    "q_decontaminate",
+    "q_doc_chunk",
+    "q_events_window",
+    "q_except_all",
+    "q_first_last",
+    "q_funnel",
+    "q_grouping_sets",
+    "q_hash_sample",
+    "q_heavy_hitters",
+    "q_histogram",
+    "q_incremental_agg",
+    "q_json_extract",
+    "q_media_features",
+    "q_media_framesample",
+    "q_mode",
+    "q_moving_avg",
+    "q_ngram_counts",
+    "q_ntile",
+    "q_null_anti",
+    "q_percentiles",
 ]
 
 # Changed after the current window was already full: drifted queries may
@@ -6646,9 +6646,9 @@ register(
         FROM sc
     ),
     qhat AS (
-        SELECT n_cal, (9 * (n_cal + 1) + 9) // 10 AS k_rank,
+        SELECT n_cal, {KR} AS k_rank,
                min(s) AS q_hat
-        FROM ranked WHERE cum >= (9 * (n_cal + 1) + 9) // 10
+        FROM ranked WHERE cum >= {KR}
         GROUP BY n_cal
     )
     SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
@@ -6661,7 +6661,7 @@ register(
                  / CAST(count(*) AS DOUBLE), 6) AS coverage
     FROM (SELECT s FROM scored WHERE split = 2) t, qhat q
     GROUP BY q.n_cal, q.k_rank, q.q_hat
-    """,
+    """.format(KR=analytics.CONFORMAL_K_RANK_EXPR.format(div="//")),
 )
 
 register("q_kcore", graph.q_kcore, pinned_oracle("q_kcore"))
