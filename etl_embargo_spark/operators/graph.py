@@ -768,15 +768,22 @@ HITS_ITERS = 6
 
 
 def hits_scores(
-    spark: SparkSession, sf_dir: str, n_iters: int = HITS_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    n_iters: int = HITS_ITERS,
+    rounded: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(hubs, auths) after ``n_iters`` HITS rounds over the distinct
     customer->part purchase edges: auth(p) = sum of hub scores of its
     buyers, hub(c) = sum of authority scores of its parts, each side
-    max-normalized per round (max is an order-independent reduce —
-    unlike an L2 norm's double sum — so normalization adds no
-    merge-order sensitivity beyond the per-key partial sums the
-    q_pagerank precedent already carries; detail scores round to 8 dp).
+    max-normalized per round.  Rounds are ENGINE-EXACT (ADVICE r10):
+    incoming scores quantize to exact 12-dp integers and sum as
+    bigints (exact, codegen-fast), the max of exact integers is exact,
+    and normalization is one IEEE division of exactly-representable
+    operands — bit-identical scores across any partitioning, so the
+    pinned 8-dp detail has no rounding-boundary flake class at all
+    (tools/hits_margin.py is the audit that motivated this; the
+    raw-double margin was 66 ulps at sf1).
 
     Scale shape: the edge relation is built once, repartitioned by cust
     (corpus-derived fat partitions, the q_pagerank rule) and persisted;
@@ -821,27 +828,58 @@ def hits_scores(
         # 8.6 → 5.3 s at sf0.1).  The normalized view stays lazy: its
         # lineage is the checkpointed sums + one tiny crossJoin, so
         # depth stays constant without a second materialization.
+        # engine-exact rounds (ADVICE r10 #1): each incoming score
+        # (always in [0, 1] after the previous normalize) quantizes to
+        # an exact 12-dp INTEGER (round(x·1e12) — bigint sums are exact
+        # and keep whole-stage codegen, where a decimal accumulator
+        # measured 2× the query), integer sums are merge-order-exact,
+        # the max of exact integers is exact, and the normalization is
+        # ONE IEEE division of exactly-representable operands — so
+        # every score is bit-identical across runs/configs/partition
+        # layouts and the pinned 8-dp detail has no rounding-boundary
+        # flake class (the raw-double form's measured margin had shrunk
+        # to 66 ulps at sf1).  Overflow bound: Σ ≤ n_neighbors·1e12,
+        # safe to ~9M-neighbor nodes; past that (the same ~100M-node
+        # cliff as the broadcasts) widen the sum to decimal(38,0).
+        _q = lambda c: F.round(c * 1e12).cast("bigint")  # noqa: E731
         a_raw = (
             edges.join(F.broadcast(hubs), "cust")
             .groupBy("part")
-            .agg(F.sum("h").alias("a"))
+            .agg(F.sum(_q(F.col("h"))).alias("a"))
             .localCheckpoint()
         )
         amax = a_raw.agg(F.max("a").alias("m"))
         auth = a_raw.crossJoin(F.broadcast(amax)).select(
-            "part", (F.col("a") / F.col("m")).alias("a")
+            "part",
+            (
+                F.col("a").cast("double") / F.col("m").cast("double")
+            ).alias("a"),
         )
         h_raw = (
             edges.join(F.broadcast(auth), "part")
             .groupBy("cust")
-            .agg(F.sum("a").alias("h"))
+            .agg(F.sum(_q(F.col("a"))).alias("h"))
             .localCheckpoint()
         )
         hmax = h_raw.agg(F.max("h").alias("m"))
         hubs = h_raw.crossJoin(F.broadcast(hmax)).select(
-            "cust", (F.col("h") / F.col("m")).alias("h")
+            "cust",
+            (
+                F.col("h").cast("double") / F.col("m").cast("double")
+            ).alias("h"),
         )
     edges.unpersist()
+    if not rounded:
+        # raw doubles, for the pin-margin audit (tools/hits_margin.py):
+        # the pinned detail rounds to 8 dp, and the audit shows every
+        # raw score sits far from an x.xxxxxxxx5 boundary relative to
+        # partial-sum merge-order noise (~1 ulp), so the rounding can
+        # never flip across runs/configs (ADVICE r10 #1, measured
+        # margin recorded in SCALE.md r11)
+        return (
+            hubs.select("cust", F.col("h").alias("score")),
+            auth.select("part", F.col("a").alias("score")),
+        )
     return (
         hubs.select("cust", F.round("h", 8).alias("score")),
         auth.select("part", F.round("a", 8).alias("score")),
