@@ -226,6 +226,11 @@ HEADLINE = [
     "q_hits",
     "q_isotonic",
     "q_bpe_encode",
+    # new in round 11 (>2s at sf0.1, placed-last warm-JIT rule):
+    # embedding-space eval decontamination and per-language BPE
+    # fertility (warm 2.9 s / 2.4 s)
+    "q_decontaminate_semantic",
+    "q_bpe_fertility",
 ]
 
 

@@ -981,3 +981,106 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.round("mmr", 6).alias("mmr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) eval decontamination
+# ---------------------------------------------------------------------------
+
+# Cosine threshold for "semantically contaminated".  On the synthetic
+# 10-cluster embeddings (centers ~N(0,1), noise sigma 1.05) pairwise
+# cosines top out near 0.5 (the same corpus fact that pins
+# embedding_pairs' 0.45), so a real-model 0.9+ threshold would be
+# vacuously empty at every SF; 0.35 is the measured non-degenerate
+# point at the gate SFs (contaminated 3/494 at sf0.001, 9/494 at
+# sf0.01, 89/1979 at sf0.1).  Saturation scan: with 10 FIXED clusters
+# and an eval set growing with the corpus, max-cos-to-eval rises with
+# eval size and the FLAG saturates at sf1 (19791/19793 ≥ 0.35) — a
+# density artifact of the synthetic corpus, not a plan defect; the
+# per-doc max_cos / n_eval_hits values stay fully informative and
+# hash-checked.  On a real corpus τ comes from the embedding model's
+# known near-dup band, not from this constant.
+SEMDECON_TAU = 0.35
+SEMDECON_EVAL_MOD = 97  # mirrors text.q_decontaminate's eval split
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination (VERDICT r10 #5): flag
+    training vectors whose cosine to ANY held-out eval vector
+    (vec_id % 97 == 0, the q_decontaminate convention) reaches
+    SEMDECON_TAU — the semantic companion to the 8-gram overlap check,
+    catching paraphrased eval leakage that token n-grams miss.  Output
+    is one row per training vector: hit count against the eval set,
+    max cosine, and the contamination flag.
+
+    Scale shape: a real eval set is CONSTANT-sized (a benchmark suite),
+    so the exploded eval side and its norms BROADCAST; the corpus side
+    is touched twice (both from one narrow lazily-checkpointed
+    quantized-explode lineage): once through the broadcast dim-join
+    whose partial-aggregated output is (train × eval) dot rows — linear
+    in the corpus for a fixed eval set — and never self-joins.  If the
+    eval set ever outgrows the broadcast budget, the documented path is
+    the LSH bucketer (dedup._bucket_pairs) as a candidate prefilter in
+    front of this same exact-cosine verify.
+
+    Engine determinism: the q_rrf/q_ndcg exact-cosine discipline —
+    components quantize to DECIMAL(12,6), dots/norms accumulate as
+    associative decimal sums, and each cosine is one IEEE division of
+    correctly-rounded operands, so both engines compute bit-identical
+    doubles and the τ comparison / max / hit count can never diverge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+        .select(
+            "vec_id",
+            "i",
+            F.round(F.col("x").cast("double"), 6)
+            .cast("decimal(12,6)")
+            .alias("qx"),
+        )
+        # narrow (shuffle-free) lineage with two consumers — the q_rrf
+        # exploded-embeddings precedent for lazy checkpoint
+        .localCheckpoint(eager=False)
+    )
+    is_eval = (F.col("vec_id") % SEMDECON_EVAL_MOD) == 0
+    ev = flat.filter(is_eval).select(
+        F.col("vec_id").alias("evec_id"), "i", F.col("qx").alias("ev")
+    )
+    ev_norms = ev.groupBy("evec_id").agg(
+        F.sum(F.col("ev") * F.col("ev")).alias("ne")
+    )
+    # one pass: per (train, eval) pair the dot AND the train norm (each
+    # dim index matches exactly once per eval vector, so sum(qx*qx)
+    # inside the pair group IS the train norm — no corpus-sized norm
+    # join, the q_rrf dots-CTE shape)
+    dots = (
+        flat.filter(~is_eval)
+        .join(F.broadcast(ev), "i")
+        .groupBy("vec_id", "evec_id")
+        .agg(
+            F.sum(F.col("qx") * F.col("ev")).alias("dot"),
+            F.sum(F.col("qx") * F.col("qx")).alias("nn"),
+        )
+    )
+    cos = dots.join(F.broadcast(ev_norms), "evec_id").select(
+        "vec_id",
+        (
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("nn").cast("double"))
+                * F.sqrt(F.col("ne").cast("double"))
+            )
+        ).alias("c"),
+    )
+    per_doc = cos.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("c") >= SEMDECON_TAU, 1).otherwise(0)
+        ).cast("bigint").alias("n_eval_hits"),
+        F.max("c").alias("_mc"),
+    )
+    return per_doc.select(
+        F.col("vec_id").alias("doc_id"),
+        "n_eval_hits",
+        F.round("_mc", 6).alias("max_cos"),
+        (F.col("n_eval_hits") > 0).alias("contaminated"),
+    )

@@ -1068,6 +1068,61 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only (iterative upstream): per-LANGUAGE tokenizer fertility
+    (VERDICT r10 #6) — tokens/word and chars/token by the documents
+    table's lang column, the planning number an LLM data team reads to
+    spot vocabulary under-allocation for a language (high tokens/word =
+    the learned merges don't serve that language's word shapes).
+    Closes the BPE lifecycle: q_bpe_train learns, q_bpe_encode measures
+    corpus-level compression, this breaks it down by language.
+
+    Scale shape: the trained vocabulary state (word → token count,
+    already merge-applied by training's last round) is zipf-BOUNDED and
+    broadcasts; the corpus contributes ONE extra scan — per-(lang,
+    word) counts, map-side combined to the lang×vocab grid before the
+    broadcast join — and the final rollup is language-sized.
+
+    Engine determinism: counts and character masses are exact
+    integers; each fertility is one exact-int/exact-int IEEE division,
+    rounded 6 dp (pinned oracle — the vocabulary state is iterative,
+    not SQL-expressible)."""
+    _, wc = bpe_train_state(spark, sf_dir)
+    vocab = wc.select(
+        F.translate(F.col("sym"), " ", "").alias("w"),
+        F.size(F.split(F.trim(F.col("sym")), " ")).alias("n_toks"),
+        F.length(F.translate(F.col("sym"), " ", "")).alias("wlen"),
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # same word gate as bpe_train_state (length >= 2) so every corpus
+    # word hits the vocabulary exactly
+    lw = (
+        docs.select("lang", F.explode(_tokens()).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = lw.join(F.broadcast(vocab), "w").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_toks")).alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("wlen")).alias("char_mass"),
+    )
+    return agg.select(
+        "lang",
+        "n_distinct_words",
+        "n_words",
+        "n_tokens",
+        "char_mass",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.col("char_mass").cast("double") / F.col("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+
+
 PMI_MIN_COUNT = 5  # collocation support floor
 
 

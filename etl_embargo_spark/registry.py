@@ -72,6 +72,11 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # output-identical, re-verified vs oracles/pins), then the 37 oldest
 # attestations (the r4 block, five rounds old).
 DRIVER_WINDOW_FIRST = [
+    "q_bpe_fertility",
+    "q_decontaminate_semantic",
+    "q_conformal",
+    "q_hits",
+    "q_kcore",
     "q_ks_test",
     "q_mann_kendall",
     "q_mannwhitney",
@@ -117,11 +122,6 @@ DRIVER_WINDOW_FIRST = [
     "q_media_features",
     "q_media_framesample",
     "q_mode",
-    "q_moving_avg",
-    "q_ngram_counts",
-    "q_ntile",
-    "q_null_anti",
-    "q_percentiles",
 ]
 
 # Changed after the current window was already full: drifted queries may
@@ -6676,4 +6676,49 @@ register(
     "q_mmr_diversify",
     similarity.q_mmr_diversify,
     pinned_oracle("q_mmr_diversify"),
+)
+
+register(
+    "q_decontaminate_semantic",
+    similarity.q_decontaminate_semantic,
+    f"""
+    WITH flat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+                    AS DECIMAL(12,6)) AS qx
+        FROM embeddings
+    ),
+    ev AS (SELECT vec_id AS evec_id, i, qx AS ev FROM flat
+           WHERE vec_id % {similarity.SEMDECON_EVAL_MOD} = 0),
+    ev_norms AS (
+        SELECT evec_id, sum(ev * ev) AS ne FROM ev GROUP BY evec_id
+    ),
+    dots AS (
+        SELECT f.vec_id, e.evec_id,
+               sum(f.qx * e.ev) AS dot, sum(f.qx * f.qx) AS nn
+        FROM flat f JOIN ev e USING (i)
+        WHERE f.vec_id % {similarity.SEMDECON_EVAL_MOD} <> 0
+        GROUP BY f.vec_id, e.evec_id
+    ),
+    cosr AS (
+        SELECT d.vec_id,
+               CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(d.nn AS DOUBLE))
+                      * sqrt(CAST(n.ne AS DOUBLE))) AS c
+        FROM dots d JOIN ev_norms n USING (evec_id)
+    )
+    SELECT vec_id AS doc_id,
+           CAST(sum(CASE WHEN c >= {similarity.SEMDECON_TAU} THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_eval_hits,
+           round(max(c), 6) AS max_cos,
+           sum(CASE WHEN c >= {similarity.SEMDECON_TAU} THEN 1
+               ELSE 0 END) > 0 AS contaminated
+    FROM cosr GROUP BY vec_id
+    """,
+)
+
+register(
+    "q_bpe_fertility",
+    text.q_bpe_fertility,
+    pinned_oracle("q_bpe_fertility"),
 )

@@ -2916,3 +2916,105 @@ class TestMmrDiversify:
             assert abs(g.cosine - rel[v]) < 5.1e-7
         # diversification actually reordered something vs pure relevance
         assert [g.vec_id for g in got] != pool[:MMR_K]
+
+
+class TestDecontaminateSemantic:
+    def test_matches_numpy_bruteforce(self, spark, sf_dir):
+        """q_decontaminate_semantic must equal a numpy brute force over
+        the same 6-dp-quantized components: per training vector the
+        eval-hit count at SEMDECON_TAU, the max cosine (6 dp), and the
+        flag."""
+        import numpy as np
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.similarity import (
+            SEMDECON_EVAL_MOD,
+            SEMDECON_TAU,
+            q_decontaminate_semantic,
+        )
+
+        rows = load_table(spark, sf_dir, "embeddings").collect()
+        ids = np.array([r.vec_id for r in rows])
+        V = np.round(
+            np.array([r.embedding for r in rows], dtype=np.float64), 6
+        )
+        ev = ids % SEMDECON_EVAL_MOD == 0
+        dots = V[~ev] @ V[ev].T
+        nt = np.sqrt((V[~ev] ** 2).sum(1))[:, None]
+        ne = np.sqrt((V[ev] ** 2).sum(1))[None, :]
+        S = dots / (nt * ne)
+        want = {
+            int(vid): (
+                int((S[j] >= SEMDECON_TAU).sum()),
+                round(float(S[j].max()), 6),
+            )
+            for j, vid in enumerate(ids[~ev])
+        }
+        got = {
+            r.doc_id: (r.n_eval_hits, r.max_cos, r.contaminated)
+            for r in q_decontaminate_semantic(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        n_flagged = 0
+        for vid, (hits, mc) in want.items():
+            ghits, gmc, gflag = got[vid]
+            assert ghits == hits, vid
+            assert abs(gmc - mc) < 1e-6, vid
+            assert gflag == (hits > 0), vid
+            n_flagged += int(gflag)
+        # non-degenerate at every gate SF (measured 3/9/89 flagged)
+        assert 0 < n_flagged < len(want)
+
+
+class TestBpeFertility:
+    def test_matches_python_replay(self, spark, sf_dir):
+        """q_bpe_fertility must equal the per-lang rollup of the python
+        reference trainer's final vocabulary state joined to per-(lang,
+        word) corpus counts."""
+        import re
+        from collections import Counter, defaultdict
+
+        from etl_embargo_spark.catalog import load_table
+        from etl_embargo_spark.operators.text import (
+            BPE_MERGES,
+            q_bpe_fertility,
+        )
+
+        wc: Counter = Counter()
+        lang_wc: Counter = Counter()
+        for d in load_table(spark, sf_dir, "documents").collect():
+            if d.n_chars <= 0:
+                continue
+            for w in re.split(r"\s+", d.text.strip().lower()):
+                if len(w) >= 2:
+                    wc[w] += 1
+                    lang_wc[(d.lang, w)] += 1
+        _, vocab = TestBpeTrain._python_bpe(wc, BPE_MERGES)
+        ntoks = {"".join(s): len(s) for s in vocab}
+        agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+        for (lang, w), c in lang_wc.items():
+            a = agg[lang]
+            a[0] += 1
+            a[1] += c
+            a[2] += c * ntoks[w]
+            a[3] += c * len(w)
+        got = {
+            r.lang: (
+                r.n_distinct_words,
+                r.n_words,
+                r.n_tokens,
+                r.char_mass,
+                r.tokens_per_word,
+                r.chars_per_token,
+            )
+            for r in q_bpe_fertility(spark, sf_dir).collect()
+        }
+        assert set(got) == set(agg)
+        for lang, (nd, nw, nt, cm) in (
+            (k, tuple(v)) for k, v in agg.items()
+        ):
+            gnd, gnw, gnt, gcm, tpw, cpt = got[lang]
+            assert (gnd, gnw, gnt, gcm) == (nd, nw, nt, cm), lang
+            assert abs(tpw - nt / nw) < 1e-6, lang
+            assert abs(cpt - cm / nt) < 1e-6, lang
+        assert len(got) >= 2  # non-degenerate language spread

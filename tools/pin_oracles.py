@@ -75,6 +75,7 @@ PINNED_QUERIES: dict[str, str] = {name: "lineitem" for name in [
     "q_hits",
     "q_isotonic",
     "q_bpe_encode",
+    "q_bpe_fertility",
     "q_mmr_diversify",
 ]}
 
