@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_embargo_spark.catalog import load_table
+from etl_embargo_spark.catalog import load_table, spread_for_cpu
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1002,49 +1002,68 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # known near-dup band, not from this constant.
 SEMDECON_TAU = 0.35
 SEMDECON_EVAL_MOD = 97  # mirrors text.q_decontaminate's eval split
+# A real eval set is CONSTANT-sized (a benchmark suite); the mod-97
+# stand-in grows with the corpus, which would make the (train × eval)
+# dot volume QUADRATIC in corpus size — so the eval set is capped to
+# the first 64 qualifying ids.  Below vec_id 6208 the cap is inert
+# (sf ≤ 0.1 keeps its exact previous eval set: 6/6/21 vectors at the
+# gate SFs); above it, eval size pins at 64 and the work is linear in
+# the corpus forever.
+SEMDECON_EVAL_CAP = 64 * SEMDECON_EVAL_MOD
 
 
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval-set decontamination (VERDICT r10 #5): flag
     training vectors whose cosine to ANY held-out eval vector
-    (vec_id % 97 == 0, the q_decontaminate convention) reaches
-    SEMDECON_TAU — the semantic companion to the 8-gram overlap check,
-    catching paraphrased eval leakage that token n-grams miss.  Output
-    is one row per training vector: hit count against the eval set,
-    max cosine, and the contamination flag.
+    (vec_id % 97 == 0 under SEMDECON_EVAL_CAP) reaches SEMDECON_TAU —
+    the semantic companion to the 8-gram overlap check, catching
+    paraphrased eval leakage that token n-grams miss.  Output is one
+    row per training vector: hit count against the eval set, max
+    cosine, and the contamination flag.
 
-    Scale shape: a real eval set is CONSTANT-sized (a benchmark suite),
-    so the exploded eval side and its norms BROADCAST; the corpus side
-    is touched twice (both from one narrow lazily-checkpointed
-    quantized-explode lineage): once through the broadcast dim-join
+    Scale shape: the eval set is constant-sized (see the cap note), so
+    the exploded eval side and its norms BROADCAST; the corpus side is
+    one narrow quantized-explode lineage through the broadcast dim-join
     whose partial-aggregated output is (train × eval) dot rows — linear
-    in the corpus for a fixed eval set — and never self-joins.  If the
-    eval set ever outgrows the broadcast budget, the documented path is
-    the LSH bucketer (dedup._bucket_pairs) as a candidate prefilter in
-    front of this same exact-cosine verify.
+    in the corpus — and never self-joins.  If the eval set ever
+    outgrows the broadcast budget, the documented path is the LSH
+    bucketer (dedup._bucket_pairs) as a candidate prefilter in front of
+    this same exact-cosine verify.
 
-    Engine determinism: the q_rrf/q_ndcg exact-cosine discipline —
-    components quantize to DECIMAL(12,6), dots/norms accumulate as
-    associative decimal sums, and each cosine is one IEEE division of
-    correctly-rounded operands, so both engines compute bit-identical
-    doubles and the τ comparison / max / hit count can never diverge."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    flat = (
-        emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
-        .select(
-            "vec_id",
-            "i",
-            F.round(F.col("x").cast("double"), 6)
-            .cast("decimal(12,6)")
-            .alias("qx"),
-        )
-        # narrow (shuffle-free) lineage with two consumers — the q_rrf
-        # exploded-embeddings precedent for lazy checkpoint
-        .localCheckpoint(eager=False)
+    Engine determinism: components quantize to exact 6-dp INTEGERS
+    (round(x·1e6) — an integer-scaled variant of the q_rrf decimal
+    discipline: bigint sums are merge-order-exact AND keep whole-stage
+    codegen, where this query's first decimal-sum form measured ~2×),
+    dots/norms accumulate as exact int64 sums, and each cosine is
+    sqrt/multiply/divide of exactly-representable operands — correctly
+    rounded IEEE ops, so both engines compute bit-identical doubles
+    and the τ comparison / max / hit count can never diverge.
+    Overflow audit: |dot| ≤ 64·(max|x|·1e6)² needs max|x| ≤ 11.8 to
+    stay under 2^53 — the corpus maxes at 7.6 (sf3)."""
+    # byte-sized scan feeding a ×(64·|eval|) expansion: spread the
+    # scan across cores or the whole dot volume lands on 1-2 partitions
+    # (CLAUDE.md scan-level spread rule; measured 35 s at sf1 without)
+    emb = spread_for_cpu(load_table(spark, sf_dir, "embeddings"), spark)
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("x").cast("double") * 1e6).cast("bigint").alias("qx"),
     )
-    is_eval = (F.col("vec_id") % SEMDECON_EVAL_MOD) == 0
-    ev = flat.filter(is_eval).select(
-        F.col("vec_id").alias("evec_id"), "i", F.col("qx").alias("ev")
+    is_eval = ((F.col("vec_id") % SEMDECON_EVAL_MOD) == 0) & (
+        F.col("vec_id") < SEMDECON_EVAL_CAP
+    )
+    # tiny shared relation with two consumers (the dot join + its
+    # norms) — persist, not lazy checkpoint (CLAUDE.md shared-lineage
+    # rule), so the corpus-wide explode behind the eval filter runs
+    # once, not once per consumer
+    ev = (
+        flat.filter(is_eval)
+        .select(
+            F.col("vec_id").alias("evec_id"), "i", F.col("qx").alias("ev")
+        )
+        .persist()
     )
     ev_norms = ev.groupBy("evec_id").agg(
         F.sum(F.col("ev") * F.col("ev")).alias("ne")

@@ -6684,12 +6684,13 @@ register(
     f"""
     WITH flat AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-               CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
-                    AS DECIMAL(12,6)) AS qx
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                    AS BIGINT) AS qx
         FROM embeddings
     ),
     ev AS (SELECT vec_id AS evec_id, i, qx AS ev FROM flat
-           WHERE vec_id % {similarity.SEMDECON_EVAL_MOD} = 0),
+           WHERE vec_id % {similarity.SEMDECON_EVAL_MOD} = 0
+             AND vec_id < {similarity.SEMDECON_EVAL_CAP}),
     ev_norms AS (
         SELECT evec_id, sum(ev * ev) AS ne FROM ev GROUP BY evec_id
     ),
@@ -6698,6 +6699,7 @@ register(
                sum(f.qx * e.ev) AS dot, sum(f.qx * f.qx) AS nn
         FROM flat f JOIN ev e USING (i)
         WHERE f.vec_id % {similarity.SEMDECON_EVAL_MOD} <> 0
+           OR f.vec_id >= {similarity.SEMDECON_EVAL_CAP}
         GROUP BY f.vec_id, e.evec_id
     ),
     cosr AS (

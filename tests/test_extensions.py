@@ -2928,6 +2928,7 @@ class TestDecontaminateSemantic:
 
         from etl_embargo_spark.catalog import load_table
         from etl_embargo_spark.operators.similarity import (
+            SEMDECON_EVAL_CAP,
             SEMDECON_EVAL_MOD,
             SEMDECON_TAU,
             q_decontaminate_semantic,
@@ -2935,10 +2936,12 @@ class TestDecontaminateSemantic:
 
         rows = load_table(spark, sf_dir, "embeddings").collect()
         ids = np.array([r.vec_id for r in rows])
-        V = np.round(
-            np.array([r.embedding for r in rows], dtype=np.float64), 6
-        )
-        ev = ids % SEMDECON_EVAL_MOD == 0
+        raw = np.array([r.embedding for r in rows], dtype=np.float64)
+        # HALF_UP 6-dp integer quantization (np.round is banker's —
+        # CLAUDE.md rule — so mirror F.round explicitly); all sums stay
+        # exact integers below 2^53, so float64 matmul is exact
+        V = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5)
+        ev = (ids % SEMDECON_EVAL_MOD == 0) & (ids < SEMDECON_EVAL_CAP)
         dots = V[~ev] @ V[ev].T
         nt = np.sqrt((V[~ev] ** 2).sum(1))[:, None]
         ne = np.sqrt((V[ev] ** 2).sum(1))[None, :]
