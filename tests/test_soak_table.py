@@ -69,3 +69,48 @@ class TestSoakRenderTable:
         )
         assert errors == ["q_err"]
         assert not failures
+
+    def test_rows_growth_waiver_still_ok_when_stable(self, monkeypatch):
+        # 20x time for 100x output growth, prior round recorded ~20x:
+        # output-bound, stable -> ok (the r10 q_spatial_join shape)
+        import soak as soak_mod
+
+        monkeypatch.setattr(
+            soak_mod, "_prior_ratios", lambda: {"q_out": 19.0}
+        )
+        t1, t01 = {"q_out": 20.0}, {"q_out": 1.0}
+        table, failures, errors, warns = soak_mod.render_table(
+            t1, t01, 12.0, 2.0, {"q_out": 100000}, {"q_out": 1000}
+        )
+        assert not failures and not warns
+        assert "ok (≤ rows×)" in table
+
+    def test_rows_growth_waiver_warns_on_drift(self, monkeypatch):
+        # ADVICE r10: the waiver is bounded — 60x time for 100x output
+        # would previously auto-pass; with a prior committed ratio of
+        # 12.8x it now WARNs instead of silently waiving
+        import soak as soak_mod
+
+        monkeypatch.setattr(
+            soak_mod, "_prior_ratios", lambda: {"q_out": 12.8}
+        )
+        t1, t01 = {"q_out": 60.0}, {"q_out": 1.0}
+        table, failures, errors, warns = soak_mod.render_table(
+            t1, t01, 12.0, 2.0, {"q_out": 100000}, {"q_out": 1000}
+        )
+        assert warns == ["q_out"]
+        assert "WARN (waiver drift)" in table
+        assert not failures
+
+    def test_rows_growth_waiver_ceiling_without_prior(self, monkeypatch):
+        # no prior recorded ratio: the absolute ceiling (40x) gates
+        import soak as soak_mod
+
+        monkeypatch.setattr(soak_mod, "_prior_ratios", lambda: {})
+        t1, t01 = {"q_new": 60.0}, {"q_new": 1.0}
+        table, failures, errors, warns = soak_mod.render_table(
+            t1, t01, 12.0, 2.0, {"q_new": 100000}, {"q_new": 1000}
+        )
+        assert warns == ["q_new"]
+        assert "WARN (waiver ceiling)" in table
+        assert not failures
