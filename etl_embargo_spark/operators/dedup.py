@@ -956,8 +956,9 @@ def dedup_clusters(
     ``pointer_doubling=True`` adds a label(label(v)) hop each round (one
     extra node-sized self-join), cutting rounds from O(diameter) to
     O(log diameter) — the classic pointer-jumping trick.  Near-dup
-    components are shallow cliques/chains (3-5 rounds either way), so
-    the dedup family keeps the plain rule; GEOMETRIC components are
+    components start as shallow cliques/chains (3-5 rounds) but DEEPEN
+    with near-dup pair density (the r11 sf3 probe measured 10 rounds),
+    so q_dedup_clusters enables the hop; GEOMETRIC components are
     path-shaped and deep — geo.dbscan_points contracts tiles in-kernel
     first and runs this loop only on its boundary graph.  The converged
     labels (component min id) are ALGORITHM-INDEPENDENT, so flipping
@@ -1073,8 +1074,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lev_pairs = q_dedup_levenshtein(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    # unsorted on purpose — see q_dedup_minhash
-    return dedup_clusters(exact_pairs.unionByName(lev_pairs).distinct())
+    # unsorted on purpose — see q_dedup_minhash.  pointer_doubling: the
+    # r11 sf3 probe measured the min-label loop at 10 rounds (components
+    # deepen with near-dup density — chains, not just cliques); the
+    # label(label(v)) hop cuts rounds to O(log diameter) for one extra
+    # node-sized join per round, and the converged labels are
+    # algorithm-independent (pins unchanged).
+    return dedup_clusters(
+        exact_pairs.unionByName(lev_pairs).distinct(),
+        pointer_doubling=True,
+    )
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
