@@ -75,6 +75,9 @@ DRIVER_WINDOW_FIRST = [
     "q_bpe_fertility",
     "q_decontaminate_semantic",
     "q_conformal",
+    "q_corpus_dedup",
+    "q_dbscan",
+    "q_dedup_clusters",
     "q_hits",
     "q_kcore",
     "q_ks_test",
@@ -119,9 +122,6 @@ DRIVER_WINDOW_FIRST = [
     "q_histogram",
     "q_incremental_agg",
     "q_json_extract",
-    "q_media_features",
-    "q_media_framesample",
-    "q_mode",
 ]
 
 # Changed after the current window was already full: drifted queries may
