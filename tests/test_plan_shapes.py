@@ -486,6 +486,7 @@ class TestJobFreeBuilders:
             "q_hits",        # HITS rounds checkpoint score tables
             "q_isotonic",    # scores q_logreg's Newton fit
             "q_bpe_encode",  # runs bpe_train_state's per-round argmax
+            "q_bpe_fertility",  # same bpe_train_state upstream
         }
         tracker = spark.sparkContext._jsc.sc().statusTracker()
         offenders = []
