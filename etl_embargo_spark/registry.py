@@ -60,68 +60,63 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # everything else oldest-attestation-first so no query's driver row
 # rots beyond ~5 rounds.  tests/test_attestations.py asserts this list
 # equals the tool's output; regenerate it after any builder/oracle
-# edit.  Round 10: the 6 NEW queries first (q_conformal: split-conformal
-# SQL oracle; q_kcore/q_hits: iterative graph ops, pinned; q_isotonic:
-# PAV calibration, pinned; q_bpe_encode: tokenizer apply, pinned;
-# q_mmr_diversify: greedy MMR re-rank, pinned — all det-checked
-# cross-config at sf0.01+sf1 before pinning), then the 7 drifts
-# (ADVICE fixes: q_anova/q_cohens_d/q_welch_ttest Σcents² widened to
-# decimal(38,0); q_shapley_attribution bigint masks + channel-cap
-# guard; q_crosscorr shared `daily` persisted; q_dbscan border-comment
-# fix; q_bpe_train refactored through bpe_train_state — all
-# output-identical, re-verified vs oracles/pins), then the 37 oldest
-# attestations (the r4 block, five rounds old).
+# edit.  Round 12: no drift at round start (snapshot→refresh boundary
+# repaired per VERDICT r11 #2), so the whole window is the 50 oldest
+# attestations — draining the r6-era block (q_tfidf q_pii_scrub q_scd2
+# q_sessionize q_sliding_window q_media_features q_retention q_rfm
+# q_salted_join q_stratified_sample …) so no query's latest driver row
+# is older than r7.
 DRIVER_WINDOW_FIRST = [
-    "q_bpe_fertility",
-    "q_decontaminate_semantic",
-    "q_conformal",
-    "q_corpus_dedup",
-    "q_dbscan",
-    "q_dedup_clusters",
-    "q_hits",
-    "q_kcore",
-    "q_ks_test",
-    "q_mann_kendall",
-    "q_mannwhitney",
-    "q_naive_bayes",
-    "q_ols",
-    "q_pca",
-    "q_pmi",
-    "q_product_profit",
-    "q_promo_share",
-    "q_readability",
-    "q_revenue_forecast",
-    "q_ridge_path",
-    "q_rolling_beta",
-    "q_rrf",
-    "q_runs_test",
-    "q_seasonality",
-    "q_sprt",
-    "q_stump",
-    "q_survival",
-    "q_target_encode",
-    "q_theilsen",
-    "q_whitening",
-    "q_winsorize",
-    "q_woe_iv",
-    "q_anomaly_mad",
-    "q_conditional_agg",
-    "q_copurchase",
-    "q_corr_stats",
-    "q_data_profile",
-    "q_date_spine",
-    "q_decontaminate",
-    "q_doc_chunk",
-    "q_events_window",
-    "q_except_all",
-    "q_first_last",
-    "q_funnel",
-    "q_grouping_sets",
-    "q_hash_sample",
-    "q_heavy_hitters",
-    "q_histogram",
-    "q_incremental_agg",
-    "q_json_extract",
+    "q_media_features",
+    "q_media_framesample",
+    "q_mode",
+    "q_moving_avg",
+    "q_ngram_counts",
+    "q_ntile",
+    "q_null_anti",
+    "q_percentiles",
+    "q_pii_scrub",
+    "q_pivot",
+    "q_range_frame",
+    "q_retention",
+    "q_rfm",
+    "q_salted_join",
+    "q_scalar_subquery",
+    "q_scd2",
+    "q_sessionize",
+    "q_sliding_window",
+    "q_stratified_sample",
+    "q_string_agg",
+    "q_table_checksum",
+    "q_text_normalize",
+    "q_tfidf",
+    "q_token_entropy",
+    "q_train_test_split",
+    "q_unpivot",
+    "q_user_features",
+    "q_vector_norms",
+    "q_vocab",
+    "q_window_distinct",
+    "q_zscore_outliers",
+    "q_als",
+    "q_blame_supplier",
+    "q_bpe_pairs",
+    "q_calibration",
+    "q_cms_topk",
+    "q_embed_quantize",
+    "q_embedding_pairs",
+    "q_excess_shippers",
+    "q_feature_hash",
+    "q_hll_merge",
+    "q_idle_customers",
+    "q_important_parts",
+    "q_incremental_dedup",
+    "q_inverted_index",
+    "q_item_cosine",
+    "q_jaccard_users",
+    "q_kmeans",
+    "q_large_orders",
+    "q_local_volume",
 ]
 
 # Changed after the current window was already full: drifted queries may
