@@ -2354,6 +2354,65 @@ class TestLevPrefilterExactness:
         }
         assert got == want, (got, want)
 
+    def test_streamed_chunks_match_brute_force(self):
+        """The r12 streamed pair pipeline (CHUNK-sized enumeration +
+        histogram filtering, DP_CHUNK survivor batches, pending flush)
+        must be output-identical to brute force when a single block
+        enumerates MORE pairs than one chunk — the path sf3's 26.6M-pair
+        blocks take.  Spark-free: the kernel is called directly with a
+        block whose ~180k window pairs exceed CHUNK (131072)."""
+        import random
+
+        import numpy as np
+        import pandas as pd
+
+        from etl_embargo_spark.operators.dedup import _make_lev_block_kernel
+
+        rng = random.Random(7)
+        n = 600
+        texts = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(4, 8)))
+            for _ in range(n - 2)
+        ] + ["", ""]  # empty docs hit the zero-length path
+        max_d = 3
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i in range(1, len(a) + 1):
+                cur = [i] + [0] * len(b)
+                for j in range(1, len(b) + 1):
+                    cur[j] = min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+                prev = cur
+            return prev[len(b)]
+
+        want = {}
+        for i in range(n):
+            for j in range(i + 1, n):
+                if abs(len(texts[i]) - len(texts[j])) > max_d:
+                    continue
+                d = lev(texts[i], texts[j])
+                if d <= max_d:
+                    want[(i, j)] = d
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": texts,
+                "band": np.zeros(n, dtype=np.int32),
+                "_block": np.zeros(n, dtype=np.int32),
+            }
+        )
+        out = _make_lev_block_kernel(max_d)(pdf)
+        got = {
+            (int(a), int(b)): int(d)
+            for a, b, d in zip(out["doc_a"], out["doc_b"], out["lev"])
+        }
+        assert got == want, (len(got), len(want))
+
 
 class TestSpatialJoin:
     def test_matches_brute_force_and_pairs_unique(self, spark, sf_dir):
