@@ -1067,16 +1067,16 @@ class TestRound11Plans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
-        # corpus scans: the quantized explode is one lazily-checkpointed
-        # lineage consumed by the train and eval legs; before first
-        # execution a lazy checkpoint prints its full child plan, so at
-        # most the two consumers' prints may show the parquet scan (an
-        # already-materialized checkpoint prints as ExistingRDD instead
-        # — accept both forms, CLAUDE.md plan-guard rule)
-        assert (
-            plan.count("embeddings.parquet") <= 3
-            or "ExistingRDD" in plan
-        )
+        # the eval-side explode (`ev`) is a PERSISTED shared lineage with
+        # two consumers (the dot join's broadcast + ev_norms): count the
+        # cache reads (CLAUDE.md persist-guard rule — persist prints the
+        # cached child under EVERY InMemoryTableScan, so a raw scan-string
+        # count is inflated by the cached-child prints, and an either/or
+        # on ExistingRDD made the old bound vacuous, ADVICE r11)
+        assert plan.count("InMemoryTableScan") == 2
+        # real corpus scans: 1 live ~eval leg + at most the 2 cached-child
+        # prints — a regression adding a THIRD live scan breaks this
+        assert plan.count("embeddings.parquet") <= 3
 
     def test_bpe_fertility_broadcasts_vocab(self, spark, sf_dir):
         """q_bpe_fertility: the trained vocabulary joins the per-(lang,
