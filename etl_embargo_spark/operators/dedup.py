@@ -1506,6 +1506,183 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup ingest gate: hot standing buckets past this size are degenerate
+# keys on the APPROXIMATE candidate path (same rationale and value as
+# _bucket_pairs' cap — the exact-text collapse keeps real near-dup cliques
+# far below it).
+INCR_NEAR_MAX_BUCKET = 4096
+INCR_NEAR_JACCARD_T = 0.5
+
+
+def _band_explode(sigs: DataFrame, id_alias: str) -> DataFrame:
+    """(id_alias, band, band_key) from a (doc_id, sig) relation — the
+    same banding as minhash_candidates, exposed as a relation so the two
+    sides of the incremental gate can be banded independently."""
+    return sigs.select(
+        F.col("doc_id").alias(id_alias),
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        *[
+                            F.element_at(
+                                "sig", b * MINHASH_ROWS_PER_BAND + r + 1
+                            )
+                            for r in range(MINHASH_ROWS_PER_BAND)
+                        ]
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def standing_band_index(reps: DataFrame) -> DataFrame:
+    """(gid, band, band_key) LSH band index over text-distinct
+    representatives — the PRECOMPUTABLE half of the incremental near-dup
+    gate.  In production this relation is built once per corpus version
+    and persisted through ``sinks.snapshots.write_snapshot`` (id-sized
+    rows: one bigint + two ints per band per distinct text, ~100 bytes/
+    doc at 8 bands), so a corpus refresh never re-shingles the standing
+    corpus; the pytest demonstrates the manifest round-trip."""
+    return _band_explode(
+        signatures_from_shingles(shingle_sets(reps)), "gid"
+    )
+
+
+def incremental_near_dedup(
+    docs: DataFrame,
+    standing_bands: DataFrame | None = None,
+    threshold: float = INCR_NEAR_JACCARD_T,
+) -> DataFrame:
+    """Cross-run NEAR-dup dedup — the production corpus-refresh shape
+    (VERDICT r11 #6): check today's batch (odd doc_ids) for near-
+    duplicates against the standing corpus (even doc_ids) WITHOUT
+    re-bucketing the standing corpus per ingest.
+
+    Pipeline (all text-distinct first, the exact-collapse lesson):
+    1. Group each side by md5(text) → one representative per (side,
+       text); standing gids are even and new gids odd by construction
+       (each side's min member id), so sidedness survives every stage
+       for free.
+    2. Standing reps → LSH band index (``standing_band_index``) — the
+       relation a real deployment reads back from a snapshot manifest
+       instead of recomputing (pass it via ``standing_bands``).
+    3. New reps → the same banding; candidates = new bands joined
+       against standing BUCKETS (groupBy standing (band, band_key) →
+       collect_set, hot buckets capped) — the shuffle carries id-sized
+       band rows only, and with a precomputed standing index the
+       per-ingest cost is new-batch-sized.
+    4. Exact Jaccard ≥ ``threshold`` on the candidate pairs' shingle
+       sets verifies; a new doc is near-dup iff its rep has any
+       verified standing match, exact-dup iff its raw text hash exists
+       in the standing corpus.
+
+    Output: per-source ingest accounting over NEW docs — n_new_docs,
+    n_exact_dup (raw-text identity), n_near_dup (verified near match,
+    not exact), n_clean.  Deterministic (murmur/xxhash band keys,
+    exact Jaccard verdicts) → pinned oracle, like q_dedup_minhash."""
+    from pyspark.storagelevel import StorageLevel
+
+    sided = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5("text").alias("h"),
+        (F.col("doc_id") % 2 == 0).alias("is_standing"),
+    )
+    # one scan, one group stage for BOTH sides' text-distinct reps;
+    # members (id+source structs, never text) ride along so the per-doc
+    # expansion at the end needs NO second text scan; multiple consumers
+    # → persist, not lazy checkpoint (CLAUDE.md shared-lineage rule)
+    groups = (
+        sided.groupBy("h", "is_standing")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.first("text").alias("text"),
+            F.collect_list(F.struct("doc_id", "source")).alias("members"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    reps = groups.select(F.col("gid").alias("doc_id"), "text")
+    # shingle sets feed the signature pipeline AND the verify join
+    sh = shingle_sets(reps).persist(StorageLevel.MEMORY_AND_DISK)
+    if standing_bands is not None:
+        bands = standing_bands
+    else:
+        # recompute path: band straight from the shared shingle relation
+        # (no second text scan) — identical to standing_band_index's
+        # output, which a deployment reads back from a snapshot instead
+        bands = _band_explode(
+            signatures_from_shingles(sh.filter(F.col("doc_id") % 2 == 0)),
+            "gid",
+        )
+    new_bands = _band_explode(
+        signatures_from_shingles(sh.filter(F.col("doc_id") % 2 == 1)),
+        "new_gid",
+    )
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_set("gid")).alias("cands"))
+        .filter(F.size("cands") <= INCR_NEAR_MAX_BUCKET)
+    )
+    cand_pairs = (
+        new_bands.join(buckets, ["band", "band_key"])
+        .select("new_gid", F.explode("cands").alias("st_gid"))
+        .distinct()
+    )
+    sh_new = sh.select(
+        F.col("doc_id").alias("new_gid"), F.col("sh").alias("sh_n")
+    )
+    sh_st = sh.select(
+        F.col("doc_id").alias("st_gid"), F.col("sh").alias("sh_s")
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_s"))
+    union = F.size(F.array_union("sh_n", "sh_s"))
+    near_gids = (
+        cand_pairs.join(sh_new, "new_gid")
+        .join(sh_st, "st_gid")
+        .filter(F.round(inter / union, 6) >= threshold)
+        .select("new_gid")
+        .distinct()
+    )
+    standing_h = groups.filter("is_standing").select("h")
+    exact_h = (
+        groups.filter(~F.col("is_standing"))
+        .join(standing_h, "h", "semi")
+        .select("h")
+    )
+    newd = (
+        groups.filter(~F.col("is_standing"))
+        .select(
+            "h",
+            F.col("gid").alias("new_gid"),
+            F.explode("members").alias("_m"),
+        )
+        .select("h", "new_gid", F.col("_m.source").alias("source"))
+        .join(exact_h.withColumn("_ex", F.lit(1)), "h", "left")
+        .join(near_gids.withColumn("_nr", F.lit(1)), "new_gid", "left")
+    )
+    is_ex = F.col("_ex").isNotNull()
+    is_nr = F.col("_nr").isNotNull() & ~is_ex
+    return newd.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.sum(is_ex.cast("int")).cast("bigint").alias("n_exact_dup"),
+        F.sum(is_nr.cast("int")).cast("bigint").alias("n_near_dup"),
+        F.sum((~is_ex & ~is_nr).cast("int")).cast("bigint").alias("n_clean"),
+    )
+
+
+def q_incremental_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`incremental_near_dedup` (pinned oracle;
+    the LSH band keys are Spark murmur/xxhash — not ANSI-expressible —
+    and the verify is exact Jaccard, same determinism class as
+    q_dedup_minhash)."""
+    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
+    return incremental_near_dedup(docs)
+
+
 # ---------------------------------------------------------------------------
 # Probabilistic record linkage (Fellegi–Sunter-style blocked scoring)
 # ---------------------------------------------------------------------------

@@ -60,13 +60,17 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # everything else oldest-attestation-first so no query's driver row
 # rots beyond ~5 rounds.  tests/test_attestations.py asserts this list
 # equals the tool's output; regenerate it after any builder/oracle
-# edit.  Round 12: no drift at round start (snapshot→refresh boundary
-# repaired per VERDICT r11 #2), so the whole window is the 50 oldest
-# attestations — draining the r6-era block (q_tfidf q_pii_scrub q_scd2
-# q_sessionize q_sliding_window q_media_features q_retention q_rfm
-# q_salted_join q_stratified_sample …) so no query's latest driver row
-# is older than r7.
+# edit.  Round 12: the NEW q_incremental_dedup_near (never-checked) and
+# the 3 lev-kernel drifts (q_dedup_levenshtein streamed-chunk rewrite +
+# its q_corpus_dedup/q_dedup_clusters consumers) front the window, then
+# the oldest attestations — draining most of the r6-era block (q_tfidf
+# q_pii_scrub q_scd2 q_sessionize q_sliding_window q_media_features
+# q_retention q_rfm q_salted_join q_stratified_sample …).
 DRIVER_WINDOW_FIRST = [
+    "q_incremental_dedup_near",
+    "q_corpus_dedup",
+    "q_dedup_clusters",
+    "q_dedup_levenshtein",
     "q_media_features",
     "q_media_framesample",
     "q_mode",
@@ -113,10 +117,6 @@ DRIVER_WINDOW_FIRST = [
     "q_incremental_dedup",
     "q_inverted_index",
     "q_item_cosine",
-    "q_jaccard_users",
-    "q_kmeans",
-    "q_large_orders",
-    "q_local_volume",
 ]
 
 # Changed after the current window was already full: drifted queries may
@@ -2586,6 +2586,12 @@ register(
     WHERE NOT EXISTS (SELECT 1 FROM standing s WHERE s.h = fresh.h)
     GROUP BY source
     """,
+)
+
+register(
+    "q_incremental_dedup_near",
+    dedup.q_incremental_dedup_near,
+    pinned_oracle("q_incremental_dedup_near"),
 )
 
 register(

@@ -3080,3 +3080,110 @@ class TestBpeFertility:
             assert abs(tpw - nt / nw) < 1e-6, lang
             assert abs(cpt - cm / nt) < 1e-6, lang
         assert len(got) >= 2  # non-degenerate language spread
+
+
+class TestIncrementalNearDedup:
+    """q_incremental_dedup_near (r12): the cross-run near-dup ingest
+    gate.  Planted corpus: exact cross-side dups, a high-Jaccard near
+    pair (J ≈ 0.96 → LSH candidate probability ~1), a new-side-only
+    near pair (must NOT count: the gate checks against STANDING only),
+    and unique docs."""
+
+    BASE = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four "
+    ) * 3
+
+    NEW_BASE = (
+        "red orange yellow green blue indigo violet crimson amber teal "
+        "maroon olive navy coral salmon plum orchid ivory jade ruby "
+    ) * 4
+
+    def _docs(self, spark, tmp_path):
+        near = self.BASE.replace("oscar", "OSCAR", 1)  # one-word edit
+        rows = [
+            # (doc_id, text, source) — even standing, odd new
+            (2, self.BASE + "standing tail words here", "s1"),
+            (4, "completely different standing text " * 8, "s1"),
+            (6, "another unique standing document entirely " * 8, "s2"),
+            (1, self.BASE + "standing tail words here", "s1"),  # exact dup of 2
+            (9, self.BASE + "standing tail words here", "s2"),  # exact dup of 2
+            (3, near + "standing tail words here", "s1"),       # near-dup of 2
+            (5, "a fresh never seen before document " * 8, "s2"),  # clean
+            # near-dups of EACH OTHER only (disjoint vocab from standing):
+            # the gate is vs the standing corpus, so both must come out clean
+            (7, "omega " + self.NEW_BASE, "s2"),
+            (11, "omega omega " + self.NEW_BASE, "s2"),
+        ]
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            [
+                {
+                    "doc_id": i,
+                    "text": t,
+                    "lang": "en",
+                    "source": s,
+                    "n_chars": len(t),
+                }
+                for i, t, s in rows
+            ]
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        from etl_embargo_spark.catalog import load_table
+
+        return load_table(spark, str(tmp_path), "documents")
+
+    def test_flags_match_planted_truth(self, spark, tmp_path):
+        from etl_embargo_spark.operators.dedup import incremental_near_dedup
+
+        docs = self._docs(spark, tmp_path)
+        got = {
+            r.source: (r.n_new_docs, r.n_exact_dup, r.n_near_dup, r.n_clean)
+            for r in incremental_near_dedup(docs).collect()
+        }
+        # s1 new docs: 1 (exact), 3 (near).  s2 new docs: 9 (exact),
+        # 5 (clean), 7 and 11 (near each other but NOT of any standing
+        # doc -> clean: the gate is against the standing corpus only).
+        assert got == {
+            "s1": (2, 1, 1, 0),
+            "s2": (4, 1, 0, 3),
+        }, got
+
+    def test_snapshot_band_index_roundtrip(self, spark, tmp_path):
+        """The standing band index persisted through the snapshot
+        manifest and read back must produce verdicts IDENTICAL to the
+        recompute path — the production corpus-refresh wiring."""
+        from pyspark.sql import functions as F
+
+        from etl_embargo_spark.operators.dedup import (
+            incremental_near_dedup,
+            standing_band_index,
+        )
+        from etl_embargo_spark.sinks.snapshots import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        docs = self._docs(spark, tmp_path)
+        st_reps = (
+            docs.filter((F.col("doc_id") % 2 == 0) & (F.col("n_chars") > 0))
+            .groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+            .select("doc_id", "text")
+        )
+        table = str(tmp_path / "standing_bands")
+        write_snapshot(standing_band_index(st_reps), table, mode="append")
+        from_snap = {
+            tuple(r)
+            for r in incremental_near_dedup(
+                docs, standing_bands=read_snapshot(spark, table)
+            ).collect()
+        }
+        recomputed = {
+            tuple(r) for r in incremental_near_dedup(docs).collect()
+        }
+        assert from_snap == recomputed and from_snap

@@ -1085,3 +1085,29 @@ class TestRound11Plans:
         plan = _plan(spark, sf_dir, "q_bpe_fertility")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRound12Plans:
+    def test_incremental_near_dedup_single_text_scan(self, spark, sf_dir):
+        """q_incremental_dedup_near: documents is scanned ONCE (both
+        sides' text-distinct groups AND the per-doc expansion ride the
+        persisted groups/shingle relations — members carry id+source
+        structs so no second text scan), everything stays JVM-side, and
+        no pair stage degenerates to a cartesian."""
+        plan = _plan(spark, sf_dir, "q_incremental_dedup_near")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the shared groups/shingles lineages are persisted and read by
+        # multiple consumers (CLAUDE.md persist-guard rule: count cache
+        # reads, not scan strings — the raw executedPlan string re-prints
+        # an unmaterialized cache's child scan under every consumer)
+        assert plan.count("InMemoryTableScan") >= 4
+        # FORMATTED explain prints each cached subtree once: the single
+        # live documents scan shows up exactly once there
+        df = registry.queries()["q_incremental_dedup_near"](spark, sf_dir)
+        fplan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert fplan.count("documents.parquet") == 1

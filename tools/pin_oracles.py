@@ -77,6 +77,8 @@ PINNED_QUERIES: dict[str, str] = {name: "lineitem" for name in [
     "q_bpe_encode",
     "q_bpe_fertility",
     "q_mmr_diversify",
+    # round 12 (det-checked cross-config at sf0.01+sf1 before pinning):
+    "q_incremental_dedup_near",
 ]}
 
 MAX_PIN_ROWS = 600  # per-SF cap: keeps pins.py reviewable
