@@ -231,6 +231,8 @@ HEADLINE = [
     # fertility (warm 2.9 s / 2.4 s)
     "q_decontaminate_semantic",
     "q_bpe_fertility",
+    # new in round 12: cross-run near-dup ingest gate
+    "q_incremental_dedup_near",
 ]
 
 
@@ -272,6 +274,59 @@ def _wait_for_quiet_box() -> bool:
         time.sleep(15)
 
 
+# Rescue pass (VERDICT r11 #3 — the soak --rescue lesson, applied in-run):
+# three artifacts in a row needed post-hoc stall archaeology because long
+# sweeps on this box hit multi-second GC/page-cache stalls that inflate a
+# CONTIGUOUS run-order window while every victim passes alone.  After the
+# sweep, any query reading > RESCUE_FACTOR × its last COMMITTED time is
+# re-measured in a fresh session and min-merged, and the artifact stamps
+# `rescued: [...]` so no adjudication prose is ever needed again.
+RESCUE_FACTOR = float(os.environ.get("SPARK_GRAFT_BENCH_RESCUE", "2.5"))
+
+
+def _prior_times() -> dict[str, float]:
+    """Per-query times from the last COMMITTED BENCH_full_latest.json —
+    via `git show HEAD:`, never the working-tree file (which is this
+    run's own output; same rule as soak._prior_ratios)."""
+    import subprocess
+
+    try:
+        blob = subprocess.run(
+            ["git", "show", "HEAD:BENCH_full_latest.json"],
+            cwd=_REPO_ROOT,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return {
+            n: t
+            for n, t in json.loads(blob).get("queries", {}).items()
+            if isinstance(t, (int, float))
+        }
+    except (OSError, ValueError, KeyError, subprocess.CalledProcessError):
+        return {}
+
+
+def _time_query(spark, fn, sf_dir: str, n_runs: int) -> float | None:
+    """min-of-n_runs noop-write timing with the cache cleared per run;
+    None if every run failed."""
+    best = None
+    for _ in range(n_runs):
+        # drop any relation a previous run persisted (e.g. minhash's
+        # shingle stage) — otherwise run 2 silently reads the cache
+        # and the minimum under-reports the query's real cost
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not zero the round
+            print(f"# query FAILED: {exc}", file=sys.stderr)
+            break
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     started_quiet = _wait_for_quiet_box()
@@ -292,23 +347,33 @@ def main() -> None:
     N_RUNS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qmap[name]
-        best = None
-        for _ in range(N_RUNS):
-            # drop any relation a previous run persisted (e.g. minhash's
-            # shingle stage) — otherwise run 2 silently reads the cache
-            # and the minimum under-reports the query's real cost
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # one broken query must not zero the round
-                print(f"# {name} FAILED: {exc}", file=sys.stderr)
-                break
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
+        best = _time_query(spark, qmap[name], sf_dir, N_RUNS)
         # a failure only zeroes the query if NO run succeeded
         timings[name] = round(best, 3) if best is not None else -1.0
+
+    # rescue pass: re-measure stall suspects in a FRESH session, min-merge
+    prior = _prior_times()
+    suspects = [
+        n
+        for n, t in timings.items()
+        if t > 0 and prior.get(n, -1.0) > 0 and t > RESCUE_FACTOR * prior[n]
+    ]
+    rescued: list[str] = []
+    if suspects:
+        print(
+            f"# rescue pass: {len(suspects)} queries read >"
+            f"{RESCUE_FACTOR}x their committed time: {suspects}",
+            file=sys.stderr,
+        )
+        spark.stop()
+        spark = get_spark("etl_embargo_spark_bench_rescue")
+        spark.sparkContext.setLogLevel("ERROR")
+        qmap["q_count"](spark, sf_dir).collect()
+        for name in suspects:
+            best = _time_query(spark, qmap[name], sf_dir, N_RUNS)
+            if best is not None:
+                timings[name] = min(timings[name], round(best, 3))
+            rescued.append(name)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     load = {"start": load_start, "end": load_context()}
@@ -329,6 +394,7 @@ def main() -> None:
                     "queries": timings,
                     "load": load,
                     "contended": contended,
+                    "rescued": rescued,
                     "metric": "headline_queries_total",
                     "unit": "sec",
                     "n_queries": len(timings),
@@ -351,6 +417,7 @@ def main() -> None:
                 "queries": timings,
                 "load": load,
                 "contended": contended,
+                "rescued": rescued,
                 "metric": "headline_queries_total",
                 "unit": "sec",
                 "n_queries": len(timings),

@@ -53,3 +53,63 @@ class TestBenchLoadGate:
     def test_box_going_quiet_mid_wait_passes(self, monkeypatch):
         bench = self._fresh_bench(monkeypatch, [9.0, 9.0, 1.0], wait="600")
         assert bench._wait_for_quiet_box() is True
+
+
+class TestBenchRescue:
+    """The in-run rescue pass (VERDICT r11 #3): suspects are queries
+    reading > RESCUE_FACTOR x their last COMMITTED time; _prior_times
+    reads HEAD, never the working tree (which is the run's own output)."""
+
+    def _bench(self):
+        for mod in list(sys.modules):
+            if mod == "bench":
+                del sys.modules[mod]
+        import bench
+
+        return bench
+
+    def test_prior_times_reads_committed_file(self, monkeypatch):
+        bench = self._bench()
+        import json as _json
+        import subprocess
+
+        calls = {}
+
+        class R:
+            stdout = _json.dumps({"queries": {"q_a": 1.0, "q_bad": "x"}})
+
+        def fake_run(cmd, **kw):
+            calls["cmd"] = cmd
+            return R()
+
+        monkeypatch.setattr(bench, "_prior_times", bench._prior_times)
+        monkeypatch.setattr(subprocess, "run", fake_run, raising=True)
+        got = bench._prior_times()
+        assert calls["cmd"][:2] == ["git", "show"]
+        assert calls["cmd"][2].startswith("HEAD:")
+        assert got == {"q_a": 1.0}  # non-numeric entries dropped
+
+    def test_prior_times_empty_on_missing_blob(self, monkeypatch):
+        bench = self._bench()
+        import subprocess
+
+        def fake_run(cmd, **kw):
+            raise subprocess.CalledProcessError(128, cmd)
+
+        monkeypatch.setattr(subprocess, "run", fake_run, raising=True)
+        assert bench._prior_times() == {}
+
+    def test_suspect_selection_logic(self):
+        bench = self._bench()
+        prior = {"q_a": 1.0, "q_b": 1.0}
+        timings = {"q_a": 2.0, "q_b": 3.0, "q_new": 50.0, "q_err": -1.0}
+        suspects = [
+            n
+            for n, t in timings.items()
+            if t > 0
+            and prior.get(n, -1.0) > 0
+            and t > bench.RESCUE_FACTOR * prior[n]
+        ]
+        # q_a is 2x (under 2.5x), q_b is 3x (suspect), q_new has no
+        # prior (new queries are never rescue suspects), q_err failed
+        assert suspects == ["q_b"]
