@@ -234,6 +234,41 @@ def table_rows(sf_dir: str, name: str, default: int = 10_000) -> int:
         return default
 
 
+# Session-scoped shared relations (VERDICT r11 #7): expensive derived
+# relations that several query builders construct IDENTICALLY (the
+# co-purchase pair-support matrix feeds six queries) are built once per
+# (session, sf_dir) and persisted, so a sweep session pays the build a
+# single time.  Keyed by applicationId — entries die with their session;
+# stale-session keys are evicted on insert so long multi-recycle sweeps
+# (soak) never accumulate dead references.  Revalidated by storage
+# level: a clearCache() (bench's per-run hygiene, test fixtures) drops
+# the cached blocks, and the next consumer rebuilds+re-persists instead
+# of silently recomputing the full lineage per consumer.
+_SHARED_RELATIONS: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def shared_relation(
+    spark: SparkSession, sf_dir: str, name: str, build
+) -> DataFrame:
+    """Return the session-shared persisted relation ``name`` for
+    ``sf_dir``, building it with ``build()`` on first use.  ``build``
+    must be job-free (persist is lazy; nothing materializes until the
+    first consumer executes)."""
+    from pyspark.storagelevel import StorageLevel
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.abspath(sf_dir), name)
+    df = _SHARED_RELATIONS.get(key)
+    if df is not None and df.storageLevel != StorageLevel.NONE:
+        return df
+    for k in [k for k in _SHARED_RELATIONS if k[0] != app_id]:
+        del _SHARED_RELATIONS[k]
+    df = build()
+    df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _SHARED_RELATIONS[key] = df
+    return df
+
+
 def spread_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Widen a narrow input before a CPU-bound per-row kernel (shingle
     hashing, simhash, fingerprinting, edit distance).

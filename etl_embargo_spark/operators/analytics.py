@@ -553,26 +553,14 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (groupBy order → collect_set → expand), not a self-join — the lineitem
     scan runs once and only (orderkey, partkey) crosses the wire.  Basket
     sizes are bounded (an order has a handful of parts), so the expansion
-    is O(k²) with tiny k; the top-50 is TakeOrderedAndProject."""
-    from etl_embargo_spark.operators.dedup import _bucket_pairs
+    is O(k²) with tiny k; the top-50 is TakeOrderedAndProject.  The pair
+    counts come from the session-shared ``dedup.pair_support`` relation
+    (six queries build this identical matrix)."""
+    from etl_embargo_spark.operators.dedup import pair_support
 
-    li = load_table(spark, sf_dir, "lineitem")
-    # no .distinct() pre-pass: collect_set inside the pair expansion
-    # already dedups within the order, so a distinct here is a second
-    # full shuffle for nothing
-    items = li.select("l_orderkey", "l_partkey")
-    pairs = _bucket_pairs(
-        items,
-        ["l_orderkey"],
-        F.struct(F.col("l_partkey").alias("p")),
-        max_bucket=None,
-    )
     return (
-        pairs.select(
-            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n"))
+        pair_support(spark, sf_dir)
+        .select("part_a", "part_b", F.col("n_ab").alias("n"))
         .orderBy(F.col("n").desc(), "part_a", "part_b")
         .limit(COPURCHASE_TOP)
     )
@@ -1083,21 +1071,11 @@ def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with a rounded, deterministically tie-broken
     key so the cut is hash-stable across engines.
     """
-    from etl_embargo_spark.operators.dedup import _bucket_pairs
+    from etl_embargo_spark.operators.dedup import pair_support
 
     li = load_table(spark, sf_dir, "lineitem")
     ip = li.select("l_orderkey", "l_partkey")
-    pair_counts = (
-        _bucket_pairs(
-            ip,
-            ["l_orderkey"],
-            F.struct(F.col("l_partkey").alias("p")),
-            max_bucket=None,
-        )
-        .select(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
+    pair_counts = pair_support(spark, sf_dir)
     degree = ip.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").alias("n")
     )
@@ -1936,7 +1914,7 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are part-dimensioned, so the two probability joins broadcast.  The
     support floor keeps the lift ranking out of small-sample noise, and
     the top-30 is a per-partition heap."""
-    from etl_embargo_spark.operators.dedup import _bucket_pairs
+    from etl_embargo_spark.operators.dedup import pair_support
 
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey")
@@ -1945,19 +1923,8 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders_df = items.select(
         F.count_distinct("l_orderkey").alias("n_orders")
     )
-    pairs = _bucket_pairs(
-        items,
-        ["l_orderkey"],
-        F.struct(F.col("l_partkey").alias("p")),
-        max_bucket=None,
-    )
-    pair_counts = (
-        pairs.select(
-            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= LIFT_MIN_PAIR)
+    pair_counts = pair_support(spark, sf_dir).filter(
+        F.col("n_ab") >= LIFT_MIN_PAIR
     )
     part_counts = (
         items.distinct()

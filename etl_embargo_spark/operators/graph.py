@@ -126,23 +126,16 @@ def pagerank(
     return ranks
 
 
-def copurchase_edges(li: DataFrame) -> DataFrame:
-    """Symmetric (src, dst) part-pair edges from shared orders — the
-    bucket-groupBy pair shape, one lineitem scan."""
-    from etl_embargo_spark.operators.dedup import _bucket_pairs
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst) part-pair edges from shared orders — a
+    projection of the session-shared ``dedup.pair_support`` relation
+    (one build per sweep session; the pair rows are already distinct,
+    so the old post-expansion .distinct() shuffle is gone too)."""
+    from etl_embargo_spark.operators.dedup import pair_support
 
-    # collect_set in the expansion dedups within the order — no distinct
-    # pre-pass (see analytics.q_copurchase)
-    items = li.select("l_orderkey", "l_partkey")
-    pairs = _bucket_pairs(
-        items,
-        ["l_orderkey"],
-        F.struct(F.col("l_partkey").alias("p")),
-        max_bucket=None,
-    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-    # persist: the symmetric union below has two consumers of this lineage
-    # (and pagerank's loop re-reads the edge relation every round)
-    pairs = pairs.distinct().persist()
+    pairs = pair_support(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    )
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -154,12 +147,11 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_extensions.py::TestPageRank)."""
     from etl_embargo_spark.catalog import table_rows
 
-    li = load_table(spark, sf_dir, "lineitem")
     # symmetric co-purchase edges measure ~4x lineitem rows (2.39M at
     # 600k); target ~1M edge rows per cached partition, floored at 8
     rows = table_rows(sf_dir, "lineitem", default=600_000)
     parts = max(8, (4 * rows) // 1_000_000)
-    ranks = pagerank(copurchase_edges(li), edge_partitions=parts)
+    ranks = pagerank(copurchase_edges(spark, sf_dir), edge_partitions=parts)
     return ranks.select("id", F.round("rank", 8).alias("rank"))
 
 
@@ -185,25 +177,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIANGLE_MIN_SUPPORT = 2
 
 
-def support_edges(li: DataFrame, min_support: int = TRIANGLE_MIN_SUPPORT) -> DataFrame:
+def support_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = TRIANGLE_MIN_SUPPORT,
+) -> DataFrame:
     """Undirected (a < b) co-purchase edges kept only when the pair
     co-occurs in at least ``min_support`` orders — the support floor that
     sparsifies the graph before any quadratic step (same floor idea as
-    ``analytics.q_basket_lift``)."""
-    from etl_embargo_spark.operators.dedup import _bucket_pairs
+    ``analytics.q_basket_lift``).  A filter over the session-shared
+    ``dedup.pair_support`` relation."""
+    from etl_embargo_spark.operators.dedup import pair_support
 
-    items = li.select("l_orderkey", "l_partkey")
-    inst = _bucket_pairs(
-        items,
-        ["l_orderkey"],
-        F.struct(F.col("l_partkey").alias("p")),
-        max_bucket=None,
-    ).select(F.col("a.p").alias("a"), F.col("b.p").alias("b"))
     return (
-        inst.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= min_support)
-        .select("a", "b")
+        pair_support(spark, sf_dir)
+        .filter(F.col("n_ab") >= min_support)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
     )
 
 
@@ -221,14 +210,13 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on the (v, w) key.  Counts are exact (each triangle is
     produced exactly once: u→v, u→w, v→w with v<w in orientation order).
     """
-    li = load_table(spark, sf_dir, "lineitem")
     # the edge list feeds SIX consumers (deg, both orientation legs, the
     # wedge self-pair, the closing probe, the stats agg) — without a
-    # lineage break every consumer would re-run the pair expansion from
-    # the raw fact (the _bucket_pairs "lineage executes twice" pitfall,
-    # ×6).  Lazy localCheckpoint = persist + lineage truncation with NO
-    # job at build time (builders must stay job-free).
-    edges = support_edges(li).localCheckpoint(eager=False)
+    # lineage break every consumer would re-run the filter over the
+    # shared pair_support cache per consumer (cheap but still ×6).
+    # Lazy localCheckpoint = persist + lineage truncation with NO job
+    # at build time (builders must stay job-free).
+    edges = support_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = edges.select(F.col("a").alias("node")).unionAll(
         edges.select(F.col("b").alias("node"))
     )
@@ -670,8 +658,7 @@ def _kcore_state(
     state; a non-converged exhaustion of KCORE_MAX_ROUNDS raises
     (ADVICE r10) instead of silently returning a partial core.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li).persist()
+    edges = copurchase_edges(spark, sf_dir).persist()
     deg0 = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint()

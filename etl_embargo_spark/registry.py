@@ -68,9 +68,15 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # q_retention q_rfm q_salted_join q_stratified_sample …).
 DRIVER_WINDOW_FIRST = [
     "q_incremental_dedup_near",
+    "q_basket_lift",
+    "q_copurchase",
     "q_corpus_dedup",
     "q_dedup_clusters",
     "q_dedup_levenshtein",
+    "q_item_cosine",
+    "q_kcore",
+    "q_pagerank",
+    "q_triangles",
     "q_media_features",
     "q_media_framesample",
     "q_mode",
@@ -111,12 +117,6 @@ DRIVER_WINDOW_FIRST = [
     "q_embedding_pairs",
     "q_excess_shippers",
     "q_feature_hash",
-    "q_hll_merge",
-    "q_idle_customers",
-    "q_important_parts",
-    "q_incremental_dedup",
-    "q_inverted_index",
-    "q_item_cosine",
 ]
 
 # Changed after the current window was already full: drifted queries may

@@ -927,7 +927,6 @@ class TestPageRank:
         summation-order float drift)."""
         from collections import defaultdict
 
-        from etl_embargo_spark.catalog import load_table
         from etl_embargo_spark.operators.graph import (
             PR_DAMPING,
             PR_ITERS,
@@ -935,9 +934,9 @@ class TestPageRank:
             pagerank_ranks,
         )
 
-        li = load_table(spark, sf_dir, "lineitem")
         edges = [
-            (r.src, r.dst) for r in copurchase_edges(li).collect()
+            (r.src, r.dst)
+            for r in copurchase_edges(spark, sf_dir).collect()
         ]
         out_edges = defaultdict(list)
         for s, d in edges:
@@ -1262,7 +1261,6 @@ class TestTriangles:
         the identical supported edge list."""
         from itertools import combinations
 
-        from etl_embargo_spark.catalog import load_table
         from etl_embargo_spark.operators.graph import (
             q_triangles,
             support_edges,
@@ -1270,10 +1268,7 @@ class TestTriangles:
 
         row = q_triangles(spark, sf_dir).collect()[0]
         edges = {
-            (r.a, r.b)
-            for r in support_edges(
-                load_table(spark, sf_dir, "lineitem")
-            ).collect()
+            (r.a, r.b) for r in support_edges(spark, sf_dir).collect()
         }
         adj: dict[int, set[int]] = {}
         for a, b in edges:
