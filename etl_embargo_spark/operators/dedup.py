@@ -764,20 +764,25 @@ def _make_lev_block_kernel(max_d: int):
       histograms needed 8· there)
     * pair-dedup: emitted only in the block == min of the two home bands
 
-    The DP is the classic banded form (half-width ``max_d``) iterated
-    over text positions with all pairs advancing in lock-step: state is
-    an (active_pairs, 2·max_d+1) int16 matrix, the in-row insertion
-    dependency is resolved with a log-shift min-plus relaxation, and
-    every 16 rows pairs whose whole band exceeds ``max_d`` are compacted
-    away (false candidates with lev ≫ max_d exit early).  The whole
-    pair pipeline (window enumeration → band-dedup → histogram filter →
-    DP) is STREAMED in fixed-size chunks so peak kernel state is
-    O(CHUNK) regardless of block pair count (r12; the prior form peaked
-    ~3.5 GB on sf3's 26.6M-pair blocks).  Distances are
+    The DP is BIT-PARALLEL banded (r12; Myers/Hyyrö style): 64
+    diagonals d ∈ [-31, +32] packed into one uint64 per pair (delta
+    encoding), advanced in lock-step across all pairs with ~15 uint64
+    numpy ops per text row — ~3× the int16 band form, whose six
+    (P, 2·max_d+1) int16 temporaries per row were memory-bound.  Every
+    8 rows, pairs whose FINAL-diagonal cell (monotone in the row index)
+    exceeds ``max_d`` are compacted away.  The whole pair pipeline
+    (window enumeration → band-dedup → histogram filter → DP) is
+    STREAMED in fixed-size cache-resident chunks so peak kernel state
+    is O(CHUNK) regardless of block pair count (r12; the prior form
+    peaked ~3.5 GB on sf3's 26.6M-pair blocks).  Distances are
     exact small integers over CODEPOINTS — the same semantics as Spark's
     ``F.levenshtein`` and pinned by the brute-force unicode pytest — so
     engine determinism is trivial.
     """
+    if max_d > 32:
+        # the bit-parallel band is 64 diagonals d ∈ [-31, +32] in one
+        # uint64; thresholds past 32 need a two-word band
+        raise ValueError(f"max_d={max_d} > 32 exceeds the uint64 band")
 
     def _kernel(pdf):
         import numpy as _np
@@ -793,60 +798,132 @@ def _make_lev_block_kernel(max_d: int):
         )
         if n < 2:
             return empty
-        # sort by length: qualifying pairs live in a ±max_d length window,
-        # so pair enumeration is searchsorted windows (O(output)), never a
-        # dense n² triangle.  doc_id pre-sort makes the length argsort's
-        # tie order deterministic
+        # EXACT-TEXT COLLAPSE (r12): identical texts form one group; the
+        # pair pipeline runs on DISTINCT texts only and results expand
+        # back to member doc pairs at the end — output-identical, and a
+        # k-member dup clique costs 1 pipeline row instead of k²/2
+        # full-depth DP pairs (an 85-doc clique in one sf1 block made
+        # every clique pair survive the whole DP: 4.3 s for one block).
+        # Identical texts share length ⇒ home band, so group band is
+        # well-defined and the min-home-band pair-dedup rule transfers.
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        texts = pdf["text"].tolist()
-        lens = _np.array([len(t) for t in texts], dtype=_np.int64)
-        order = _np.argsort(lens, kind="stable")
-        ids = pdf["doc_id"].to_numpy()[order]
-        bands = pdf["band"].to_numpy()[order]
-        texts = [texts[i] for i in order]
-        lens = lens[order]
+        all_ids = pdf["doc_id"].to_numpy()
+        all_bands = pdf["band"].to_numpy()
         block = int(pdf["_block"].iloc[0])
+        uniq, inv = _np.unique(
+            pdf["text"].to_numpy(dtype=object), return_inverse=True
+        )
+        G = len(uniq)
+        gorder = _np.argsort(inv, kind="stable")  # members in doc_id order
+        ginv = inv[gorder]
+        gstart = _np.searchsorted(ginv, _np.arange(G))
+        gsize = _np.diff(_np.append(gstart, n))
+        mflat = all_ids[gorder]
+        gband = all_bands[gorder[gstart]]
+
+        def _expand(fa_g, fb_g, fd):
+            # cross-group hits → all member pairs; plus lev-0 pairs
+            # inside every ≥2-member group homed in this block
+            out = []
+            sa, sb = gsize[fa_g], gsize[fb_g]
+            cnt = sa * sb
+            tot = int(cnt.sum())
+            if tot:
+                hidx = _np.repeat(_np.arange(len(fa_g)), cnt)
+                base = _np.cumsum(cnt) - cnt
+                within = _np.arange(tot) - base[hidx]
+                ia = within // sb[hidx]
+                ib = within % sb[hidx]
+                da = mflat[gstart[fa_g][hidx] + ia]
+                db = mflat[gstart[fb_g][hidx] + ib]
+                out.append((da, db, fd[hidx]))
+            for g in _np.nonzero((gsize >= 2) & (gband == block))[0]:
+                mem = mflat[gstart[g] : gstart[g] + gsize[g]]
+                iu, ju = _np.triu_indices(len(mem), k=1)
+                out.append(
+                    (mem[iu], mem[ju], _np.zeros(len(iu), dtype=_np.int32))
+                )
+            if not out:
+                return empty
+            da = _np.concatenate([o[0] for o in out])
+            db = _np.concatenate([o[1] for o in out])
+            dl = _np.concatenate([o[2] for o in out])
+            return _pd.DataFrame(
+                {
+                    "doc_a": _np.minimum(da, db),
+                    "doc_b": _np.maximum(da, db),
+                    "lev": dl.astype(_np.int32),
+                }
+            )
+
+        # sort groups by length: qualifying pairs live in a ±max_d length
+        # window, so pair enumeration is searchsorted windows (O(output)),
+        # never a dense n² triangle.  np.unique's text order makes the
+        # stable length-argsort's tie order deterministic
+        lens = _np.array([len(t) for t in uniq], dtype=_np.int64)
+        order = _np.argsort(lens, kind="stable")
+        ids = _np.arange(G)[order]  # group index per sorted position
+        bands = gband[order]
+        texts = [uniq[i] for i in order]
+        lens = lens[order]
+        n = G
+        if n < 2:
+            return _expand(
+                _np.array([], dtype=_np.int64),
+                _np.array([], dtype=_np.int64),
+                _np.array([], dtype=_np.int32),
+            )
         maxlen = int(lens[-1])
-        W = 2 * max_d + 1
         # one decode per doc: codepoint rows for the DP (sentinels can
         # never equal a real codepoint) + hashed histogram for the filter
         SENT_A = _np.uint32(0xFFFFFFFF)
         SENT_B = _np.uint32(0xFFFFFFFE)
+        # cpb padding is BAND-geometry-sized (32 left / 33 right for the
+        # fixed 64-diagonal window), independent of max_d
         cpa = _np.full((n, max(maxlen, 1)), SENT_A, dtype=_np.uint32)
-        cpb = _np.full(
-            (n, max_d + maxlen + max_d + 1), SENT_B, dtype=_np.uint32
-        )
+        cpb = _np.full((n, 32 + maxlen + 33), SENT_B, dtype=_np.uint32)
         hist = _np.zeros((n, 256), dtype=_np.int32)
         for i, t in enumerate(texts):
             if t:
                 cp = _np.frombuffer(t.encode("utf-32-le"), dtype=_np.uint32)
                 cpa[i, : len(cp)] = cp
-                cpb[i, max_d : max_d + len(cp)] = cp
+                cpb[i, 32 : 32 + len(cp)] = cp
                 hist[i] = _np.bincount(cp & 255, minlength=256)
         pos = _np.arange(n)
         hi = _np.searchsorted(lens, lens + max_d, side="right")
         counts = hi - pos - 1
         total = int(counts.sum())
+        _no_hits = (
+            _np.array([], dtype=_np.int64),
+            _np.array([], dtype=_np.int64),
+            _np.array([], dtype=_np.int32),
+        )
         if total == 0:
-            return empty
+            return _expand(*_no_hits)
         # flat pair-index offsets: pair j belongs to the anchor a with
         # starts[a] <= j < starts[a] + counts[a]; zero-count anchors
         # duplicate the next start, and searchsorted(side="right")-1
         # lands on the LAST duplicate — exactly the owning anchor
         starts = _np.cumsum(counts) - counts
-        INF = _np.int16(max_d + 1)
-        # in-row insertion-chain shifts, derived from max_d: powers of
-        # two up to max_d compose (min-plus) to every shift <= 2*largest-1
-        # >= max_d, and chains longer than max_d are INF-clamped anyway.
-        # (A hard-coded tuple silently under-relaxes if max_d grows.)
-        shifts = []
-        _s = 1
-        while _s <= max_d:
-            shifts.append(_s)
-            _s *= 2
-        d0 = _np.arange(W) - max_d
-        row0 = _np.full(W, INF, dtype=_np.int16)
-        row0[d0 >= 0] = _np.minimum(d0[d0 >= 0], max_d + 1).astype(_np.int16)
+        # Bit-parallel banded DP constants (r12, see _run_dp): the band
+        # is 64 diagonals d in [-31, +32] packed into ONE uint64 per
+        # pair (delta encoding: bit x of P/M = V(x) - V(x-1) = +-1,
+        # cell x <-> diagonal d = x - 31, score tracks V(63)).
+        _ONE = _np.uint64(1)
+        _TOP = _np.uint64(1) << _np.uint64(63)
+        _PM1 = _np.uint64(0x5555555555555555)
+        _PM2 = _np.uint64(0x3333333333333333)
+        _PM4 = _np.uint64(0x0F0F0F0F0F0F0F0F)
+        _PH = _np.uint64(0x0101010101010101)
+        _P0 = ~((_ONE << _np.uint64(32)) - _ONE)  # delta +1 at x>31
+        _M0 = ((_ONE << _np.uint64(32)) - _ONE) & ~_ONE  # -1 at 1..31
+
+        def _pc(v):
+            # SWAR popcount (numpy 1.x has no bitwise_count)
+            v = v - ((v >> _ONE) & _PM1)
+            v = (v & _PM2) + ((v >> _np.uint64(2)) & _PM2)
+            v = (v + (v >> _np.uint64(4))) & _PM4
+            return (v * _PH) >> _np.uint64(56)
         # STREAMED pair pipeline (r12, VERDICT r11 #1): enumerate window
         # pairs, band-dedup, and histogram-filter one fixed-size chunk
         # at a time; filtered survivors ACCUMULATE and the lock-step DP
@@ -856,56 +933,100 @@ def _make_lev_block_kernel(max_d: int):
         # (1M, 256) int32 histogram temporaries — ~3.5 GB peak on sf3's
         # 26.6M-pair blocks, OOM-bound at 100×.  Peak state is now
         # O(CHUNK + DP_CHUNK) at ANY block size: two reused (CHUNK, 256)
-        # int32 take-buffers (~134 MB), the (DP_CHUNK, W) int16 DP band
-        # (~26 MB), and a ≤ DP_CHUNK+CHUNK pending id buffer (~5 MB).
-        # DP batches stay 200k (a pure-streamed 131k-raw-chunk variant
-        # re-ran the per-row Python DP loop per chunk: sf1 7.2 s vs
-        # 5.8 s with survivor batching).
-        CHUNK = 1 << 17
-        DP_CHUNK = 200_000
+        # int32 take-buffers (~33 MB), 3 words of bit-band DP state per
+        # pair, and a small pending id buffer.
+        # Batch sizes are CACHE-SIZED, not memory-sized (r12): the DP
+        # re-touches its state EVERY row step, so a batch that outgrows
+        # the per-process LLC share re-streams from DRAM each row —
+        # measured single-core on fixed total work with the int16 band:
+        # P=200k 39.4 s vs P=12k 15.7 s (2.5×).  sf1 blocks (~20k
+        # survivors) were accidentally cache-resident while sf3 blocks
+        # (~150k) were not — the whole "per-pair cost grows with SF"
+        # mystery.  The bit-parallel band cut per-pair state ~6× on top.
+        CHUNK = 1 << 15
+        DP_CHUNK = 1 << 14
         ha = _np.empty((min(CHUNK, total), 256), dtype=_np.int32)
         hb = _np.empty((min(CHUNK, total), 256), dtype=_np.int32)
         out_a, out_b, out_d = [], [], []
 
         def _run_dp(pa, pb):
+            # Bit-parallel banded Levenshtein, lock-step across pairs
+            # (r12; Myers/Hyyrö style, validated against the O(mn) DP on
+            # 7k random+adversarial cases and by the repo's brute-force
+            # pytest).  Band = 64 diagonals d ∈ [-31, +32] in ONE uint64
+            # per pair: bit x of P/M is the ±1 delta V(x) − V(x−1) of
+            # band cell x ↔ D(i, i + x − 31), score tracks V(63).  Each
+            # row pre-shifts the band (the diagonal window advances with
+            # i) then runs one classical Myers step (~15 uint64 ops),
+            # ~6× less data traffic per pair-row than the int16 band
+            # (which moved six (P, 65) int16 temporaries per row).
+            # Boundary relaxations are exact-safe: diagonals d ≤ −17
+            # cost ≥ 2·17 > max_d to leave, so over-estimates there
+            # never reach an optimal ≤max_d path, and the top shift-in
+            # (V(64) := V(63)+1 ≥ 33) only creates ≥ INF-equivalent
+            # values.  The kill check reads each pair's FINAL diagonal
+            # (D(i, i+df) is non-decreasing in i), tighter than the old
+            # whole-band minimum.
             p = len(pa)
             # a is the shorter side: length-ordered positions ⇒ pa ≤ pb
             m2, n2 = lens[pa], lens[pb]
             res = _np.full(p, -1, dtype=_np.int32)
             zero = m2 == 0
             res[zero] = _np.where(n2[zero] <= max_d, n2[zero], -1)
-            active = _np.nonzero(~zero)[0]
-            D = _np.broadcast_to(row0, (len(active), W)).copy()
+            act = _np.nonzero(~zero)[0]
+            # bits strictly above each pair's final-diagonal cell
+            # x_f = (n−m) + 31 (double-shift: x_f = 63 must yield 0)
+            am_all = ((~_np.uint64(0)) << (n2 - m2 + 31).astype(_np.uint64)) << _ONE
+            P = _np.full(len(act), _P0, dtype=_np.uint64)
+            M = _np.full(len(act), _M0, dtype=_np.uint64)
+            # V(63) = |63 - 31| = 32: a band-geometry constant, NOT max_d
+            score = _np.full(len(act), 32, dtype=_np.int32)
             for i in range(1, int(m2.max(initial=0)) + 1):
-                if len(active) == 0:
+                if len(act) == 0:
                     break
-                a_i = cpa[pa[active], i - 1][:, None]
-                bwin = cpb[pb[active], i - 1 : i - 1 + W]
-                diag = D + (a_i != bwin)
-                up = _np.full_like(D, INF)
-                up[:, :-1] = D[:, 1:] + 1
-                cand = _np.minimum(diag, up)
-                _np.minimum(cand, INF, out=cand)
-                # in-row insertion chain: log-shift min-plus relaxation
-                for s in shifts:
-                    shifted = _np.full_like(cand, INF)
-                    shifted[:, s:] = cand[:, :-s] + s
-                    _np.minimum(cand, shifted, out=cand)
-                _np.minimum(cand, INF, out=cand)
-                D = cand
-                fin = m2[active] == i
+                # band pre-shift: δs(x) = δ(x+1), top shift-in = +1
+                Ps = (P >> _ONE) | _TOP
+                Ms = M >> _ONE
+                score += 1
+                cmp = cpa[pa[act], i - 1][:, None] == cpb[pb[act], i : i + 64]
+                Eq = _np.packbits(cmp, axis=1, bitorder="little").view(
+                    _np.uint64
+                ).ravel()
+                Xv = Eq | Ms
+                Xh = (((Eq & Ps) + Ps) ^ Ps) | Eq
+                Ph = Ms | ~(Xh | Ps)
+                Mh = Ps & Xh
+                score += ((Ph >> _np.uint64(63)) & _ONE).astype(_np.int32)
+                score -= ((Mh >> _np.uint64(63)) & _ONE).astype(_np.int32)
+                PhS = (Ph << _ONE) | _ONE
+                MhS = Mh << _ONE
+                P = MhS | ~(Xv | PhS)
+                M = PhS & Xv
+                fin = m2[act] == i
                 if fin.any():
-                    fa = active[fin]
-                    res[fa] = D[fin, n2[fa] - m2[fa] + max_d].astype(
-                        _np.int32
+                    # extraction popcounts run on the FINISHING subset
+                    # only — computing them for all act pairs every
+                    # finish row doubled per-row cost on small batches
+                    amf = am_all[act[fin]]
+                    res[act[fin]] = (
+                        score[fin]
+                        - _pc(P[fin] & amf).astype(_np.int32)
+                        + _pc(M[fin] & amf).astype(_np.int32)
                     )
-                    active = active[~fin]
-                    D = D[~fin]
-                if i % 16 == 0 and len(active):
-                    alive = D.min(axis=1) <= max_d
+                    keep = ~fin
+                    act = act[keep]
+                    P, M, score = P[keep], M[keep], score[keep]
+                if i % 8 == 0 and len(act):
+                    am = am_all[act]
+                    v = (
+                        score
+                        - _pc(P & am).astype(_np.int32)
+                        + _pc(M & am).astype(_np.int32)
+                    )
+                    alive = v <= max_d
                     if not alive.all():
-                        active = active[alive]
-                        D = D[alive]
+                        act = act[alive]
+                        P, M, score = P[alive], M[alive], score[alive]
             res[res > max_d] = -1
             ok = res >= 0
             out_a.append(pa[ok])
@@ -940,19 +1061,14 @@ def _make_lev_block_kernel(max_d: int):
         if pend:
             _run_dp(_np.concatenate(pend_a), _np.concatenate(pend_b))
         if not out_a:
-            return empty
+            return _expand(*_no_hits)
         fa = _np.concatenate(out_a)
         fb = _np.concatenate(out_b)
         fd = _np.concatenate(out_d)
-        # positions are length-ordered, not id-ordered: restore doc_a < doc_b
-        ida, idb = ids[fa], ids[fb]
-        return _pd.DataFrame(
-            {
-                "doc_a": _np.minimum(ida, idb),
-                "doc_b": _np.maximum(ida, idb),
-                "lev": fd,
-            }
-        )
+        # positions are length-ordered: map back to group indices, then
+        # expand each group hit to its member doc pairs (+ intra-group
+        # lev-0 pairs) — _expand restores doc_a < doc_b
+        return _expand(ids[fa], ids[fb], fd.astype(_np.int32))
 
     return _kernel
 
