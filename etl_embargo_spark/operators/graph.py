@@ -69,22 +69,33 @@ def pagerank(
     checkpointed rank relation (both callers leave it None).  Changing
     either knob on an oracle-checked path requires a pin regeneration +
     layout-independence re-check (tools/detcheck.py)."""
-    # cache the edge relation: deg (evaluated twice: node set + ew
-    # broadcast) and the weighted-edge build read it — without the cache
-    # its construction lineage (bucket-pair expansion + distinct)
-    # re-executes per consumer
-    edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # r12 setup restructure (measured 6.6 → ~4 s of the sf0.1 total):
+    # checkpoint the NODE-SIZED degree relation once and derive the node
+    # set, the node count, and the weighted-edge broadcast all FROM the
+    # checkpoint — Spark 4 reuses no exchanges across duplicated
+    # aggregate subtrees (CLAUDE.md), so the old form executed the
+    # edge-degree aggregation THREE times (nodes_n's deg, its n_row
+    # count, and ew's broadcast build) before the loop even started.
+    # The edge relation itself is NOT persisted here: both callers pass
+    # a cheap lineage (a projection/union over an already-persisted
+    # relation — pair_support / textrank's distinct pairs), and caching
+    # 2.4M sym-edge rows again on top of that cache was pure overhead;
+    # the two passes over it (deg count + ew build) recompute a
+    # projection of a cache hit.
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint()
     # the node set IS deg's key set — deriving it there saves the
     # separate distinct shuffle over the full edge relation
-    nodes = deg.select(F.col("src").alias("id"))
-    n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    n_row = deg.agg(F.count(F.lit(1)).alias("_n"))
     # attach the node count ONCE, outside the loop: (id, _n) is
     # checkpointed and reused every round — broadcasting the one-row
     # count per iteration would pin n_iters broadcast blobs on the
     # driver for no reason (observed driver-memory pressure at sf0.1
     # in a long default-heap session)
-    nodes_n = nodes.crossJoin(F.broadcast(n_row))
+    nodes_n = deg.select(F.col("src").alias("id")).crossJoin(
+        F.broadcast(n_row)
+    )
     if rank_partitions:
         nodes_n = nodes_n.repartition(rank_partitions, "id")
     nodes_n = nodes_n.localCheckpoint()
@@ -118,10 +129,9 @@ def pagerank(
         if rank_partitions:
             nxt = nxt.repartition(rank_partitions, "id")
         ranks = nxt.localCheckpoint()
-    # loop-scoped caches: the final ranks are checkpointed, so nothing
-    # downstream re-reads the edge lineage — release both rather than
+    # loop-scoped cache: the final ranks are checkpointed, so nothing
+    # downstream re-reads the edge lineage — release it rather than
     # rely on LRU eviction across a 250-query sweep session
-    edges.unpersist()
     ew.unpersist()
     return ranks
 

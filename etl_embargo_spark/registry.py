@@ -60,9 +60,11 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # everything else oldest-attestation-first so no query's driver row
 # rots beyond ~5 rounds.  tests/test_attestations.py asserts this list
 # equals the tool's output; regenerate it after any builder/oracle
-# edit.  Round 12: the NEW q_incremental_dedup_near (never-checked) and
+# edit.  Round 12: the NEW q_incremental_dedup_near (never-checked),
 # the 3 lev-kernel drifts (q_dedup_levenshtein streamed-chunk rewrite +
-# its q_corpus_dedup/q_dedup_clusters consumers) front the window, then
+# its q_corpus_dedup/q_dedup_clusters consumers), the shared
+# pair-support consumers, and the pagerank setup-restructure drifts
+# (q_pagerank/q_textrank) front the window, then
 # the oldest attestations — draining most of the r6-era block (q_tfidf
 # q_pii_scrub q_scd2 q_sessionize q_sliding_window q_media_features
 # q_retention q_rfm q_salted_join q_stratified_sample …).
@@ -76,6 +78,7 @@ DRIVER_WINDOW_FIRST = [
     "q_item_cosine",
     "q_kcore",
     "q_pagerank",
+    "q_textrank",
     "q_triangles",
     "q_media_features",
     "q_media_framesample",
@@ -116,7 +119,6 @@ DRIVER_WINDOW_FIRST = [
     "q_embed_quantize",
     "q_embedding_pairs",
     "q_excess_shippers",
-    "q_feature_hash",
 ]
 
 # Changed after the current window was already full: drifted queries may
