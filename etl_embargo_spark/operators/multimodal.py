@@ -110,18 +110,20 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": [], "media_type": [], "content": [],
                     "declared_w": [], "declared_h": [],
                 }
-                for _, r in pdf.iterrows():
-                    did = int(r["doc_id"])
+                # zip over columns, never iterrows: row boxing costs more
+                # than the per-row encoders (guide §4.2)
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    did = int(did)
                     # same mapping as the original element_at expression:
                     # doc_id%3 = 0 → image, 1 → audio, 2 → video
                     kind = ("image", "audio", "video")[did % 3]
                     if kind == "image":
-                        content, w, h = ppm(did, r["text"])
+                        content, w, h = ppm(did, text)
                     elif kind == "audio":
-                        content, _n = wav(did, r["text"])
+                        content, _n = wav(did, text)
                         w, h = 0, 0
                     else:
-                        content = (r["text"] or "x").encode("utf-8")
+                        content = (text or "x").encode("utf-8")
                         w = (did % 8 + 1) * 64
                         h = (did % 4 + 1) * 64
                     out["media_id"].append(did)
@@ -325,13 +327,16 @@ def extract_features(
                     "n_bytes": [], "width": [], "height": [],
                     "n_frames": [], "features": [],
                 }
-                for _, r in pdf.iterrows():
-                    b = bytes(r["content"])
-                    codec, w, h, nf, feats = decode_one(
-                        b, r["media_type"], r["declared_w"], r["declared_h"]
-                    )
-                    rows["media_id"].append(r["media_id"])
-                    rows["media_type"].append(r["media_type"])
+                # zip over columns, never iterrows (guide §4.2): the row
+                # boxing dominated the per-payload decoders
+                for mid, mtype, content, dw, dh in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["content"],
+                    pdf["declared_w"], pdf["declared_h"],
+                ):
+                    b = bytes(content)
+                    codec, w, h, nf, feats = decode_one(b, mtype, dw, dh)
+                    rows["media_id"].append(mid)
+                    rows["media_type"].append(mtype)
                     rows["codec"].append(codec)
                     rows["n_bytes"].append(len(b))
                     rows["width"].append(w)
@@ -388,9 +393,13 @@ def resize_media(
                     "media_id": [], "media_type": [], "content": [],
                     "declared_w": [], "declared_h": [],
                 }
-                for _, r in pdf.iterrows():
-                    b = bytes(r["content"])
-                    w, h = int(r["declared_w"]), int(r["declared_h"])
+                # zip over columns, never iterrows (guide §4.2)
+                for mid, mtype, raw, dw, dh in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["content"],
+                    pdf["declared_w"], pdf["declared_h"],
+                ):
+                    b = bytes(raw)
+                    w, h = int(dw), int(dh)
                     if b[:2] in (b"P6", b"P5"):
                         content, nw, nh = resample_ppm(b)
                     elif w <= 0 or h <= 0:
@@ -400,8 +409,8 @@ def resize_media(
                         scale = min(tw / w, th / h, 1.0)
                         content = b
                         nw, nh = int(w * scale), int(h * scale)
-                    out["media_id"].append(r["media_id"])
-                    out["media_type"].append(r["media_type"])
+                    out["media_id"].append(mid)
+                    out["media_type"].append(mtype)
                     out["content"].append(content)
                     out["declared_w"].append(nw)
                     out["declared_h"].append(nh)

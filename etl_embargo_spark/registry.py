@@ -63,8 +63,10 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # edit.  Round 12: the NEW q_incremental_dedup_near (never-checked),
 # the 3 lev-kernel drifts (q_dedup_levenshtein streamed-chunk rewrite +
 # its q_corpus_dedup/q_dedup_clusters consumers), the shared
-# pair-support consumers, and the pagerank setup-restructure drifts
-# (q_pagerank/q_textrank) front the window, then
+# pair-support consumers, the pagerank setup-restructure drifts
+# (q_pagerank/q_textrank), and the media-kernel zip-iteration drifts
+# (q_media_dedup/q_media_features/q_media_framesample) front the
+# window, then
 # the oldest attestations — draining most of the r6-era block (q_tfidf
 # q_pii_scrub q_scd2 q_sessionize q_sliding_window q_media_features
 # q_retention q_rfm q_salted_join q_stratified_sample …).
@@ -77,11 +79,12 @@ DRIVER_WINDOW_FIRST = [
     "q_dedup_levenshtein",
     "q_item_cosine",
     "q_kcore",
+    "q_media_dedup",
+    "q_media_features",
+    "q_media_framesample",
     "q_pagerank",
     "q_textrank",
     "q_triangles",
-    "q_media_features",
-    "q_media_framesample",
     "q_mode",
     "q_moving_avg",
     "q_ngram_counts",
@@ -118,7 +121,6 @@ DRIVER_WINDOW_FIRST = [
     "q_cms_topk",
     "q_embed_quantize",
     "q_embedding_pairs",
-    "q_excess_shippers",
 ]
 
 # Changed after the current window was already full: drifted queries may
