@@ -350,6 +350,68 @@ SHOWCASE: dict[str, str] = {
         "self-join of the bucketed relation), exact cosine Arrow-batched "
         "on candidates only, per-vector rank window hits WindowGroupLimit."
     ),
+    # r9-r12 rewrites (VERDICT r11 #5): the plans below changed shape
+    # after PLANS.md's last regen (r8) — each property is what the
+    # rewrite bought and what the guards pin.
+    "q_kcore": (
+        "Delta-peel k-core (r11): ONE full degree aggregate, then "
+        "per-wave decrements over only dropped nodes' incident edges "
+        "(edges joined to a BROADCAST drop set) — total aggregation "
+        "O(2E) regardless of peel rounds; the rollup reads the "
+        "node-sized converged state, zero edge re-filter passes."
+    ),
+    "q_hits": (
+        "Engine-exact HITS rounds (r11): per round the node-sized raw "
+        "sums are checkpointed FIRST and the max-normalizer derives "
+        "from the checkpoint (no duplicated aggregate subtree — Spark 4 "
+        "reuses no exchanges), scores quantized to 12-dp integers so "
+        "bigint sums keep whole-stage codegen."
+    ),
+    "q_conformal": (
+        "Split-conformal intervals: rank identity derived via exact "
+        "Fraction arithmetic into both engines; calibration scores one "
+        "shuffle, quantile via per-group order statistics — no window "
+        "over the full fact."
+    ),
+    "q_decontaminate_semantic": (
+        "Semantic eval-decontamination (r11): capped eval set BROADCASTs "
+        "(corpus never shuffles), dot products as int-scaled bigint sums "
+        "(merge-order-exact AND codegen-fast; decimal form measured 2x), "
+        "corpus scan spread before the x64-eval expansion."
+    ),
+    "q_dedup_clusters": (
+        "Connected components (r11): pointer-doubling min-label rounds "
+        "over a checkpointed node-sized label relation with BROADCAST "
+        "label joins — the edge relation never re-shuffles per round."
+    ),
+    "q_pagerank": (
+        "PageRank setup (r12): the degree aggregate is checkpointed ONCE "
+        "and the node set, node count, and weighted-edge broadcast all "
+        "derive from the checkpoint (was 3 full re-aggregations — Spark "
+        "4 reuses no exchanges across duplicated subtrees); per-round "
+        "one broadcast join + one node-sized aggregate over few fat "
+        "key-partitioned edge partitions."
+    ),
+    "q_dedup_levenshtein": (
+        "Streamed bit-parallel Levenshtein verify (r12): bucket-local "
+        "FlatMapGroupsInPandas kernel — pair enumeration/prefilter in "
+        "32k-pair chunks, Myers-style banded DP (64 diagonals in one "
+        "uint64) in 16k-pair chunks, in-kernel exact-text collapse; "
+        "peak in-kernel state bounded at any SF, no pair join-backs."
+    ),
+    "q_incremental_dedup_near": (
+        "Cross-run near-dup gate (r12): standing corpus banded ONCE "
+        "(snapshot-manifest relation), only the NEW batch is shingled "
+        "and banded per ingest; candidates from a band-key join against "
+        "capped standing buckets — the only corpus-sized cost is the "
+        "one-time index build, the per-ingest shuffle is new-batch-sized."
+    ),
+    "q_dbscan": (
+        "Tile-contraction DBSCAN (r10): exactly-once cell-blocked pair "
+        "expansion, per-tile union-find in-kernel (constant points/tile "
+        "at the density-pinned eps), min-label loop only over the "
+        "contracted cross-tile boundary graph (24 rounds -> 4)."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan showcase
