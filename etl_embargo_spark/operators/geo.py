@@ -151,8 +151,15 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 DBSCAN_TARGET_DEG = 3.0  # design mean neighbor count (subcritical: the
 # 2D continuum percolation threshold is ~4.5, so components stay small)
 DBSCAN_MINPTS = 4  # core point: |N_eps(p)| >= minPts, self included
-DBSCAN_TILE_CELLS = 16  # tile side in eps-cells: ~tile_cells² points
-# per tile at the pinned density — constant kernel state at any SF
+DBSCAN_TILE_CELLS = 64  # tile side in eps-cells: ~tile_cells²·deg/π
+# points per tile at the pinned density (~3.9k at 64) — constant kernel
+# state at any SF.  r12: 16 → 64 measured interleaved at sf0.1: the
+# cross-tile boundary graph shrinks ∝ 1/side (329 → ~80 edges), the
+# min-label loop drops 4 → 3 rounds and ~2 s, and run variance
+# collapses (the 16-cell boundary loop was the query's noise source);
+# 128/256 measured no further gain (rounds floor at 3).  Outputs are
+# tiling-invariant (union-by-min roots → component minima), verified
+# row-identical at sf0.1 and by the pinned oracles.
 
 
 def _make_unionfind_kernel():
