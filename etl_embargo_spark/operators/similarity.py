@@ -216,28 +216,50 @@ def _make_knn_bucket_scorer(k: int, max_bucket: int):
         starts = _np.r_[
             0, _np.flatnonzero(buckets[1:] != buckets[:-1]) + 1, len(pdf)
         ]
-        tri_cache: dict = {}
-        parts_a, parts_b, parts_c = [], [], []
-        for s, t in zip(starts[:-1], starts[1:]):
-            c_n = t - s
-            if c_n < 2 or (max_bucket is not None and c_n > max_bucket):
-                # oversize buckets dropped — mirrors the _bucket_pairs
-                # degenerate-key cap the pinned output was generated under
-                continue
-            if c_n not in tri_cache:
-                tri_cache[c_n] = _np.triu_indices(c_n, k=1)
-            iu, ju = tri_cache[c_n]
-            gi, gj = iu + s, ju + s
-            dots = _np.einsum("ij,ij->i", e[gi], e[gj])
-            cos = _np.round(dots / (norms[gi] * norms[gj]), 6)
-            parts_a.append(_np.concatenate([ids[gi], ids[gj]]))
-            parts_b.append(_np.concatenate([ids[gj], ids[gi]]))
-            parts_c.append(_np.concatenate([cos, cos]))
-        if not parts_a:
+        # occupancy-class batching (r12): a group holds ~2k true buckets
+        # and the old per-bucket loop paid ~10 numpy-call overheads per
+        # bucket — the kernel's measured cost was loop overhead, not
+        # GEMM.  Bucket sizes cluster tightly around the LSH occupancy
+        # target, so building the triangle indices ONCE per DISTINCT
+        # size (broadcast-added to that size's segment starts) turns the
+        # whole group into a handful of vector ops; the einsum then runs
+        # over cache-sized pair chunks (the q_dedup_levenshtein lesson:
+        # a monolithic (pairs, dim) gather re-streams from DRAM and at
+        # sf3 would allocate ~450 MB per worker).  Output-identical: the
+        # per-pair dots are the same row-wise float64 einsum (batch
+        # composition cannot move an ulp) and the lexsort below imposes
+        # a total order, so pair production order is irrelevant.
+        seg_sizes = _np.diff(starts)
+        seg_starts = starts[:-1]
+        valid = seg_sizes >= 2
+        if max_bucket is not None:
+            # oversize buckets dropped — mirrors the _bucket_pairs
+            # degenerate-key cap the pinned output was generated under
+            valid &= seg_sizes <= max_bucket
+        vstarts = seg_starts[valid]
+        vsizes = seg_sizes[valid]
+        if len(vstarts) == 0:
             return empty
-        a = _np.concatenate(parts_a)
-        b = _np.concatenate(parts_b)
-        c = _np.concatenate(parts_c)
+        gi_parts, gj_parts = [], []
+        for c_n in _np.unique(vsizes):
+            iu, ju = _np.triu_indices(int(c_n), k=1)
+            ss = vstarts[vsizes == c_n]
+            gi_parts.append((ss[:, None] + iu[None, :]).ravel())
+            gj_parts.append((ss[:, None] + ju[None, :]).ravel())
+        gi = _np.concatenate(gi_parts)
+        gj = _np.concatenate(gj_parts)
+        cos = _np.empty(len(gi), dtype=_np.float64)
+        _CHUNK = 32768
+        for ofs in range(0, len(gi), _CHUNK):
+            ci = gi[ofs : ofs + _CHUNK]
+            cj = gj[ofs : ofs + _CHUNK]
+            dots = _np.einsum("ij,ij->i", e[ci], e[cj])
+            cos[ofs : ofs + _CHUNK] = _np.round(
+                dots / (norms[ci] * norms[cj]), 6
+            )
+        a = _np.concatenate([ids[gi], ids[gj]])
+        b = _np.concatenate([ids[gj], ids[gi]])
+        c = _np.concatenate([cos, cos])
         # per-vector top-k across the group: each vector has exactly one
         # bucket per table, and a group holds one table's segment, so
         # keying on vec alone IS per-bucket top-k
