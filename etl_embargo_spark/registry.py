@@ -64,9 +64,9 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # the 3 lev-kernel drifts (q_dedup_levenshtein streamed-chunk rewrite +
 # its q_corpus_dedup/q_dedup_clusters consumers), the shared
 # pair-support consumers, the pagerank setup-restructure drifts
-# (q_pagerank/q_textrank), and the media-kernel zip-iteration drifts
-# (q_media_dedup/q_media_features/q_media_framesample) front the
-# window, then
+# (q_pagerank/q_textrank), the media-kernel zip-iteration drifts
+# (q_media_dedup/q_media_features/q_media_framesample), and the DBSCAN
+# tile-enlargement drift (q_dbscan) front the window, then
 # the oldest attestations — draining most of the r6-era block (q_tfidf
 # q_pii_scrub q_scd2 q_sessionize q_sliding_window q_media_features
 # q_retention q_rfm q_salted_join q_stratified_sample …).
@@ -75,6 +75,7 @@ DRIVER_WINDOW_FIRST = [
     "q_basket_lift",
     "q_copurchase",
     "q_corpus_dedup",
+    "q_dbscan",
     "q_dedup_clusters",
     "q_dedup_levenshtein",
     "q_item_cosine",
@@ -120,7 +121,6 @@ DRIVER_WINDOW_FIRST = [
     "q_calibration",
     "q_cms_topk",
     "q_embed_quantize",
-    "q_embedding_pairs",
 ]
 
 # Changed after the current window was already full: drifted queries may

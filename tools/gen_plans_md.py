@@ -407,10 +407,11 @@ SHOWCASE: dict[str, str] = {
         "one-time index build, the per-ingest shuffle is new-batch-sized."
     ),
     "q_dbscan": (
-        "Tile-contraction DBSCAN (r10): exactly-once cell-blocked pair "
-        "expansion, per-tile union-find in-kernel (constant points/tile "
-        "at the density-pinned eps), min-label loop only over the "
-        "contracted cross-tile boundary graph (24 rounds -> 4)."
+        "Tile-contraction DBSCAN (r10, tiles enlarged r12): exactly-once "
+        "cell-blocked pair expansion, per-tile union-find in-kernel "
+        "(constant ~3.9k points/tile at the density-pinned eps), "
+        "min-label loop only over the contracted cross-tile boundary "
+        "graph (24 rounds flat -> 3 with 64-cell tiles)."
     ),
 }
 
