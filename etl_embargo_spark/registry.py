@@ -66,7 +66,8 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # pair-support consumers, the pagerank setup-restructure drifts
 # (q_pagerank/q_textrank), the media-kernel zip-iteration drifts
 # (q_media_dedup/q_media_features/q_media_framesample), and the DBSCAN
-# tile-enlargement drift (q_dbscan) front the window, then
+# tile-enlargement + knn-scorer-batching drifts (q_dbscan,
+# q_knn_join) front the window, then
 # the oldest attestations — draining most of the r6-era block (q_tfidf
 # q_pii_scrub q_scd2 q_sessionize q_sliding_window q_media_features
 # q_retention q_rfm q_salted_join q_stratified_sample …).
@@ -80,6 +81,7 @@ DRIVER_WINDOW_FIRST = [
     "q_dedup_levenshtein",
     "q_item_cosine",
     "q_kcore",
+    "q_knn_join",
     "q_media_dedup",
     "q_media_features",
     "q_media_framesample",
@@ -120,7 +122,6 @@ DRIVER_WINDOW_FIRST = [
     "q_bpe_pairs",
     "q_calibration",
     "q_cms_topk",
-    "q_embed_quantize",
 ]
 
 # Changed after the current window was already full: drifted queries may
