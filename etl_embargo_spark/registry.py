@@ -60,68 +60,63 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # everything else oldest-attestation-first so no query's driver row
 # rots beyond ~5 rounds.  tests/test_attestations.py asserts this list
 # equals the tool's output; regenerate it after any builder/oracle
-# edit.  Round 12: the NEW q_incremental_dedup_near (never-checked),
-# the 3 lev-kernel drifts (q_dedup_levenshtein streamed-chunk rewrite +
-# its q_corpus_dedup/q_dedup_clusters consumers), the shared
-# pair-support consumers, the pagerank setup-restructure drifts
-# (q_pagerank/q_textrank), the media-kernel zip-iteration drifts
-# (q_media_dedup/q_media_features/q_media_framesample), and the DBSCAN
-# tile-enlargement + knn-scorer-batching drifts (q_dbscan,
-# q_knn_join) front the window, then
-# the oldest attestations — draining most of the r6-era block (q_tfidf
-# q_pii_scrub q_scd2 q_sessionize q_sliding_window q_media_features
-# q_retention q_rfm q_salted_join q_stratified_sample …).
+# edit.  Round 13 start: no never-checked / no drift (the r12 window
+# landed 50/50 green and the snapshot→refresh boundary was closed at
+# round start), so the whole window is the oldest-attestation drain —
+# the r7-era block (q_embed_quantize … q_zipf_fit) plus the first of
+# the r8 block.  This round's own builder edits re-front as drift;
+# regenerate before round end.
 DRIVER_WINDOW_FIRST = [
-    "q_incremental_dedup_near",
-    "q_basket_lift",
-    "q_copurchase",
-    "q_corpus_dedup",
-    "q_dbscan",
-    "q_dedup_clusters",
-    "q_dedup_levenshtein",
-    "q_item_cosine",
-    "q_kcore",
-    "q_knn_join",
-    "q_media_dedup",
-    "q_media_features",
-    "q_media_framesample",
-    "q_pagerank",
-    "q_textrank",
-    "q_triangles",
-    "q_mode",
-    "q_moving_avg",
-    "q_ngram_counts",
-    "q_ntile",
-    "q_null_anti",
-    "q_percentiles",
-    "q_pii_scrub",
-    "q_pivot",
-    "q_range_frame",
-    "q_retention",
-    "q_rfm",
-    "q_salted_join",
-    "q_scalar_subquery",
-    "q_scd2",
-    "q_sessionize",
-    "q_sliding_window",
-    "q_stratified_sample",
-    "q_string_agg",
-    "q_table_checksum",
-    "q_text_normalize",
-    "q_tfidf",
-    "q_token_entropy",
-    "q_train_test_split",
-    "q_unpivot",
-    "q_user_features",
-    "q_vector_norms",
-    "q_vocab",
-    "q_window_distinct",
-    "q_zscore_outliers",
-    "q_als",
-    "q_blame_supplier",
-    "q_bpe_pairs",
-    "q_calibration",
-    "q_cms_topk",
+    "q_embed_quantize",
+    "q_embedding_pairs",
+    "q_excess_shippers",
+    "q_feature_hash",
+    "q_hll_merge",
+    "q_idle_customers",
+    "q_important_parts",
+    "q_incremental_dedup",
+    "q_inverted_index",
+    "q_jaccard_users",
+    "q_kmeans",
+    "q_large_orders",
+    "q_local_volume",
+    "q_logreg",
+    "q_market_share",
+    "q_markov_attribution",
+    "q_media_storage",
+    "q_min_cost_supplier",
+    "q_minhash_pairs",
+    "q_mutual_info",
+    "q_nation_trade",
+    "q_ndcg",
+    "q_order_count_dist",
+    "q_pack_contexts",
+    "q_part_supplier_count",
+    "q_perplexity",
+    "q_priority_count",
+    "q_psi",
+    "q_rank_surface",
+    "q_rare_collapse",
+    "q_repetition_filter",
+    "q_returned_items",
+    "q_simhash_pairs",
+    "q_small_quantity",
+    "q_stem",
+    "q_theil",
+    "q_top_supplier",
+    "q_vocab_coverage",
+    "q_wasserstein",
+    "q_zipf_fit",
+    "q_attribution",
+    "q_average_precision",
+    "q_bootstrap_ci",
+    "q_class_weights",
+    "q_concurrency",
+    "q_confusion",
+    "q_cv_folds",
+    "q_dataset_card",
+    "q_dataset_diff",
+    "q_debounce",
 ]
 
 # Changed after the current window was already full: drifted queries may

@@ -97,6 +97,27 @@ def test_window_follows_standing_policy():
     )
 
 
+def test_snapshot_matches_current_tree():
+    """VERDICT r12 #3 (two rounds running): the round-end attestation
+    snapshot kept NOT being committed, so the next round's --refresh had
+    to trust that no post-run edits happened.  Structural fix: the
+    committed snapshot must always equal the current tree's hashes —
+    i.e. every commit that changes any builder/oracle hash must also run
+    `python tools/attest.py --snapshot` (pure AST work, <2 s).  The
+    round-end tree is then a fresh snapshot BY CONSTRUCTION, since the
+    driver's pytest gate runs on exactly that tree."""
+    import json
+
+    snap = json.loads(attest.SNAPSHOT_PATH.read_text())["hashes"]
+    cur = attest.current_hashes()
+    stale = sorted(n for n in cur if snap.get(n) != cur[n])
+    assert not stale, (
+        f"attest_snapshot.json is stale for {len(stale)} queries "
+        f"(first: {stale[:5]}) — run `python tools/attest.py --snapshot` "
+        "and include it in the same commit as the builder/oracle edit"
+    )
+
+
 def test_closure_hash_follows_cross_module_imports():
     """ADVICE r8: an in-function `from etl_embargo_spark.operators.X
     import Y` must pull Y's source into the consumer's hash (the
