@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_embargo_spark.catalog import load_table, spread_for_cpu
+from etl_embargo_spark.catalog import load_table, table_rows
 
 MEDIA_SCHEMA = (
     "media_id long, media_type string, content binary, "
@@ -41,6 +41,30 @@ FEATURE_SCHEMA = (
 )
 
 WAV_RATE = 8000  # synthetic corpus sample rate (Hz)
+
+# Media-path parallelism is ROW-derived, not a blanket core-count spread
+# (VERDICT r12 #1: the 32-core bench regression).  The per-row encode /
+# decode kernels cost ~30 µs, so a blanket spread_for_cpu fan of the
+# 5k-row sf0.1 documents scan to 32 partitions makes every chained
+# mapInPandas stage pay 32 Arrow handshakes (×2-3 python stages) for
+# ~150 rows of work each — measured 1.8-4.2 s at local[32] vs 0.49 s at
+# local[8].  ~MEDIA_ROWS_PER_TASK rows per task keeps each python task
+# at ~50-100 ms of real compute; the defaultParallelism cap restores the
+# full fan exactly when the corpus is big enough to use it (sf1: 50k
+# rows → 25 tasks; 100 TB scans arrive already wide and never hit this
+# repartition — same guard shape as spread_for_cpu).
+MEDIA_ROWS_PER_TASK = 2000
+
+
+def _media_width(spark: SparkSession, sf_dir: str) -> int:
+    rows = table_rows(sf_dir, "documents", default=50_000)
+    return max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            rows // MEDIA_ROWS_PER_TASK,
+        ),
+    )
 
 
 def decoder_available() -> bool:
@@ -61,8 +85,11 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pixels = the text bytes tiled to w×h×3), audio rows a valid PCM16
     mono WAV, video rows an opaque payload (no container format is
     writable without ffmpeg).  Deterministic per doc_id."""
-    docs = spread_for_cpu(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", "text")
+    width = _media_width(spark, sf_dir)
+    if base.rdd.getNumPartitions() < width:
+        base = base.repartition(width)
 
     def _make_payloads(rate):
         def _payloads(batches):

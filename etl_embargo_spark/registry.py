@@ -67,6 +67,9 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # the r8 block.  This round's own builder edits re-front as drift;
 # regenerate before round end.
 DRIVER_WINDOW_FIRST = [
+    "q_media_dedup",
+    "q_media_features",
+    "q_media_framesample",
     "q_embed_quantize",
     "q_embedding_pairs",
     "q_excess_shippers",
@@ -114,9 +117,6 @@ DRIVER_WINDOW_FIRST = [
     "q_concurrency",
     "q_confusion",
     "q_cv_folds",
-    "q_dataset_card",
-    "q_dataset_diff",
-    "q_debounce",
 ]
 
 # Changed after the current window was already full: drifted queries may
