@@ -20,6 +20,7 @@ DP release).  See QUERIES.md for the full per-query inventory.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -462,8 +463,28 @@ def main() -> None:
                 indent=1,
             )
             f.write("\n")
+            # flush to durable storage BEFORE the stdout line prints: a
+            # truncated/lost line must never orphan the only full record
+            f.flush()
+            os.fsync(f.fileno())
     except OSError as exc:
         print(f"# could not write {full_out}: {exc}", file=sys.stderr)
+    # Truncation insurance (VERDICT r12 #7): the driver keeps only the
+    # TAIL of stdout and r11's ~7 KB line was cut mid-line, losing the
+    # round-over-round comparison.  Emit a short recovery summary on
+    # STDERR (stdout keeps the contract's exactly-one-JSON-line): total,
+    # n, and an md5 of the canonical per-query map, so a truncated
+    # stdout capture can still be validated against the committed
+    # BENCH_full_latest.json (whose write is flushed+fsynced above
+    # before this line prints).
+    digest = hashlib.md5(
+        json.dumps(timings, sort_keys=True).encode()
+    ).hexdigest()
+    print(
+        f"# bench-summary total={total} n={len(timings)} "
+        f"sf={_sf_from_dir(sf_dir)} queries_md5={digest}",
+        file=sys.stderr,
+    )
     # Key order matters: the driver stores only the TAIL of this (large)
     # line, so the per-query map goes first and the headline summary
     # fields (total, n, sf) go LAST — a truncated capture then still

@@ -1178,10 +1178,20 @@ def dedup_clusters(
     materialized partitions.  The convergence check is a count() per round
     — one tiny driver scalar, the loop condition itself (this is driver
     CONTROL FLOW, not a driver-side data pull)."""
-    # persist via the input: both union branches and every propagation
-    # round's join re-read the pair lineage (which may carry blocked
-    # Levenshtein scoring upstream)
-    pairs = pairs.persist()
+    # CHECKPOINT the input, not persist (r13): every round's join +
+    # convergence count re-PLANS the edge relation, and a persisted
+    # relation keeps its full logical tree — Catalyst re-canonicalizes
+    # the whole upstream pipeline (blocked Levenshtein scoring, tile
+    # kernels) per round, which measured 4-5 s of pure driver planning
+    # on a 61-EDGE boundary graph in q_dbscan (20+ s with one more
+    # kernel level upstream).  An eager localCheckpoint truncates the
+    # plan to ExistingRDD — per-round planning becomes O(loop body),
+    # independent of how deep the pair pipeline is.  The relation is
+    # id-pair-sized at any corpus size, and the loop already runs jobs
+    # at build time (iterative-builder exemption), so the materializing
+    # job is not a new cost class.  Blocks outlive clearCache — the
+    # bench/soak release them between queries (CLAUDE.md).
+    pairs = pairs.localCheckpoint()
     edges = pairs.selectExpr("a AS src", "b AS dst").unionByName(
         pairs.selectExpr("b AS src", "a AS dst")
     )
@@ -1233,11 +1243,10 @@ def dedup_clusters(
             f"dedup_clusters did not converge in {max_iters} rounds "
             "(component diameter exceeds max_iters); raise max_iters"
         )
-    # loop-scoped cache: the returned labels are checkpointed (lineage
-    # truncated), so the pair relation is dead weight in the executor
-    # cache — release it instead of leaning on LRU eviction in a long
-    # all-query sweep
-    pairs.unpersist()
+    # the checkpointed pair blocks (like every per-round label
+    # checkpoint above) are released by the sweep-level block release
+    # (bench._release_session_blocks / soak's session recycle) — there
+    # is no public per-DataFrame API to drop localCheckpoint blocks
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster")
     )

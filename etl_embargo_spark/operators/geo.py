@@ -273,7 +273,7 @@ def dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     # density pin keeps components local.  Tile coordinates re-derive
     # from the md5 geometry (id → coords is pure arithmetic), so no
     # join is needed to tag edges.
-    def _tile(idcol):
+    def _tile(idcol, cells):
         key = idcol.cast("string")
         lat = (
             _md5_unit(F.concat(F.lit("lat:"), key)) * GEO_SPAN
@@ -283,13 +283,26 @@ def dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             _md5_unit(F.concat(F.lit("lon:"), key)) * GEO_SPAN
             + F.lit(GEO_LON_BASE)
         )
-        span = float(eps * DBSCAN_TILE_CELLS)
+        span = float(eps * cells)
         return F.struct(
             F.floor(lat / span).cast("int").alias("ty"),
             F.floor(lon / span).cast("int").alias("tx"),
         )
+
+    def _seg_width(cells: int) -> int:
+        # repartition width for the per-tile kernels: capped by the
+        # EXPECTED tile count so small SFs (where eps*cells exceeds the
+        # 10° box and 1-4 tiles exist) don't fan 1-4 groups over 32
+        # partitions (ADVICE r12); the rows-derived term keeps kernels
+        # parallel on big corpora exactly as before.
+        n_tiles = max(1, math.ceil(GEO_SPAN / float(eps * cells))) ** 2
+        return max(1, min(max(32, n // 10_000), n_tiles))
+
     tagged = core_pairs.select(
-        "a", "b", _tile(F.col("a")).alias("ta"), _tile(F.col("b")).alias("tb")
+        "a",
+        "b",
+        _tile(F.col("a"), DBSCAN_TILE_CELLS).alias("ta"),
+        _tile(F.col("b"), DBSCAN_TILE_CELLS).alias("tb"),
     ).persist()
     intra = tagged.filter(F.col("ta") == F.col("tb")).select(
         "a", "b", F.col("ta.ty").alias("ty"), F.col("ta.tx").alias("tx")
@@ -298,7 +311,7 @@ def dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~ms per GROUP — thousands of tiny tile groups would cost more
     # than their kernels); explicit numbered repartition so AQE can't
     # coalesce the byte-small exchange and serialize the kernels
-    n_seg = max(32, n // 10_000)
+    n_seg = _seg_width(DBSCAN_TILE_CELLS)
     seg = (F.xxhash64("ty", "tx") % n_seg + n_seg) % n_seg
     roots = (
         intra.withColumn("_seg", seg)

@@ -106,7 +106,13 @@ def pagerank(
     ew = edges.join(F.broadcast(deg), "src")
     if edge_partitions:
         ew = ew.repartition(edge_partitions, "src")
-    ew = ew.persist()
+    # CHECKPOINT, not persist (r13, the dedup_clusters lesson): a
+    # persisted relation keeps its full logical tree and every round's
+    # join re-canonicalizes it (pair_support's whole _bucket_pairs
+    # pipeline rides inside the cache plan) — pure driver planning tax
+    # × n_iters.  ExistingRDD makes per-round planning O(loop body);
+    # blocks are released by the sweep-level block release.
+    ew = ew.localCheckpoint()
     ranks = nodes_n.select(
         "id", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
@@ -129,10 +135,9 @@ def pagerank(
         if rank_partitions:
             nxt = nxt.repartition(rank_partitions, "id")
         ranks = nxt.localCheckpoint()
-    # loop-scoped cache: the final ranks are checkpointed, so nothing
-    # downstream re-reads the edge lineage — release it rather than
-    # rely on LRU eviction across a 250-query sweep session
-    ew.unpersist()
+    # the final ranks are checkpointed, so nothing downstream re-reads
+    # the edge blocks; like every per-round checkpoint they are released
+    # by the sweep-level block release
     return ranks
 
 
@@ -475,16 +480,19 @@ def label_propagation(
     round, no edge shuffle anywhere.  Past the broadcast budget
     (~100M+ nodes) the same fallback applies: drop the hint and
     co-partition edges and labels on dst."""
-    edges = edges.persist()
+    # checkpoint, not persist (r13): the loop re-plans the edge
+    # relation every round and a cached plan keeps the whole upstream
+    # pipeline tree (dedup_clusters lesson); one materialization, then
+    # every round plans against ExistingRDD
+    if edge_partitions:
+        edges = edges.repartition(edge_partitions, "dst")
+    edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
     )
-    if edge_partitions:
-        edges_k = edges.repartition(edge_partitions, "dst").persist()
-    else:
-        edges_k = edges
+    edges_k = edges
     labels = labels.localCheckpoint()
     for _ in range(n_iters):
         nbr = edges_k.join(
@@ -509,9 +517,6 @@ def label_propagation(
             )
         )
         labels = nxt.localCheckpoint()
-    if edge_partitions:
-        edges_k.unpersist()
-    edges.unpersist()
     return labels
 
 
@@ -668,7 +673,10 @@ def _kcore_state(
     state; a non-converged exhaustion of KCORE_MAX_ROUNDS raises
     (ADVICE r10) instead of silently returning a partial core.
     """
-    edges = copurchase_edges(spark, sf_dir).persist()
+    # checkpoint, not persist (r13): per-round planning over the cached
+    # pair_support pipeline plan was pure driver tax (dedup_clusters
+    # lesson); ExistingRDD keeps each peel round's plan loop-sized
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     deg0 = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint()
@@ -807,7 +815,9 @@ def hits_scores(
         )
         .distinct()
         .repartition(parts, "cust")
-        .persist()
+        # checkpoint, not persist (r13): 16 half-rounds re-planned the
+        # cached join lineage every round (dedup_clusters lesson)
+        .localCheckpoint()
     )
     hubs = (
         edges.select("cust")
@@ -865,7 +875,6 @@ def hits_scores(
                 F.col("h").cast("double") / F.col("m").cast("double")
             ).alias("h"),
         )
-    edges.unpersist()
     if not rounded:
         # raw doubles, for the pin-margin audit (tools/hits_margin.py):
         # the pinned detail rounds to 8 dp, and the audit shows every

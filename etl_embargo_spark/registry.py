@@ -67,9 +67,17 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # the r8 block.  This round's own builder edits re-front as drift;
 # regenerate before round end.
 DRIVER_WINDOW_FIRST = [
+    "q_corpus_dedup",
+    "q_dbscan",
+    "q_dedup_clusters",
+    "q_hits",
+    "q_kcore",
+    "q_label_propagation",
     "q_media_dedup",
     "q_media_features",
     "q_media_framesample",
+    "q_pagerank",
+    "q_textrank",
     "q_embed_quantize",
     "q_embedding_pairs",
     "q_excess_shippers",
@@ -109,14 +117,6 @@ DRIVER_WINDOW_FIRST = [
     "q_top_supplier",
     "q_vocab_coverage",
     "q_wasserstein",
-    "q_zipf_fit",
-    "q_attribution",
-    "q_average_precision",
-    "q_bootstrap_ci",
-    "q_class_weights",
-    "q_concurrency",
-    "q_confusion",
-    "q_cv_folds",
 ]
 
 # Changed after the current window was already full: drifted queries may
